@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables.
+  *
+  * Each loader is a plain `spark.read.parquet` so Catalyst sees a
+  * relation it can push filters/column pruning into — never cache or
+  * materialize here; at 100 TB the scan must stay prunable.
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame  = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame    = load(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  private def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,358 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — the query surface the reference gets from its
+  * DataFusion/sqlparser dependency (scan, filter, project, join, agg,
+  * window, sort; /root/reference Cargo.toml `datafusion = "12.0.0"`).
+  *
+  * Re-expressed as declarative DataFrame plans so Catalyst handles
+  * pushdown/pruning/join-strategy; dimension tables are explicitly
+  * broadcast where they are guaranteed small relative to the fact
+  * side at any scale factor (region/nation/supplier/part/customer).
+  */
+object Relational {
+
+  private val sep = "1998-09-02" // TPC-H Q1 cutoff-style constant
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1, Some(q1Sql)),
+    QueryDef("q2_filter_project", q2, Some(q2Sql)),
+    QueryDef("q3_join_agg", q3, Some(q3Sql)),
+    QueryDef("q4_semi_join", q4, Some(q4Sql)),
+    QueryDef("q5_anti_join", q5, Some(q5Sql)),
+    QueryDef("q6_conditional_agg", q6, Some(q6Sql)),
+    QueryDef("q7_window_rank", q7, Some(q7Sql)),
+    QueryDef("q8_window_running", q8, Some(q8Sql)),
+    QueryDef("q9_distinct", q9, Some(q9Sql)),
+    QueryDef("q10_union", q10, Some(q10Sql)),
+    QueryDef("q11_rollup", q11, Some(q11Sql)),
+    QueryDef("q12_having", q12, Some(q12Sql)),
+    QueryDef("q13_in_subquery", q13, Some(q13Sql)),
+    QueryDef("q14_topk_per_group", q14, Some(q14Sql)),
+    QueryDef("q15_multi_join", q15, Some(q15Sql)),
+    QueryDef("q16_string_funcs", q16, Some(q16Sql)),
+    QueryDef("q17_date_funcs", q17, Some(q17Sql)),
+    QueryDef("q18_sort_limit", q18, Some(q18Sql))
+  )
+
+  // --- q1: scan → filter → hash agg (partial agg map-side, one shuffle) ---
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit(sep)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        asDouble(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("sum_disc_price"),
+        (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       | COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$sep 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q2: predicate + projection pushdown (verify PushedFilters in explain) ---
+  private def q2(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") < 24 &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_shipdate") >= to_timestamp(lit("1995-01-01")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        asDouble(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("disc_revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q2Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS disc_revenue
+      |FROM lineitem
+      |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- q3: fact-fact shuffle join + broadcast dim + agg + topN ---
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --- q4: EXISTS → left-semi join ---
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- q5: NOT EXISTS → left-anti join ---
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val q5Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- q6: CASE WHEN conditional aggregation, single-row result ---
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        asDouble(sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice"))).otherwise(dec(lit(0))))).as("returned_value"),
+        asDouble(sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice")) * dec(col("l_discount"))).otherwise(dec(lit(0))))).as("high_disc_value"),
+        count(when(col("l_quantity") > 25, lit(1))).as("big_lines"))
+
+  private val q6Sql =
+    """SELECT
+      | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_value,
+      | CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS high_disc_value,
+      | COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS big_lines
+      |FROM lineitem""".stripMargin
+
+  // --- q7: window rank per partition, top-N per group ---
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(dsum(col("l_quantity")).as("supp_qty"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("supp_qty").desc, col("l_suppkey"))
+    perSupp.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("l_returnflag", "rnk")
+  }
+
+  private val q7Sql =
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_suppkey, supp_qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY supp_qty DESC, l_suppkey) AS rnk
+      |  FROM (SELECT l_returnflag, l_suppkey,
+      |          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+      |        FROM lineitem GROUP BY l_returnflag, l_suppkey))
+      |WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin
+
+  // --- q8: running sum + lag over an ordered per-key window ---
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDouble(sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))).as("running_spend"),
+        asDouble(lag(dec(col("o_totalprice")), 1).over(w)).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q8Sql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      | CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- q9: distinct + count distinct ---
+  private def q9(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  private val q9Sql =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q10: union all + grouped dedup ---
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    c.unionAll(su).groupBy("nk").agg(count(lit(1)).as("members"))
+      .orderBy("nk")
+  }
+
+  private val q10Sql =
+    """SELECT nk, COUNT(*) AS members FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  UNION ALL SELECT s_nationkey AS nk FROM supplier)
+      |GROUP BY nk ORDER BY nk""".stripMargin
+
+  // --- q11: rollup (hierarchical subtotals) ---
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q11Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --- q12: HAVING (post-aggregation filter) ---
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") > 5)
+      .orderBy("o_custkey")
+
+  private val q12Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+      |ORDER BY o_custkey""".stripMargin
+
+  // --- q13: IN-subquery → semi join on a broadcast-able filtered dim ---
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir).filter(col("p_size") > 40).select("p_partkey")
+    Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_value"))
+  }
+
+  private val q13Sql =
+    """SELECT COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin
+
+  // --- q14: argmax per group (deterministic via window + tiebreak) ---
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderkey").as("top_order"),
+        asDouble(dec(col("o_totalprice"))).as("top_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q14Sql =
+    """SELECT o_orderpriority, o_orderkey AS top_order,
+      | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+
+  // --- q15: 5-table star join; all dims broadcast, one fact shuffle ---
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q15Sql =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- q16: string functions (codegen'd built-ins, no UDFs) ---
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        col("p_name").like("%green%").as("is_green"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  private val q16Sql =
+    """SELECT p_partkey,
+      | UPPER(p_brand) AS brand_upper,
+      | SUBSTRING(p_name, 1, 8) AS name_prefix,
+      | LENGTH(p_name) AS name_len,
+      | p_name LIKE '%green%' AS is_green,
+      | CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      | COALESCE(REGEXP_EXTRACT(p_brand, '#(\d+)', 1), '') AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --- q17: date functions (trunc/extract/interval) ---
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("monthly_value"))
+      .orderBy("order_month")
+
+  private val q17Sql =
+    """SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+      | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_value
+      |FROM orders GROUP BY 1, 2 ORDER BY order_month""".stripMargin
+
+  // --- q18: global sort + limit (TakeOrderedAndProject, no full sort) ---
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        asDouble(dec(col("l_extendedprice"))).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q18Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+}
