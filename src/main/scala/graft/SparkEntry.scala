@@ -7,7 +7,7 @@ object SparkEntry {
 
   /** All implemented operators (SURVEY.md §2), one QueryDef each. */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++ operators.Cdc.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

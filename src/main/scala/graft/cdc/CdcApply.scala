@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch changelog materialization — the upsert fold.
+  *
+  * Reference semantics (rust-cdc `src/delta/mod.rs:160-180` +
+  * `value_buffer.rs`): per (partition, unique_key) the ValueBuffers
+  * keep the LAST value seen; update = remove(before)+add(after);
+  * delete = remove. Materializing a snapshot therefore reduces to
+  * "latest change per key wins, deletes drop the key".
+  *
+  * Spark-first: a single `row_number` window partitioned by the key
+  * ordered by offset descending. ONE shuffle on the key; map-side
+  * nothing to pre-aggregate (we need arbitrary payload columns, not
+  * an algebraic agg). At 100 TB this is the canonical
+  * compaction shape: AQE splits skewed keys' partitions, and the
+  * shuffle is keyed exactly like the downstream merge target so a
+  * writer can bucket by the same key with no extra exchange.
+  */
+object CdcApply {
+
+  /** Latest surviving row per key: last-writer-wins, deletes removed. */
+  def snapshot(
+      changelog: DataFrame,
+      keyCols: Seq[String] = Seq("key"),
+      offsetCol: String = "offset",
+      opCol: String = "op"): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(offsetCol).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= Op.Delete)
+      .drop("__rn")
+  }
+
+  /** Changelog statistics per operation — the bookkeeping the
+    * reference's ingest loop tracks (message counts, offset ranges)
+    * before deciding to flush (`src/delta/mod.rs:186-199`).
+    */
+  def opStats(changelog: DataFrame, opCol: String = "op"): DataFrame =
+    changelog
+      .groupBy(opCol)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("offset")).as("min_offset"),
+        max(col("offset")).as("max_offset"),
+        countDistinct(col("key")).as("n_keys"))
+
+  /** Update events paired with their before-image — the reference
+    * emits Update(before, after) (`src/delta/mod.rs:52-54`); on a
+    * flat changelog the before-image is the previous value of the
+    * same key, i.e. a lag window.
+    */
+  def beforeAfter(
+      changelog: DataFrame,
+      valueCol: Column,
+      keyCols: Seq[String] = Seq("key"),
+      offsetCol: String = "offset"): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(offsetCol))
+    changelog
+      .withColumn("before_value", lag(valueCol, 1).over(w))
+      .withColumn("after_value", valueCol)
+  }
+
+  /** LogCommitter semantics (reference `snapshot/mod.rs:60-80`):
+    * commits are monotone per source; re-committing an already
+    * committed position is a no-op. Relationally: the number of
+    * EFFECTIVE commits per source is the number of distinct running
+    * maxima of the offset sequence.
+    */
+  def offsetCommits(
+      changelog: DataFrame,
+      sourceCols: Seq[String] = Seq("source_file"),
+      offsetCol: String = "offset"): DataFrame = {
+    val w = Window
+      .partitionBy(sourceCols.map(col): _*)
+      .orderBy(col(offsetCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changelog
+      .withColumn("__watermark", max(col(offsetCol)).over(w))
+      .groupBy(sourceCols.map(col): _*)
+      .agg(
+        max(col(offsetCol)).as("committed_offset"),
+        countDistinct(col("__watermark")).as("n_commits"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.cdc
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming upsert — the live half of the reference's
+  * ingest loop (rust-cdc `src/delta/mod.rs:124-155`
+  * `IngestProcessor::process_record`: Add → buffer add, Update →
+  * remove(before)+add(after), Delete → remove; flushed by
+  * latency/batch triggers).
+  *
+  * Spark-first: `groupByKey(key).flatMapGroupsWithState` holds the
+  * latest surviving row per key in the state store (the role of
+  * `ValueBuffers`), emitting the post-batch value of every key the
+  * batch touched — an upsert changelog a sink can merge. Spark's
+  * checkpoint/state store replaces the reference's FILE/ROCKSDB
+  * `LogCommitter` (src/snapshot/mod.rs): offsets and state are
+  * persisted transactionally per micro-batch.
+  *
+  * At scale: state is partitioned by key hash across executors;
+  * watermark-based timeout bounds state for keys that go quiet.
+  */
+object CdcStream {
+
+  /** One canonical changelog row, typed for the state function. */
+  final case class Change(
+      key: String,
+      op: String,
+      offset: Long,
+      ts: Timestamp,
+      event_type: String,
+      value: Double)
+
+  /** Post-batch snapshot row emitted for every touched key. */
+  final case class Upsert(
+      key: String,
+      last_offset: Long,
+      event_type: String,
+      value: Double)
+
+  /** Fold a micro-batch of changes for one key into the stored
+    * latest-row state. Mirrors ValueBuffers' last-writer-wins.
+    */
+  def applyGroup(
+      key: String,
+      changes: Iterator[Change],
+      state: GroupState[Upsert]): Iterator[Upsert] = {
+    var current: Option[Upsert] = state.getOption
+    changes.toSeq.sortBy(_.offset).foreach { c =>
+      if (current.forall(_.last_offset < c.offset)) {
+        current =
+          if (c.op == Op.Delete) None
+          else Some(Upsert(key, c.offset, c.event_type, c.value))
+      }
+    }
+    current match {
+      case Some(u) => state.update(u); Iterator.single(u)
+      case None    => state.remove(); Iterator.empty
+    }
+  }
+
+  /** Run the streaming upsert over a parquet-backed changelog to
+    * completion (availableNow) and return the resulting snapshot.
+    * The same code path serves a real unbounded source — only the
+    * trigger differs.
+    */
+  def applyAvailableNow(
+      s: SparkSession,
+      dir: String,
+      queryName: String = "cdc_stream_apply"): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(Tables0.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val changes: Dataset[Change] = Changelog.canonicalize(stream)
+      .select(col("key"), col("op"), col("offset"), col("ts"),
+        col("event_type"), col("value"))
+      .as[Change]
+    val upserts = changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(applyGroup)
+    val q = upserts.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // multiple micro-batches may re-emit a key; keep the last emission
+    CdcApply.snapshot(
+      s.table(queryName).withColumn("op", lit(Op.Update)),
+      keyCols = Seq("key"), offsetCol = "last_offset")
+      .drop("op")
+  }
+
+  /** Watermarked event-time windowed aggregation over the changelog —
+    * the streaming-analytics face of the engine (counts/values per
+    * day per event type).
+    */
+  def windowedAgg(
+      s: SparkSession,
+      dir: String,
+      queryName: String = "cdc_stream_window"): DataFrame = {
+    import graft.QueryDef._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = Changelog.canonicalize(
+      s.readStream.schema(Tables0.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc_wckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
+}
+
+/** Static schema for the events table (streaming sources must declare
+  * schemas up front — no inference mid-pipeline at scale).
+  */
+private[cdc] object Tables0 {
+  import org.apache.spark.sql.types._
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long, see Tables.events
+
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+}

@@ -1,0 +1,47 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Adapts the driver's `events` table into a canonical changelog.
+  *
+  * The reference turns binlog WriteRows/UpdateRows/DeleteRows events
+  * into Add/Update/Delete records keyed by `unique_key_fields`
+  * (rust-cdc `src/delta/mod.rs:107-125`). Here the synthetic app
+  * events play the role of the binlog: `event_id` is the (strictly
+  * increasing) binlog position, `user_id` the unique key, and the
+  * event type determines the operation:
+  *
+  *   signup → c (insert), error → d (delete), others → u (update).
+  *
+  * Everything is a narrow projection over the parquet scan, so
+  * column pruning + predicate pushdown reach the source — at 100 TB
+  * the changelog adapter must never force a wide materialization.
+  */
+object Changelog {
+
+  def fromEvents(s: SparkSession, dir: String): DataFrame =
+    canonicalize(Tables.events(s, dir))
+
+  def canonicalize(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    // ns-as-long (see Tables.events) → truncate to micros for Catalyst
+    val tsCol =
+      if (events.schema("ts").dataType == LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    events.select(
+      lit("events").as("table"),
+      when(col("event_type") === "signup", Op.Insert)
+        .when(col("event_type") === "error", Op.Delete)
+        .otherwise(Op.Update).as("op"),
+      col("user_id").cast("string").as("key"),
+      lit("mysql-bin.000001").as("source_file"),
+      col("event_id").as("offset"),
+      tsCol.as("ts"),
+      col("event_type"),
+      col("value"),
+      col("props"))
+  }
+}

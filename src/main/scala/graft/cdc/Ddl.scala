@@ -1,0 +1,59 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** DDL propagation — reference `src/delta/mod.rs` handles sqlparser's
+  * AlterTable {AddColumn, DropColumn, RenameColumn, RenameTable},
+  * Drop and Truncate statements coming from binlog QUERY events.
+  *
+  * Two layers:
+  *  - [[classify]]: a codegen-friendly Column expression (regexp on
+  *    the statement text) used inside distributed plans — a billion
+  *    QUERY events classify inside whole-stage codegen, no UDF.
+  *  - [[parse]]: a precise driver-side parser for the schema-change
+  *    path (schema evolution decisions happen once per DDL, on the
+  *    driver, like the reference's handle_* fns).
+  */
+object Ddl {
+
+  sealed trait Stmt { def table: String }
+  final case class AddColumn(table: String, column: String) extends Stmt
+  final case class DropColumn(table: String, column: String) extends Stmt
+  final case class RenameColumn(table: String, from: String, to: String) extends Stmt
+  final case class RenameTable(table: String, to: String) extends Stmt
+  final case class DropTable(table: String) extends Stmt
+  final case class TruncateTable(table: String) extends Stmt
+  final case class Other(table: String) extends Stmt
+
+  private val addCol     = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\w+).*$""".r
+  private val dropCol    = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+(?:COLUMN\s+)?(\w+).*$""".r
+  private val renameCol  = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+).*$""".r
+  private val renameTbl  = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+TO\s+(\S+).*$""".r
+  private val dropTbl    = """(?i)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+).*$""".r
+  private val truncTbl   = """(?i)^\s*TRUNCATE\s+(?:TABLE\s+)?(\S+).*$""".r
+
+  def parse(sql: String): Stmt = sql match {
+    case renameCol(t, from, to) => RenameColumn(t, from, to)
+    case renameTbl(t, to)       => RenameTable(t, to)
+    case addCol(t, c)           => AddColumn(t, c)
+    case dropCol(t, c)          => DropColumn(t, c)
+    case dropTbl(t)             => DropTable(t)
+    case truncTbl(t)            => TruncateTable(t)
+    case _                      => Other("")
+  }
+
+  /** Distributed classification: statement text → kind label.
+    * Pure built-in expressions (upper/like) → stays in codegen.
+    */
+  def classify(stmt: Column): Column = {
+    val u = upper(stmt)
+    when(u.like("ALTER TABLE %RENAME COLUMN%"), "rename_column")
+      .when(u.like("ALTER TABLE %RENAME TO%"), "rename_table")
+      .when(u.like("ALTER TABLE %ADD%"), "add_column")
+      .when(u.like("ALTER TABLE %DROP%"), "drop_column")
+      .when(u.like("DROP TABLE%"), "drop_table")
+      .when(u.like("TRUNCATE%"), "truncate")
+      .otherwise("other")
+  }
+}

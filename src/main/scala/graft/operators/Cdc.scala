@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef._
+import graft.cdc._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC operator suite — SURVEY.md §2 "CDC semantics".
+  *
+  * The synthetic `events` table plays the binlog: `event_id` =
+  * position, `user_id` = unique key, event type → operation (see
+  * [[graft.cdc.Changelog]]).
+  */
+object Cdc {
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_snapshot", snapshot, Some(snapshotSql)),
+    QueryDef("cdc_op_stats", opStats, Some(opStatsSql)),
+    QueryDef("cdc_match_filter", matchFilter, Some(matchFilterSql)),
+    QueryDef("cdc_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("cdc_before_after", beforeAfter, Some(beforeAfterSql)),
+    QueryDef("cdc_offset_commit", offsetCommit, Some(offsetCommitSql)),
+    QueryDef("cdc_ddl_parse", ddlParse, Some(ddlParseSql)),
+    QueryDef("cdc_type_decode", typeDecode, None),
+    QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
+    QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
+  )
+
+  /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
+  private val changelogSql =
+    """SELECT CASE WHEN event_type = 'signup' THEN 'c'
+      |            WHEN event_type = 'error' THEN 'd'
+      |            ELSE 'u' END AS op,
+      |       CAST(user_id AS VARCHAR) AS key,
+      |       event_id AS "offset", ts, event_type, "value", props
+      |FROM events""".stripMargin
+
+  // --- cdc_snapshot: upsert fold → materialized latest-per-key ---
+  private def snapshot(s: SparkSession, dir: String): DataFrame =
+    CdcApply.snapshot(Changelog.fromEvents(s, dir))
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"))
+      .orderBy("key")
+
+  private val snapshotSql =
+    s"""SELECT key, "offset" AS last_offset, event_type, "value"
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |      FROM ($changelogSql))
+       |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY key""".stripMargin
+
+  // --- cdc_op_stats: ingest-loop bookkeeping ---
+  private def opStats(s: SparkSession, dir: String): DataFrame =
+    CdcApply.opStats(Changelog.fromEvents(s, dir)).orderBy("op")
+
+  private val opStatsSql =
+    s"""SELECT op, COUNT(*) AS n_events, MIN("offset") AS min_offset,
+       | MAX("offset") AS max_offset, COUNT(DISTINCT key) AS n_keys
+       |FROM ($changelogSql) GROUP BY op ORDER BY op""".stripMargin
+
+  // --- cdc_match_filter: db.table wildcard subscription ---
+  private def matchFilter(s: SparkSession, dir: String): DataFrame = {
+    val qualified = concat(lit("appdb."), col("event_type"))
+    Tables.events(s, dir)
+      .filter(MatchStrategy.matches(qualified, Seq("appdb"), Seq("p*", "click")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val matchFilterSql =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |WHERE regexp_matches('appdb.' || event_type, '^(appdb\.p(.)*|appdb\.click)$')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- cdc_dedup_exact: redelivered-event suppression ---
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+    CdcApply.opStats(log.unionAll(log).distinct()).orderBy("op")
+  }
+
+  private val dedupExactSql =
+    s"""SELECT op, COUNT(*) AS n_events, MIN("offset") AS min_offset,
+       | MAX("offset") AS max_offset, COUNT(DISTINCT key) AS n_keys
+       |FROM (SELECT DISTINCT * FROM
+       |   (SELECT * FROM ($changelogSql) UNION ALL SELECT * FROM ($changelogSql)))
+       |GROUP BY op ORDER BY op""".stripMargin
+
+  // --- cdc_before_after: Update(before, after) reconstruction ---
+  private def beforeAfter(s: SparkSession, dir: String): DataFrame =
+    CdcApply.beforeAfter(Changelog.fromEvents(s, dir), col("value"))
+      .filter(col("op") === Op.Update)
+      .select(col("offset"), col("key"), col("before_value"), col("after_value"))
+      .orderBy("offset")
+
+  private val beforeAfterSql =
+    s"""SELECT "offset", key, before_value, after_value FROM (
+       |  SELECT *, LAG("value", 1) OVER (PARTITION BY key ORDER BY "offset") AS before_value,
+       |         "value" AS after_value
+       |  FROM ($changelogSql))
+       |WHERE op = 'u' ORDER BY "offset"""".stripMargin
+
+  // --- cdc_offset_commit: idempotent LogCommitter semantics ---
+  private def offsetCommit(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+    // redelivered changelog: effective commits must not double-count
+    CdcApply.offsetCommits(log.unionAll(log)).orderBy("source_file")
+  }
+
+  private val offsetCommitSql =
+    s"""SELECT source_file, MAX("offset") AS committed_offset,
+       | COUNT(DISTINCT wm) AS n_commits, COUNT(*) AS n_events
+       |FROM (
+       |  SELECT 'mysql-bin.000001' AS source_file, "offset",
+       |         MAX("offset") OVER (ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+       |  FROM (SELECT "offset" FROM ($changelogSql)
+       |        UNION ALL SELECT "offset" FROM ($changelogSql)))
+       |GROUP BY source_file ORDER BY source_file""".stripMargin
+
+  // --- cdc_ddl_parse: QUERY-event DDL classification ---
+  private def ddlParse(s: SparkSession, dir: String): DataFrame = {
+    val stmt = when(col("p_partkey") % 6 === 0,
+        concat(lit("ALTER TABLE t"), col("p_partkey"), lit(" ADD COLUMN c INT")))
+      .when(col("p_partkey") % 6 === 1,
+        concat(lit("ALTER TABLE t"), col("p_partkey"), lit(" RENAME COLUMN a TO b")))
+      .when(col("p_partkey") % 6 === 2,
+        concat(lit("ALTER TABLE t"), col("p_partkey"), lit(" RENAME TO t_new")))
+      .when(col("p_partkey") % 6 === 3,
+        concat(lit("DROP TABLE IF EXISTS t"), col("p_partkey")))
+      .when(col("p_partkey") % 6 === 4,
+        concat(lit("TRUNCATE TABLE t"), col("p_partkey")))
+      .otherwise(concat(lit("INSERT INTO t"), col("p_partkey"), lit(" VALUES (1)")))
+    Tables.part(s, dir)
+      .select(Ddl.classify(stmt).as("kind"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
+  private val ddlParseSql =
+    """SELECT kind, COUNT(*) AS n FROM (
+      |  SELECT CASE
+      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %RENAME COLUMN%' THEN 'rename_column'
+      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %RENAME TO%' THEN 'rename_table'
+      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %ADD%' THEN 'add_column'
+      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %DROP%' THEN 'drop_column'
+      |    WHEN UPPER(stmt) LIKE 'DROP TABLE%' THEN 'drop_table'
+      |    WHEN UPPER(stmt) LIKE 'TRUNCATE%' THEN 'truncate'
+      |    ELSE 'other' END AS kind
+      |  FROM (
+      |    SELECT CASE p_partkey % 6
+      |      WHEN 0 THEN 'ALTER TABLE t' || p_partkey || ' ADD COLUMN c INT'
+      |      WHEN 1 THEN 'ALTER TABLE t' || p_partkey || ' RENAME COLUMN a TO b'
+      |      WHEN 2 THEN 'ALTER TABLE t' || p_partkey || ' RENAME TO t_new'
+      |      WHEN 3 THEN 'DROP TABLE IF EXISTS t' || p_partkey
+      |      WHEN 4 THEN 'TRUNCATE TABLE t' || p_partkey
+      |      ELSE 'INSERT INTO t' || p_partkey || ' VALUES (1)' END AS stmt
+      |    FROM part))
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  // --- cdc_type_decode: binlog type surface (rows-only check) ---
+  private def typeDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    BinlogTypes.byCode.toSeq
+      .map { case (code, dt) => (code, dt.simpleString) }
+      .sortBy(_._1)
+      .toDF("type_code", "catalyst_type")
+  }
+
+  // --- cdc_stream_apply: Structured Streaming upsert == batch snapshot ---
+  private def streamApply(s: SparkSession, dir: String): DataFrame =
+    CdcStream.applyAvailableNow(s, dir,
+      s"cdc_stream_apply_${System.nanoTime()}")
+      .select(col("key"), col("last_offset"), col("event_type"), col("value"))
+      .orderBy("key")
+
+  /** The streaming fold must land exactly on the batch snapshot. */
+  private val snapshotSqlStream = snapshotSql
+
+  // --- cdc_stream_window: watermarked windowed agg ---
+  private def streamWindow(s: SparkSession, dir: String): DataFrame =
+    CdcStream.windowedAgg(s, dir, s"cdc_stream_window_${System.nanoTime()}")
+      .select(date_trunc("second", col("day")).as("day"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("day", "event_type")
+
+  private val streamWindowSql =
+    """SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+class CdcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("MatchStrategy mirrors reference wildcard semantics") {
+    // bare * anywhere → match-all (reference check_all)
+    assert(MatchStrategy.regex(Seq("*"), Seq("*")).isEmpty)
+    assert(MatchStrategy.regex(Seq.empty, Seq.empty).isEmpty)
+    val r = MatchStrategy.regex(Seq("appdb"), Seq("p*", "click")).get
+    assert("appdb.purchase".matches(r))
+    assert("appdb.click".matches(r))
+    assert(!"appdb.signup".matches(r))
+    assert(!"otherdb.purchase".matches(r))
+    // db wildcard
+    val r2 = MatchStrategy.regex(Seq("app*"), Seq("orders")).get
+    assert("appdb.orders".matches(r2))
+    assert(!"appdb.orders_x".matches(r2))
+  }
+
+  test("Ddl.parse classifies the reference's DDL surface") {
+    assert(Ddl.parse("ALTER TABLE t1 ADD COLUMN c INT") == Ddl.AddColumn("t1", "c"))
+    assert(Ddl.parse("alter table t1 add c2 varchar(10)") == Ddl.AddColumn("t1", "c2"))
+    assert(Ddl.parse("ALTER TABLE t1 DROP COLUMN c") == Ddl.DropColumn("t1", "c"))
+    assert(Ddl.parse("ALTER TABLE t1 RENAME COLUMN a TO b") == Ddl.RenameColumn("t1", "a", "b"))
+    assert(Ddl.parse("ALTER TABLE t1 RENAME TO t2") == Ddl.RenameTable("t1", "t2"))
+    assert(Ddl.parse("DROP TABLE IF EXISTS t1") == Ddl.DropTable("t1"))
+    assert(Ddl.parse("TRUNCATE TABLE t1") == Ddl.TruncateTable("t1"))
+    assert(Ddl.parse("SELECT 1") == Ddl.Other(""))
+  }
+
+  test("BinlogTypes covers all 31 wire types and 15 parsed events") {
+    assert(BinlogTypes.byCode.size == 30) // 31 minus NEWDATE≡DATE duplicate code share
+    assert(BinlogTypes.parsedEvents.size == 15)
+    import org.apache.spark.sql.types._
+    assert(BinlogTypes.byCode(0x03) == IntegerType)
+    assert(BinlogTypes.byCode(0xf6) == DecimalType(38, 18))
+    assert(BinlogTypes.newDecimal(10, 2) == DecimalType(10, 2))
+  }
+
+  /** Minimal in-memory GroupState for exercising the fold function. */
+  class TestState[S](initial: Option[S]) extends org.apache.spark.sql.streaming.GroupState[S] {
+    private var v: Option[S] = initial
+    private var removed = false
+    override def exists: Boolean = v.isDefined
+    override def get: S = v.get
+    override def getOption: Option[S] = v
+    override def update(s: S): Unit = { v = Some(s); removed = false }
+    override def remove(): Unit = { v = None; removed = true }
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(d: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  test("CdcStream.applyGroup: out-of-order, redelivery, delete-wins") {
+    import CdcStream._
+    val ts = new java.sql.Timestamp(0L)
+    def ch(op: String, off: Long, v: Double) = Change("k", op, off, ts, "t", v)
+
+    // fresh state: updates fold to the max offset, delete at the end drops
+    val st1 = new TestState[Upsert](None)
+    val out1 = applyGroup("k", Iterator(ch("u", 3, 30), ch("u", 1, 10), ch("u", 2, 20)), st1).toList
+    assert(out1.map(u => (u.last_offset, u.value)) == List((3L, 30.0)))
+
+    // delete with the highest offset wins even if delivered first
+    val st2 = new TestState[Upsert](None)
+    val out2 = applyGroup("k", Iterator(ch("d", 5, 0), ch("u", 4, 40)), st2).toList
+    assert(out2.isEmpty && !st2.exists)
+
+    // redelivered older offset must not regress existing state
+    val st3 = new TestState[Upsert](Some(Upsert("k", 9, "t", 90)))
+    val out3 = applyGroup("k", Iterator(ch("u", 7, 70)), st3).toList
+    assert(out3.map(_.last_offset) == List(9L))
+  }
+
+  test("batch snapshot and streaming apply agree") {
+    val batch = SparkEntry.queries("cdc_snapshot")(spark, sf).collect().toSeq
+    val stream = SparkEntry.queries("cdc_stream_apply")(spark, sf).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(batch == stream)
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
