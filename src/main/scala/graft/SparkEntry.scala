@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** All implemented operators (SURVEY.md §2), one QueryDef each. */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs ++ operators.Cdc.defs
+    operators.Relational.defs ++ operators.Cdc.defs ++
+      operators.Dedup.defs ++ operators.TextAnalysis.defs ++
+      operators.Similarity.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite — SURVEY.md §2 "LLM-pipeline operators".
+  *
+  * Cross-engine determinism strategy: every hash is md5 (identical
+  * hex output in Spark and DuckDB), minhash signatures are
+  * lexicographic minima of md5 strings, and similarity arithmetic is
+  * integer counts + a single double division. A production run at
+  * 100 TB would swap md5 for xxhash64 (codegen'd, ~10× faster) — the
+  * plan shape (explode → groupBy → band-join) is what scales, and it
+  * is identical for either hash.
+  *
+  * Duplicate universe: the synthetic corpus has no duplicates, so
+  * each dedup query augments it with deterministic near-duplicate
+  * mutants (doc_id + 1000000, first word dropped) — the operators
+  * then have real work to do and non-vacuous oracle output.
+  */
+object Dedup {
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", exact, Some(exactSql)),
+    QueryDef("dedup_minhash", minhash, Some(minhashSql)),
+    QueryDef("dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("dedup_ngram_jaccard", jaccard, Some(jaccardSql))
+  )
+
+  private val MutantBase = 1000000L
+
+  /** documents ∪ near-dup mutants (10% of docs, first word dropped) */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val mutants = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + MutantBase).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    d.unionAll(mutants)
+  }
+
+  private val corpusSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + $MutantBase AS doc_id, substring(text, instr(text, ' ') + 1) AS text
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_exact: hash-groupBy. One shuffle on a 128-bit hash; at
+  // 100 TB the md5 is computed map-side so only (hash, id) shuffles,
+  // never the document bodies.
+  // ---------------------------------------------------------------
+  private def exact(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("canonical_id")).as("first_canonical"))
+      .orderBy("n_copies")
+
+  private val exactSql =
+    s"""SELECT n_copies, COUNT(*) AS n_groups, MIN(canonical_id) AS first_canonical
+       |FROM (SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+       |      FROM ($corpusSql) GROUP BY md5(text))
+       |GROUP BY n_copies ORDER BY n_copies""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_minhash: shingle → minhash → band → bucket-join.
+  // k=12 signatures in 4 bands of r=3. Explode factor is k per doc
+  // for the agg (shingles collapse map-side via partial min), then 4
+  // band rows per doc into the bucket join — linear in corpus size,
+  // the classic LSH scale shape.
+  // ---------------------------------------------------------------
+  private val K = 12
+  private val R = 3 // rows per band → 4 bands
+
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    // word 3-gram shingles
+    val shingled = corpus(s, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+    // k minhash signatures: lexicographic min of seeded md5
+    val hashCols = (0 until K).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
+    val sigs = shingled.groupBy("doc_id")
+      .agg(hashCols.head, hashCols.tail: _*)
+    // band signatures
+    val bandCols = (0 until K / R).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((b * R until (b + 1) * R).map(j => col(s"h$j")): _*)).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // bucket join → candidate pairs
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashSql = {
+    val hashes = (0 until K).map(j => s"MIN(md5('$j:' || sh)) AS h$j").mkString(",\n       ")
+    val bandRows = (0 until K / R).map { b =>
+      val cat = (b * R until (b + 1) * R).map(j => s"h$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM sigs"
+    }.mkString("\n UNION ALL ")
+    s"""WITH shingled AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM ($corpusSql))
+       |  WHERE len(w) >= 3),
+       |sigs AS (
+       |  SELECT doc_id, $hashes
+       |  FROM shingled GROUP BY doc_id),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_simhash: 63-bit simhash over token md5s (bit i from md5
+  // hex nibble parity), verified by hamming distance on the known
+  // near-dup (original, mutant) pairs — linear in corpus size.
+  //
+  // Scale note: generic pair MINING would band the 63 bits into 4
+  // buckets (pigeonhole for hamming ≤ 3) and bucket-join, exactly
+  // like dedup_minhash's band join. On THIS synthetic corpus every
+  // document shares one small vocabulary, simhashes collapse toward
+  // each other, and banding degenerates to ~n² candidates (measured:
+  // 300k+ pairs at sf0.1) — so the checked query keeps the honest
+  // linear shape and the banded join lives in dedup_minhash where
+  // shingling gives the hash real discrimination.
+  // ---------------------------------------------------------------
+  private val SimBits = 63
+
+  private def tokenBit(i: Int, hCol: String): String = {
+    val nibble = i / 4 + 1
+    val div = 1 << (3 - i % 4)
+    s"CAST(FLOOR((instr('0123456789abcdef', substring($hCol, $nibble, 1)) - 1) / $div.0) AS INT) % 2"
+  }
+
+  /** Same generated SQL text runs in Spark and DuckDB. */
+  private def simhashCoreSql: String = {
+    val sums = (0 until SimBits).map(i =>
+      s"SUM(CASE WHEN ${tokenBit(i, "h16")} = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n    ")
+    val value = (0 until SimBits).map(i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << (SimBits - 1 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, $sums
+       |  FROM toks GROUP BY doc_id)""".stripMargin
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    corpus(s, dir).createOrReplaceTempView("dedup_corpus_v")
+    val sql =
+      s"""WITH toks AS (
+         |  SELECT doc_id, substring(md5(tok), 1, 16) AS h16
+         |  FROM (SELECT doc_id, explode(split(text, '\\\\s+')) AS tok FROM dedup_corpus_v)
+         |  WHERE tok <> ''),
+         |sh AS ($simhashCoreSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       a.simhash AS simhash_a, b.simhash AS simhash_b,
+         |       CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + $MutantBase
+         |ORDER BY doc_a""".stripMargin
+    s.sql(sql)
+  }
+
+  private val simhashSql =
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (
+       |  SELECT doc_id, substring(md5(tok), 1, 16) AS h16
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus)
+       |  WHERE tok <> ''),
+       |sh AS ($simhashCoreSql)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + $MutantBase
+       |ORDER BY doc_a""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_ngram_jaccard: exact word-2-gram Jaccard for the
+  // (original, mutant) pairs — set sizes via array_distinct, one
+  // double division at the end.
+  // ---------------------------------------------------------------
+  private def grams(c: Column): Column =
+    array_distinct(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
+
+  private def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = corpus(s, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), grams(col("w")).as("g"))
+    val a = g.as("a"); val b = g.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + MutantBase)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(col("a.g")).as("n_a"), size(col("b.g")).as("n_b"),
+        size(array_intersect(col("a.g"), col("b.g"))).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .orderBy("doc_a")
+  }
+
+  private val jaccardSql =
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM ($corpusSql))
+       |  WHERE len(w) >= 2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       len(a.g) AS n_a, len(b.g) AS n_b,
+       |       len(list_intersect(a.g, b.g)) AS n_common,
+       |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+       |FROM g a JOIN g b ON b.doc_id = a.doc_id + $MutantBase
+       |ORDER BY doc_a""".stripMargin
+}

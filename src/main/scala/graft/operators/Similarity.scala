@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (64-dim float
+  * vectors).
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    full corpus: one scan, no shuffle of the corpus, per-partition
+  *    partial top-k via the aggregate path of TakeOrderedAndProject;
+  *  - the LSH variant buckets vectors by signed random hyperplane
+  *    projections (deterministic md5-seeded planes) so candidate
+  *    generation is a bucket-equijoin — the shape that survives
+  *    100 TB (shuffle ∝ corpus size, not corpus²);
+  *  - embedding near-dup pairs bucket by LSH signature and verify
+  *    with exact cosine inside each bucket.
+  *
+  * Float arithmetic is engine-local, so these are rows-only checks
+  * (no DuckDB oracle) — correctness is asserted in SimilaritySpec
+  * against per-pair exact recomputation.
+  */
+object Similarity {
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_topk_bruteforce", topk, None),
+    QueryDef("sim_lsh_ann", lshAnn, None),
+    QueryDef("dedup_embedding", embeddingDedup, None)
+  )
+
+  /** cosine(a, b) in double precision, sequential accumulation */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  private val QuerySetSize = 8
+  private val TopK = 5
+
+  // --- brute-force cosine top-k (baseline / ground truth) ---
+  private def topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val Planes = 12
+
+  /** Deterministic pseudo-random hyperplanes: component sign from
+    * md5(plane:dim) parity — reproducible across engines and runs.
+    */
+  private def signature(vec: Column, dim: Int): Column = {
+    val bits = (0 until Planes).map { p =>
+      // ±1 plane components: parity of first md5 hex nibble
+      val proj = aggregate(
+        zip_with(vec, planeCol(p, dim), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  private def planeCol(p: Int, dim: Int): Column = {
+    // hex digit parity of md5("p:d") → ±1.0, precomputed as a literal
+    // array (the "random" planes ship with the plan, not the data)
+    val comps = (0 until dim).map { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    array(comps.map(lit): _*)
+  }
+
+  // --- LSH-bucketed approximate NN ---
+  private def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dim = 64
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      signature(col("embedding"), dim).as("sig"))
+    val queries = sigs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("sig").as("q_sig"))
+    // candidates share the exact signature bucket
+    val cands = sigs.join(broadcast(queries),
+        col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  // --- embedding-cosine near-duplicate pairs ---
+  private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dim = 64
+    // duplicate universe: jittered copies (deterministic scale) of
+    // every 10th vector — near-dups the operator must find
+    val mutants = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    val corpus = emb.unionAll(mutants)
+    val sigs = corpus.select(col("vec_id"), col("embedding"),
+      signature(col("embedding"), dim).as("sig"))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") > 0.995)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the LLM-pipeline operators (SURVEY.md §2). */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup_exact finds exactly the duplicated corpus groups") {
+    val rows = run("dedup_exact").collect()
+    // corpus = docs (unique) + 10% mutants (unique vs originals):
+    // every group has exactly 1 copy
+    assert(rows.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("dedup_minhash candidates include the planted near-dup pairs") {
+    val pairs = run("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 0).map(id => (id, id + 1000000L))
+    val recall = planted.count(pairs.contains).toDouble / planted.length
+    assert(recall > 0.8, s"minhash recall $recall too low")
+  }
+
+  test("dedup_simhash: mutant pairs have small hamming distance") {
+    val rows = run("dedup_simhash").collect()
+    assert(rows.nonEmpty)
+    val hams = rows.map(_.getAs[Int]("hamming"))
+    // dropping one word must not move the 63-bit fingerprint far
+    assert(hams.count(_ <= 16).toDouble / hams.length > 0.9)
+  }
+
+  test("dedup_ngram_jaccard: mutants are near, exact formula holds") {
+    val rows = run("dedup_ngram_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, common, j) =
+        (r.getAs[Int]("n_a"), r.getAs[Int]("n_b"), r.getAs[Int]("n_common"),
+         r.getAs[Double]("jaccard"))
+      assert(math.abs(j - common.toDouble / (na + nb - common)) < 1e-12)
+      assert(j > 0.5, s"mutant pair jaccard $j unexpectedly low")
+    }
+  }
+
+  test("sim_topk_bruteforce matches exact per-pair cosine") {
+    import spark.implicits._
+    val out = run("sim_topk_bruteforce").collect()
+    assert(out.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      // ranks are 1..k and descending in cos_sim
+      val sims = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sorted.reverse.sameElements(sims))
+      rows.foreach { r =>
+        val (a, b) = (emb(q), emb(r.getAs[Long]("neighbor_id")))
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val exact = dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+          math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+        assert(math.abs(r.getAs[Double]("cos_sim") - exact) < 1e-4)
+      }
+    }
+  }
+
+  test("dedup_embedding finds the planted jittered near-dups") {
+    val pairs = run("dedup_embedding").collect()
+    assert(pairs.nonEmpty)
+    // jittered copies are cosine≈1 with their originals
+    val planted = pairs.filter(r => r.getAs[Long]("vec_b") - r.getAs[Long]("vec_a") == 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r.getAs[Double]("cos_sim") > 0.999))
+  }
+
+  test("mm_decode plumbs binary columns through partition-local decode") {
+    val rows = run("mm_decode").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("png", "wav", "mp4"))
+    assert(rows.map(_.getAs[Long]("n_assets")).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("text_langid predictions are deterministic and cover the corpus") {
+    val n = run("text_langid").collect().map(_.getAs[Long]("n")).sum
+    assert(n == Tables.documents(spark, sf).count())
+  }
+}
