@@ -30,8 +30,16 @@ object Similarity {
     QueryDef("dedup_embedding", embeddingDedup, None)
   )
 
-  /** cosine(a, b) in double precision, sequential accumulation */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b): native codegen'd expression (see
+    * graft.functions.CosineSimilarity). The interpreter-only
+    * zip_with/aggregate formulation lives in SimilaritySpec as the
+    * semantic reference.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cosine_sim(a, b)
+
+  /** reference formulation via higher-order functions (no codegen) */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))

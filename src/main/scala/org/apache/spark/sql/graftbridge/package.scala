@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ⇄ Expression converters
+  * (Spark 4 moved classic Column internals behind the Connect API
+  * split). Lives in the org.apache.spark.sql package solely to reach
+  * `classic.ExpressionUtils`; contains no logic.
+  */
+package object graftbridge {
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("cosine_sim native expression equals the HOF formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val self = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") === col("b.vec_id") - 1)
+    val rows = self.select(
+      graft.functions.cosine_sim(col("a.embedding"), col("b.embedding")).as("native"),
+      operators.Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("cosine_sim: identical vector → 1.0, null → null, empty → 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val sims = df.select(graft.functions.cosine_sim($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+    val withNull = df.select(graft.functions.cosine_sim($"a", lit(null).cast("array<float>")))
+      .collect()
+    assert(withNull.forall(_.isNullAt(0)))
+    val empty = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+      .select(graft.functions.cosine_sim($"a", $"b")).collect()
+    assert(empty.head.getDouble(0) == 0.0)
+  }
+
+  test("expressions stay inside WholeStageCodegen") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = emb.select(graft.functions.cosine_sim(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [cosine_sim"), plan)
+  }
+
+  test("SQL registration via functionRegistry and GraftExtensions") {
+    graft.functions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c, " +
+      "dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d").collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
+
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // same JVM returns the active session; registration still applies
+    assert(ext.sql("SELECT dot_product(array(1.0f), array(2.0f))").collect()
+      .head.getDouble(0) == 2.0)
+  }
+}
