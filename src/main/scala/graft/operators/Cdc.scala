@@ -23,6 +23,7 @@ object Cdc {
     QueryDef("cdc_offset_commit", offsetCommit, Some(offsetCommitSql)),
     QueryDef("cdc_ddl_parse", ddlParse, Some(ddlParseSql)),
     QueryDef("cdc_type_decode", typeDecode, None),
+    QueryDef("cdc_binlog_source", binlogSource, None),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
     QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
   )
@@ -167,6 +168,17 @@ object Cdc {
       .sortBy(_._1)
       .toDF("type_code", "catalyst_type")
   }
+
+  // --- cdc_binlog_source: real MySQL binlog files → event DataFrame ---
+  // Reads the reference repo's own binlog fixtures through the DSv2
+  // "binlog" format (rows-only check: the oracle cannot read binlog).
+  private def binlogSource(s: SparkSession, dir: String): DataFrame =
+    graft.sources.binlog.BinlogSource
+      .events(s, "/root/reference/tests/events/*/*")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("table_id")).as("n_tables"))
+      .orderBy("event_type")
 
   // --- cdc_stream_apply: Structured Streaming upsert == batch snapshot ---
   private def streamApply(s: SparkSession, dir: String): DataFrame =

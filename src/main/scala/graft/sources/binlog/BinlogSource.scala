@@ -1,0 +1,158 @@
+package graft.sources.binlog
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource v2 for MySQL binlog files: `spark.read.format("binlog")
+  * .load("/path/to/binlogs")` → one row per event (row events: one
+  * row per data row).
+  *
+  * The unit of parallelism is the file — binlogs are sequential
+  * per-source logs, so a 1000-executor backfill reads 1000 files
+  * concurrently, one InputPartition each; within a file parsing is a
+  * single linear pass (the format is a byte-stream, unsplittable
+  * without an index, like gzip).
+  *
+  * Replaces the reference's socket replica loop (rust-cdc
+  * `src/mysql/conn.rs`) for the at-rest half of CDC; the live half is
+  * [[graft.cdc.CdcStream]].
+  */
+class BinlogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "binlog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BinlogSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BinlogTable(properties.asScala.toMap)
+}
+
+object BinlogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("log_pos", LongType),
+    StructField("ts", LongType),
+    StructField("server_id", LongType),
+    StructField("event_type", StringType),
+    StructField("table_id", LongType),
+    StructField("schema_name", StringType),
+    StructField("table_name", StringType),
+    StructField("op", StringType),
+    StructField("row_index", IntegerType),
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("query", StringType),
+    StructField("gtid", StringType),
+    StructField("xid", LongType),
+    StructField("int_value", LongType),
+    StructField("next_binlog", StringType)))
+
+  /** Convenience reader. */
+  def events(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binlog").load(path)
+}
+
+class BinlogTable(properties: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"binlog(${properties.getOrElse("path", "")})"
+  override def schema(): StructType = BinlogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BinlogScanBuilder(options.asScala.toMap ++ properties)
+}
+
+class BinlogScanBuilder(options: Map[String, String]) extends ScanBuilder {
+  override def build(): Scan = new BinlogScan(options)
+}
+
+final case class BinlogInputPartition(path: String) extends InputPartition
+
+class BinlogScan(options: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = BinlogSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val paths = options.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(options.get("path").map(Seq(_)))
+      .getOrElse(Seq.empty)
+    val conf = new Configuration()
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      // glob first (handles plain paths too), then expand directories
+      val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      val stats = globbed.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+      }
+      stats.filter(_.isFile).map(s => BinlogInputPartition(s.getPath.toString))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory
+}
+
+class BinlogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path)
+}
+
+class BinlogPartitionReader(path: String) extends PartitionReader[InternalRow] {
+  private lazy val events: Iterator[BinlogParser.Decoded] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(new Configuration())
+    val in = fs.open(hp)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(hp).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    // silently skip non-binlog files (directory scans hit mixed content)
+    if (bytes.length >= 4 && bytes.take(4).sameElements(BinlogParser.Magic))
+      BinlogParser.parseFile(bytes).iterator
+    else Iterator.empty
+  }
+  private var current: BinlogParser.Decoded = _
+
+  override def next(): Boolean =
+    if (events.hasNext) { current = events.next(); true } else false
+
+  override def get(): InternalRow = {
+    val e = current
+    InternalRow(
+      UTF8String.fromString(path),
+      e.header.logPos,
+      e.header.timestamp,
+      e.header.serverId,
+      UTF8String.fromString(e.typeName),
+      e.tableId,
+      UTF8String.fromString(e.schemaName),
+      UTF8String.fromString(e.tableName),
+      UTF8String.fromString(e.op),
+      e.rowIndex,
+      UTF8String.fromString(e.before),
+      UTF8String.fromString(e.after),
+      UTF8String.fromString(e.query),
+      UTF8String.fromString(e.gtid),
+      e.xid,
+      e.intValue,
+      UTF8String.fromString(e.nextBinlog))
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.binlog.{BinlogParser, BinlogSource}
+
+/** Parser + DSv2 source validated against the reference repo's
+  * binlog fixture files (tests/events/...; expectations mirrored
+  * from /root/reference/tests/test.rs assertions and the fixtures'
+  * sql.sql files).
+  */
+class BinlogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixtures = "/root/reference/tests/events"
+
+  private def parse(rel: String): Seq[BinlogParser.Decoded] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fixtures/$rel"))
+    BinlogParser.parseFile(bytes)
+  }
+
+  test("format_description: binlog v4, server 8.0.21, CRC32") {
+    val events = parse("15_format_desc/binlog.000002")
+    val fde = events.find(_.typeName == "FORMAT_DESCRIPTION").get
+    assert(fde.query.contains("binlog_v4"))
+    assert(fde.query.contains("8.0.21"))
+  }
+
+  test("query events: DDL text round-trips") {
+    val events = parse("query/mysql-bin.000001")
+    val queries = events.filter(_.typeName == "QUERY")
+    assert(queries.exists(q => q.query != null &&
+      q.query.contains("DROP TABLE IF EXISTS `rustcdc`")))
+    assert(queries.exists(q => q.query != null && q.query.contains("CREATE TABLE")))
+    assert(queries.forall(_.schemaName == "rustcdc"))
+  }
+
+  test("xid event: xid = 852 (reference test_xid)") {
+    val events = parse("16_xid/binlog.000002")
+    assert(events.exists(e => e.typeName == "XID" && e.xid == 852L))
+  }
+
+  test("table_map: table_id 71, rustcdc.rustcdc, [Long, VarChar(160)] (reference test_table_map)") {
+    val events = parse("19_table_map/mysql-bin.000002")
+    val tm = events.filter(_.typeName == "TABLE_MAP").last
+    assert(tm.tableId == 71)
+    assert(tm.schemaName == "rustcdc" && tm.tableName == "rustcdc")
+  }
+
+  test("write_rows_v2: row (1, \"cdc-1\") at table 71 (reference test_write_rows_v2)") {
+    val events = parse("30_write_rows_v2/mysql-bin.000002")
+    val w = events.filter(_.typeName == "WRITE_ROWS_V2")
+    assert(w.nonEmpty)
+    val row = w.find(_.tableId == 71).get
+    assert(row.op == "c")
+    assert(row.after == """{"col_0":1,"col_1":"cdc-1"}""", row.after)
+    assert(row.before == null)
+  }
+
+  test("update_rows_v2: before abc/1.0/2.0/3.0000 → after xd/4.0 (reference test_update_rows_v2)") {
+    val events = parse("31_update_rows_v2/mysql-bin.000001")
+    val u = events.filter(e => e.typeName == "UPDATE_ROWS_V2" && e.op == "u")
+    assert(u.nonEmpty)
+    val row = u.head
+    assert(row.before.contains("\"col_1\":\"abc\""), row.before)
+    assert(row.before.contains("\"col_6\":1"), row.before)   // float 1.0
+    assert(row.before.contains("\"col_7\":2"), row.before)   // double 2.0
+    assert(row.before.contains("\"col_8\":\"3.0000\""), row.before) // decimal(10,4)
+    assert(row.after.contains("\"col_1\":\"xd\""), row.after)
+    assert(row.after.contains("\"col_8\":\"4.0000\""), row.after)
+  }
+
+  test("delete_rows_v2: deletes the inserted row (reference fixture)") {
+    val events = parse("32_delete_rows_v2/mysql-bin.000001")
+    val d = events.filter(_.typeName == "DELETE_ROWS_V2")
+    assert(d.nonEmpty)
+    assert(d.head.op == "d")
+    assert(d.head.before != null && d.head.after == null)
+    assert(d.head.before.contains("\"col_1\":\"abcde\""), d.head.before)
+  }
+
+  test("gtid + previous_gtids parse") {
+    val events = parse("gtid_prev_gtid/mysql-bin.000001")
+    assert(events.exists(e => e.typeName == "PREVIOUS_GTIDS"))
+    assert(events.exists(e =>
+      (e.typeName == "GTID" || e.typeName == "ANONYMOUS_GTID") && e.gtid != null))
+  }
+
+  test("DSv2: spark.read.format(\"binlog\") over the fixture directory") {
+    val df = BinlogSource.events(spark, s"$fixtures/*/*")
+    val byType = df.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.contains("QUERY"))
+    assert(byType.contains("WRITE_ROWS_V2"))
+    assert(byType.getOrElse("CORRUPT_FORMAT_DESCRIPTION", 0L) == 0)
+    // every file contributes a FORMAT_DESCRIPTION
+    assert(byType("FORMAT_DESCRIPTION") >= 7)
+
+    // end-to-end CDC: binlog rows → changelog → snapshot via CdcApply
+    val changes = df.filter(col("op").isNotNull && col("table_id") === 71)
+      .select(col("table_name").as("table"), col("op"),
+        get_json_object(coalesce(col("after"), col("before")), "$.col_0").as("key"),
+        col("log_pos").as("offset"), col("before"), col("after"))
+    val snap = graft.cdc.CdcApply.snapshot(changes, keyCols = Seq("table", "key"))
+    assert(snap.count() >= 0) // materializes without error
+  }
+}
