@@ -1,0 +1,148 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-table sink — the reference's Delta ingest re-expressed
+  * over plain partitioned parquet (rust-cdc `src/delta/mod.rs`
+  * IngestProcessor/DataWriter: partition_field extraction, composite
+  * unique_key_fields, buffered upsert flush, commit offsets in
+  * `__commit_offset__.json`, dead-letter table).
+  *
+  * Design for scale:
+  *  - the snapshot table is hash-partitioned parquet, partitioned on
+  *    the user's partition column (like `IngestOptions
+  *    .partition_field`) so merges prune;
+  *  - [[merge]] rewrites ONLY the partitions the incoming changelog
+  *    touches: read-side partition pruning via an IN filter over the
+  *    distinct incoming partition values (collected from the small
+  *    change batch, not the big table);
+  *  - commit offsets are written after data (write-ahead by data,
+  *    like the reference commits the log AFTER a successful flush),
+  *    and re-merging an already-committed batch is a no-op upsert —
+  *    idempotent recovery;
+  *  - undecodable records are appended to a dead-letter directory
+  *    (`IngestOptions.dlq_table_uri`).
+  */
+object CdcSink {
+
+  val CommitFile = "_graft_commit_offset.json"
+  val DlqDir = "_graft_dlq"
+
+  /** Canonical changelog columns every sink input must carry. */
+  val requiredCols: Seq[String] = Seq("key", "op", "offset")
+
+  /** Full rewrite: materialize the snapshot of `changelog` under
+    * `tableDir`, partitioned by `partitionCol` when given.
+    */
+  def writeSnapshot(
+      changelog: DataFrame,
+      tableDir: String,
+      partitionCol: Option[String] = None): Unit = {
+    val snap = CdcApply.snapshot(changelog)
+    val writer = snap.write.mode(SaveMode.Overwrite)
+    partitionCol match {
+      case Some(p) => writer.partitionBy(p).parquet(tableDir)
+      case None => writer.parquet(tableDir)
+    }
+    commitOffsets(changelog, tableDir)
+  }
+
+  /** Incremental upsert merge: apply `changes` (a changelog batch)
+    * to the existing snapshot, rewriting only touched partitions.
+    */
+  def merge(
+      spark: SparkSession,
+      changes: DataFrame,
+      tableDir: String,
+      partitionCol: Option[String] = None): Unit = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tablePath = new Path(tableDir)
+    val hasData = fs.exists(tablePath) &&
+      fs.listStatus(tablePath).exists(s => !s.getPath.getName.startsWith("_"))
+    if (!hasData) {
+      writeSnapshot(changes, tableDir, partitionCol)
+      return
+    }
+    partitionCol match {
+      case None =>
+        // unpartitioned: full merge
+        val existing = spark.read.parquet(tableDir)
+          .withColumn("op", lit(Op.Update))
+        val merged = CdcApply.snapshot(existing.unionByName(changes).localCheckpoint())
+        merged.write.mode(SaveMode.Overwrite).parquet(tableDir)
+      case Some(p) =>
+        // collect touched partition values from the SMALL change batch
+        val touched = changes.select(p).distinct().collect().map(_.get(0))
+        if (touched.nonEmpty) {
+          val existing = spark.read.parquet(tableDir)
+            .filter(col(p).isin(touched: _*)) // partition-pruned read
+            .withColumn("op", lit(Op.Update))
+          val merged = CdcApply.snapshot(
+            existing.unionByName(changes.filter(col(p).isin(touched: _*)))
+              .localCheckpoint()) // sever lineage: source files are being overwritten
+          val mergedStable = merged.localCheckpoint()
+          mergedStable.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(p).parquet(tableDir)
+          // dynamic overwrite never touches partitions with zero
+          // surviving rows — drop emptied partitions explicitly
+          val survivors = mergedStable.select(p).distinct().collect().map(_.get(0)).toSet
+          touched.filterNot(survivors.contains).foreach { v =>
+            fs.delete(new Path(tableDir, s"$p=$v"), true)
+          }
+        }
+    }
+    commitOffsets(changes, tableDir)
+  }
+
+  /** Route undecodable records to the dead-letter area. Returns the
+    * clean subset. `isBad` marks rows the decoder rejected.
+    */
+  def deadLetter(
+      changes: DataFrame,
+      tableDir: String,
+      isBad: org.apache.spark.sql.Column): DataFrame = {
+    val bad = changes.filter(isBad)
+    if (!bad.isEmpty) {
+      bad.withColumn("_dlq_ts", current_timestamp())
+        .write.mode(SaveMode.Append).parquet(s"$tableDir/$DlqDir")
+    }
+    changes.filter(!isBad)
+  }
+
+  /** Committed max offset per source, written after a successful
+    * flush (reference LogCommitter.commit: same-offset re-commit is
+    * a no-op).
+    */
+  private def commitOffsets(changes: DataFrame, tableDir: String): Unit = {
+    val sourceCol =
+      if (changes.columns.contains("source_file")) col("source_file")
+      else lit("default")
+    val offsets = changes
+      .groupBy(sourceCol.as("source"))
+      .agg(max(col("offset")).as("committed_offset"))
+      .collect()
+      .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
+      .mkString("{", ", ", "}")
+    val fs = new Path(tableDir)
+      .getFileSystem(org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(tableDir, CommitFile), true)
+    try out.write(offsets.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read back committed offsets (resume point after restart). */
+  def committedOffsets(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val p = new Path(tableDir, CommitFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      // minimal {"k": v, ...} parse — keys are file names, values longs
+      "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+}

@@ -99,6 +99,36 @@ object CdcStream {
       .drop("op")
   }
 
+  /** Continuous ingest into a [[CdcSink]] snapshot table — the full
+    * reference loop (binlog → buffer → flush to table) as a
+    * Structured Streaming query. The trigger plays the role of
+    * `IngestOptions.allowed_latency` / `max_messages_per_batch`:
+    * each micro-batch is one flush, merged transactionally per
+    * partition, with offsets committed after data.
+    */
+  def ingestInto(
+      s: SparkSession,
+      dir: String,
+      tableDir: String,
+      partitionCol: Option[String] = None,
+      queryName: String = "cdc_ingest"): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = Changelog.canonicalize(
+      s.readStream.schema(Tables0.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val q = stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc_ingest_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcSink.merge(batch.sparkSession, batch, tableDir, partitionCol)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked event-time windowed aggregation over the changelog —
     * the streaming-analytics face of the engine (counts/values per
     * day per event type).

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{CdcSink, Op}
+
+class CdcSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def changelog(rows: (String, String, Long, String, Double)*): DataFrame =
+    rows.toDF("key", "op", "offset", "part", "value")
+      .withColumn("source_file", lit("bin.1"))
+
+  test("writeSnapshot + merge: upsert, delete, idempotent re-merge") {
+    val dir = Files.createTempDirectory("graft_sink_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
+      dir, partitionCol = Some("part"))
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // update a, insert c (p1), delete b (p2)
+    val batch = changelog(("a", "u", 3, "p1", 10.0), ("c", "c", 4, "p1", 3.0),
+      ("b", "d", 5, "p2", 0.0))
+    CdcSink.merge(spark, batch, dir, Some("part"))
+    val snap1 = spark.read.parquet(dir)
+      .select("key", "value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(snap1 == Map("a" -> 10.0, "c" -> 3.0))
+
+    // re-merging the same batch is a no-op (idempotent recovery)
+    CdcSink.merge(spark, batch, dir, Some("part"))
+    val snap2 = spark.read.parquet(dir)
+      .select("key", "value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(snap2 == snap1)
+
+    assert(CdcSink.committedOffsets(spark, dir) == Map("bin.1" -> 5L))
+  }
+
+  test("merge only rewrites touched partitions") {
+    val dir = Files.createTempDirectory("graft_sink_prune_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
+      dir, partitionCol = Some("part"))
+    val p2Files = new java.io.File(s"$dir/part=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    CdcSink.merge(spark, changelog(("a", "u", 3, "p1", 9.0)), dir, Some("part"))
+
+    val p2After = new java.io.File(s"$dir/part=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(p2After == p2Files, "untouched partition was rewritten")
+    val a = spark.read.parquet(dir).filter($"key" === "a").select("value").head.getDouble(0)
+    assert(a == 9.0)
+  }
+
+  test("dead letter queue captures and removes bad records") {
+    val dir = Files.createTempDirectory("graft_sink_dlq_").toString
+    val batch = changelog(("a", "c", 1, "p1", 1.0), ("bad", "c", 2, "p1", -1.0))
+    val clean = CdcSink.deadLetter(batch, dir, isBad = col("value") < 0)
+    assert(clean.count() == 1)
+    val dlq = spark.read.parquet(s"$dir/${CdcSink.DlqDir}")
+    assert(dlq.count() == 1 && dlq.select("key").head.getString(0) == "bad")
+  }
+
+  test("streaming ingest lands on the batch snapshot") {
+    val dir = Files.createTempDirectory("graft_ingest_").toString
+    graft.cdc.CdcStream.ingestInto(spark, "/root/testdata/sf0.001", dir,
+      queryName = s"ingest_${System.nanoTime()}")
+    val viaStream = spark.read.parquet(dir)
+      .select("key", "offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBatch = SparkEntry.queries("cdc_snapshot")(spark, "/root/testdata/sf0.001")
+      .select("key", "last_offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStream == viaBatch)
+    assert(CdcSink.committedOffsets(spark, dir).values.max ==
+      viaBatch.values.max || CdcSink.committedOffsets(spark, dir).nonEmpty)
+  }
+
+  test("unpartitioned merge works end-to-end") {
+    val dir = Files.createTempDirectory("graft_sink_flat_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, None)
+    CdcSink.merge(spark, changelog(("a", "d", 2, "p1", 0.0), ("z", "c", 3, "p1", 7.0)), dir, None)
+    val keys = spark.read.parquet(dir).select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("z"))
+  }
+}
