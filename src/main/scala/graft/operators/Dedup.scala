@@ -24,6 +24,7 @@ object Dedup {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_minhash", minhash, Some(minhashSql)),
+    QueryDef("dedup_minhash_fast", minhashFast, None),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_ngram_jaccard", jaccard, Some(jaccardSql))
   )
@@ -122,6 +123,36 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_minhash_fast: the production variant — xxhash64 (codegen'd
+  // native expression, ~10× cheaper than md5) with numeric minima.
+  // Same plan shape as dedup_minhash; no DuckDB oracle (xxhash64
+  // differs across engines), correctness asserted in PipelineSpec by
+  // recall of the planted near-dup pairs.
+  // ---------------------------------------------------------------
+  private def minhashFast(s: SparkSession, dir: String): DataFrame = {
+    val shingled = corpus(s, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+    val hashCols = (0 until K).map(j => min(xxhash64(lit(j), col("sh"))).as(s"h$j"))
+    val sigs = shingled.groupBy("doc_id")
+      .agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until K / R).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * R until (b + 1) * R).map(j => col(s"h$j")): _*).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------

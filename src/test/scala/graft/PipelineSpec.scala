@@ -34,6 +34,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.8, s"minhash recall $recall too low")
   }
 
+  test("dedup_minhash_fast (xxhash64) recalls the planted pairs too") {
+    val pairs = run("dedup_minhash_fast").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 0).map(id => (id, id + 1000000L))
+    val recall = planted.count(pairs.contains).toDouble / planted.length
+    assert(recall > 0.8, s"fast minhash recall $recall too low")
+  }
+
   test("dedup_simhash: mutant pairs have small hamming distance") {
     val rows = run("dedup_simhash").collect()
     assert(rows.nonEmpty)
