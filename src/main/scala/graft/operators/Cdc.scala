@@ -24,6 +24,7 @@ object Cdc {
     QueryDef("cdc_ddl_parse", ddlParse, Some(ddlParseSql)),
     QueryDef("cdc_type_decode", typeDecode, None),
     QueryDef("cdc_binlog_source", binlogSource, None),
+    QueryDef("cdc_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
     QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
   )
@@ -168,6 +169,31 @@ object Cdc {
       .sortBy(_._1)
       .toDF("type_code", "catalyst_type")
   }
+
+  // --- cdc_bloom_dedup: bloom-gated new-key detection --------------
+  // Replays the reference's StableBloomFilter front gate: events in
+  // the second half of the log survive only if their user was never
+  // seen in the first half. The bloom filter has no false negatives,
+  // so with the exact back-check the result is exact — the oracle is
+  // a plain NOT-IN.
+  private def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "event_type")
+    val cnt = ev.agg(max("event_id")).head.getLong(0) / 2
+    val history = ev.filter(col("event_id") <= cnt)
+    val incoming = ev.filter(col("event_id") > cnt)
+    BloomDedup.suppressSeen(incoming, history, "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_new_users"))
+      .orderBy("event_type")
+  }
+
+  private val bloomDedupSql =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_new_users
+      |FROM events
+      |WHERE event_id > (SELECT MAX(event_id) // 2 FROM events)
+      |  AND user_id NOT IN (SELECT user_id FROM events
+      |                      WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events))
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- cdc_binlog_source: real MySQL binlog files → event DataFrame ---
   // Reads the reference repo's own binlog fixtures through the DSv2
