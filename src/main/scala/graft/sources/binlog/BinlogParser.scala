@@ -56,6 +56,7 @@ object BinlogParser {
   val typeNames: Map[Int, String] = Map(
     0x02 -> "QUERY", 0x04 -> "ROTATE", 0x05 -> "INTVAR",
     0x0f -> "FORMAT_DESCRIPTION", 0x10 -> "XID",
+    0x11 -> "BEGIN_LOAD_QUERY", 0x12 -> "EXECUTE_LOAD_QUERY",
     0x13 -> "TABLE_MAP", 0x1b -> "HEARTBEAT", 0x1d -> "ROWS_QUERY",
     0x1e -> "WRITE_ROWS_V2", 0x1f -> "UPDATE_ROWS_V2",
     0x20 -> "DELETE_ROWS_V2", 0x21 -> "GTID",
@@ -133,6 +134,24 @@ object BinlogParser {
 
     case 0x10 => // XID
       Seq(Decoded(h, "XID", xid = u64(b)))
+
+    case 0x11 => // BEGIN_LOAD_QUERY: file_id + raw block
+      val fileId = u32(b)
+      Seq(Decoded(h, "BEGIN_LOAD_QUERY", intValue = fileId,
+        query = remainingString(b)))
+
+    case 0x12 => // EXECUTE_LOAD_QUERY: QUERY post-header + load fields
+      skip(b, 4 + 4) // thread_id, exec_time
+      val schemaLen = u8(b)
+      skip(b, 2) // error_code
+      val statusLen = u16(b)
+      val fileId = u32(b)
+      skip(b, 4 + 4 + 1) // start_pos, end_pos, dup_handling
+      skip(b, statusLen)
+      val schema = fixedBytesString(b, schemaLen)
+      skip(b, 1) // NUL
+      Seq(Decoded(h, "EXECUTE_LOAD_QUERY", schemaName = schema,
+        intValue = fileId, query = remainingString(b)))
 
     case 0x1d => // ROWS_QUERY
       skip(b, 1) // length byte (query may still run to event end)

@@ -68,7 +68,7 @@ class BinlogTable(properties: Map[String, String]) extends Table with SupportsRe
   override def name(): String = s"binlog(${properties.getOrElse("path", "")})"
   override def schema(): StructType = BinlogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BinlogScanBuilder(options.asScala.toMap ++ properties)
 }
@@ -82,8 +82,23 @@ final case class BinlogInputPartition(path: String) extends InputPartition
 class BinlogScan(options: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = BinlogSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BinlogMicroBatchStream(options)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    BinlogScan.listFiles(options).map(BinlogInputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory
+}
+
+object BinlogScan {
+  /** Expand path/glob options to concrete file paths, name-sorted —
+    * binlog files rotate with lexicographically increasing suffixes
+    * (mysql-bin.000001, …), so name order IS commit order.
+    */
+  def listFiles(options: Map[String, String]): Seq[String] = {
     val paths = options.get("paths")
       .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
       .orElse(options.get("path").map(Seq(_)))
@@ -97,12 +112,55 @@ class BinlogScan(options: Map[String, String]) extends Scan with Batch {
       val stats = globbed.flatMap { s =>
         if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
       }
-      stats.filter(_.isFile).map(s => BinlogInputPartition(s.getPath.toString))
-    }.toArray
+      stats.filter(_.isFile).map(_.getPath.toString)
+    }.sorted
+  }
+}
+
+/** Streaming flavor: the offset is "how many (name-sorted) files are
+  * fully processed". Rotation appends new files with larger names →
+  * each micro-batch reads exactly the newly appeared files, mirroring
+  * how a replica tails the binlog index. Files are immutable once
+  * rotated, so replay from a committed offset is deterministic.
+  */
+class BinlogMicroBatchStream(options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def snapshot(): Seq[String] = BinlogScan.listFiles(options)
+
+  override def initialOffset(): Offset = BinlogFileOffset(Nil)
+  override def latestOffset(): Offset = BinlogFileOffset(snapshot())
+  override def deserializeOffset(json: String): Offset =
+    BinlogFileOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val done = start.asInstanceOf[BinlogFileOffset].files.toSet
+    end.asInstanceOf[BinlogFileOffset].files
+      .filterNot(done)
+      .map(BinlogInputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory
+}
+
+final case class BinlogFileOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object BinlogFileOffset {
+  def fromJson(json: String): BinlogFileOffset = {
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    BinlogFileOffset(files)
+  }
 }
 
 class BinlogReaderFactory extends PartitionReaderFactory {

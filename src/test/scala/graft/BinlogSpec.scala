@@ -92,6 +92,36 @@ class BinlogSpec extends AnyFunSuite {
       (e.typeName == "GTID" || e.typeName == "ANONYMOUS_GTID") && e.gtid != null))
   }
 
+  test("streaming: readStream.format(\"binlog\") tails rotated files") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("binlog_stream_")
+    Files.copy(Paths.get(s"$fixtures/30_write_rows_v2/mysql-bin.000002"),
+      dir.resolve("mysql-bin.000001"), StandardCopyOption.REPLACE_EXISTING)
+
+    val qn = s"binlog_tail_${System.nanoTime()}"
+    val q = spark.readStream.format("binlog").load(dir.toString)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation",
+        Files.createTempDirectory("binlog_ckpt_").toString)
+      .start()
+    q.processAllAvailable()
+    val n1 = spark.table(qn).count()
+    assert(n1 > 0)
+    assert(spark.table(qn).filter(col("event_type") === "WRITE_ROWS_V2").count() > 0)
+
+    // rotation: a new file appears; only its events are appended
+    Files.copy(Paths.get(s"$fixtures/32_delete_rows_v2/mysql-bin.000001"),
+      dir.resolve("mysql-bin.000002"), StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    val n2 = spark.table(qn).count()
+    q.stop()
+    assert(n2 > n1)
+    assert(spark.table(qn).filter(col("event_type") === "DELETE_ROWS_V2").count() > 0)
+    // no duplicate re-read of file 1
+    val perFile = spark.table(qn).groupBy("file").count().collect()
+    assert(perFile.length == 2)
+  }
+
   test("DSv2: spark.read.format(\"binlog\") over the fixture directory") {
     val df = BinlogSource.events(spark, s"$fixtures/*/*")
     val byType = df.groupBy("event_type").count().collect()
