@@ -37,7 +37,12 @@ object Relational {
     QueryDef("q15_multi_join", q15, Some(q15Sql)),
     QueryDef("q16_string_funcs", q16, Some(q16Sql)),
     QueryDef("q17_date_funcs", q17, Some(q17Sql)),
-    QueryDef("q18_sort_limit", q18, Some(q18Sql))
+    QueryDef("q18_sort_limit", q18, Some(q18Sql)),
+    QueryDef("q20_full_outer", q20, Some(q20Sql)),
+    QueryDef("q21_intersect", q21, Some(q21Sql)),
+    QueryDef("q22_except", q22, Some(q22Sql)),
+    QueryDef("q23_pivot", q23, Some(q23Sql)),
+    QueryDef("q24_percentile", q24, Some(q24Sql))
   )
 
   // --- q1: scan → filter → hash agg (partial agg map-side, one shuffle) ---
@@ -355,4 +360,87 @@ object Relational {
     """SELECT l_orderkey, l_linenumber,
       | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // --- q20: full outer join (customers×nations per-nation totals) ---
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val custPerNation = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val suppPerNation = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    custPerNation.join(suppPerNation,
+        col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  private val q20Sql =
+    """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+      | COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      |  ON c.c_nationkey = s.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // --- q21: INTERSECT (set semantics) ---
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private val q21Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // --- q22: EXCEPT (set difference) ---
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private val q22Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // --- q23: pivot (events per user × event_type) ---
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "purchase", "signup", "view", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  private val q23Sql =
+    """SELECT user_id,
+      | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- q24: exact interpolated percentiles (same linear-interp
+  // definition in Spark `percentile` and DuckDB `quantile_cont`) ---
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  private val q24Sql =
+    """SELECT l_returnflag,
+      | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      | ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
