@@ -84,6 +84,42 @@ class CdcSinkSpec extends AnyFunSuite {
       viaBatch.values.max || CdcSink.committedOffsets(spark, dir).nonEmpty)
   }
 
+  test("listeners: progress bookkeeping and per-event callbacks fire") {
+    import graft.cdc.Listeners
+    val pl = new Listeners.ProgressListener
+    spark.streams.addListener(pl)
+    val qn = s"listener_probe_${System.nanoTime()}"
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val counter = spark.sparkContext.longAccumulator("events_seen")
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .selectExpr("event_id")
+        .as[Long]
+      val q = Listeners.foreachEvent[Long](stream, _ => counter.add(1))
+        .queryName(qn)
+        .option("checkpointLocation",
+          Files.createTempDirectory("listener_ckpt_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener events are async — poll briefly
+      val deadline = System.currentTimeMillis + 10000
+      while (pl.rows(qn) < 1000 && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(counter.value == 1000, s"per-event callbacks saw ${counter.value}")
+      assert(pl.rows(qn) == 1000, s"progress listener saw ${pl.rows(qn)}")
+      assert(pl.batches(qn) >= 1)
+    } finally spark.streams.removeListener(pl)
+  }
+
   test("unpartitioned merge works end-to-end") {
     val dir = Files.createTempDirectory("graft_sink_flat_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, None)
