@@ -27,6 +27,7 @@ object Similarity {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_bruteforce", topk, None),
     QueryDef("sim_lsh_ann", lshAnn, None),
+    QueryDef("sim_ivf_ann", ivfAnn, None),
     QueryDef("dedup_embedding", embeddingDedup, None)
   )
 
@@ -116,6 +117,82 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"))
       .orderBy("q_id", "rk")
+  }
+
+  // --- IVF (inverted-file) approximate NN -------------------------
+  // The coarse-quantizer scale path: k-means-lite centroids (seeded
+  // deterministically, two Lloyd iterations), every vector indexed
+  // under its nearest centroid, queries probe only the nProbe
+  // nearest cells. Index build is two scans + a per-dim avg agg;
+  // search shuffles only the probed cells — at 100 TB the cell
+  // assignment is a partition key, so a probe touches K/nProbe-th of
+  // the data and nothing else.
+  private val Cells = 16
+  private val NProbe = 4
+
+  /** Two Lloyd iterations from deterministic seeds (vec_id < Cells).
+    * Centroids are collected to the driver (Cells × dim floats — a
+    * constant) and shipped as plan literals.
+    */
+  def trainCentroids(emb: DataFrame): Array[Array[Float]] = {
+    var centroids = emb.filter(col("vec_id") < Cells)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    (0 until 2).foreach { _ =>
+      val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("x"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("dims"))
+        .select(col("cell"), expr("transform(dims, d -> cast(d.x as float))").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+        .toMap
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Column: id of the nearest centroid (cosine, tie → lower id). */
+  private def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, lit(c)).as("sim"), lit(-i).as("negid"))
+    }
+    // struct max compares sim first, then -id (tie → smaller id)
+    (-array_max(array(scored: _*)).getField("negid")).cast("int")
+  }
+
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb)
+    val indexed = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
+    // each query probes its NProbe nearest cells
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("cells", probedCells(col("q_vec"), centroids))
+      .select(col("q_id"), col("q_vec"), explode(col("cells")).as("cell"))
+    val cands = indexed.join(broadcast(queries),
+        Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Array of the NProbe nearest cell ids for a query vector. */
+  private def probedCells(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, lit(c)).as("sim"), lit(i).as("id"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, NProbe),
+      s => s.getField("id"))
   }
 
   // --- embedding-cosine near-duplicate pairs ---

@@ -84,6 +84,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivf_ann: probing 4/16 cells recalls most true neighbors") {
+    val exact = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = run("sim_ivf_ann").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall (expected ≥0.3 at nProbe=4/16)")
+  }
+
   test("dedup_embedding finds the planted jittered near-dups") {
     val pairs = run("dedup_embedding").collect()
     assert(pairs.nonEmpty)
