@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   lazy val defs: Seq[QueryDef] = Seq(
-    QueryDef("mm_decode", decodePipeline, None)
+    QueryDef("mm_decode", decodePipeline, None),
+    QueryDef("mm_frames", framePipeline, None)
   )
 
   /** Typed metadata for a decoded asset. */
@@ -51,6 +52,62 @@ object Multimodal {
       val mean = if (n == 0) 0.0 else payload.map(_ & 0xff).sum.toDouble / n
       MediaMeta(docId, fmt, 64 + (n % 64), 64 + (n % 48), 1 + (n % 16), mean)
     }
+  }
+
+  /** One sampled frame with a fixed-size "resized" feature patch. */
+  final case class Frame(
+      doc_id: Long,
+      frame_index: Int,
+      patch: Array[Float]) // RESIZE_DIM pooled features
+
+  val ResizeDim = 16
+  val SampleEvery = 4 // keep every 4th frame
+
+  /** Frame-sample + resize: explode each asset into its sampled
+    * frames and pool the payload into a fixed ResizeDim feature
+    * patch per frame. The frame explosion happens INSIDE the
+    * partition (iterator flatMap) so frame rows never materialize on
+    * the driver and the downstream shuffle carries only
+    * (doc_id, frame_index, 16 floats) — never the source bytes.
+    * A real decoder would emit pixel tensors here; the STUB pools
+    * byte windows (deterministic, testable batch shape).
+    */
+  def sampleFrames(assets: Dataset[(Long, Array[Byte])]): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val meta = StubCodec.decode(id, bytes)
+        (0 until meta.n_frames by SampleEvery).iterator.map { f =>
+          // stub "resize": pool bytes into ResizeDim buckets, offset per frame
+          val patch = Array.tabulate(ResizeDim) { d =>
+            if (bytes.isEmpty) 0f
+            else {
+              val start = (f + d * bytes.length / ResizeDim) % bytes.length
+              (bytes(start) & 0xff).toFloat / 255f
+            }
+          }
+          Frame(id, f, patch)
+        }
+      }
+    }
+  }
+
+  /** mm_frames: asset → sampled frames → per-format frame stats. */
+  private def framePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    sampleFrames(assets).toDF()
+      .withColumn("patch_mean",
+        graft.functions.dot_product(col("patch"),
+          array_repeat(lit(1.0f / ResizeDim), ResizeDim)))
+      .groupBy((col("doc_id") % 3).cast("int").as("format_id"))
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        countDistinct(col("doc_id")).as("n_assets"),
+        round(avg(col("patch_mean")), 5).as("avg_patch_mean"))
+      .orderBy("format_id")
   }
 
   /** Binary-column pipeline: text → utf8 payload (standing in for

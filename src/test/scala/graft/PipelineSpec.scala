@@ -110,6 +110,21 @@ class PipelineSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("mm_frames: sampled frame counts follow the stub metadata") {
+    import spark.implicits._
+    val rows = run("mm_frames").collect()
+    assert(rows.length == 3) // three formats
+    val sampledTotal = rows.map(_.getAs[Long]("n_frames_sampled")).sum
+    // recompute expected from the stub: every 4th of n_frames per doc
+    val expected = Tables.documents(spark, sf)
+      .select($"doc_id", octet_length($"text").as("n")).as[(Long, Int)].collect()
+      .map { case (id, n) =>
+        val frames = 1 + (n % 16)
+        (frames + operators.Multimodal.SampleEvery - 1) / operators.Multimodal.SampleEvery
+      }.sum
+    assert(sampledTotal == expected, s"$sampledTotal vs $expected")
+  }
+
   test("text_langid predictions are deterministic and cover the corpus") {
     val n = run("text_langid").collect().map(_.getAs[Long]("n")).sum
     assert(n == Tables.documents(spark, sf).count())
