@@ -92,6 +92,35 @@ class BinlogSpec extends AnyFunSuite {
       (e.typeName == "GTID" || e.typeName == "ANONYMOUS_GTID") && e.gtid != null))
   }
 
+  test("end-to-end CDC: binlog fixtures → changelog → sink snapshot") {
+    import java.nio.file.Files
+    // 32_delete fixture: INSERT (1,'abcde') then DELETE where 1=1 —
+    // the materialized snapshot for that table must be EMPTY.
+    val delEvents = BinlogSource.events(spark, s"$fixtures/32_delete_rows_v2/*")
+      .filter(col("op").isNotNull)
+      .select(col("table_name").as("table"), col("op"),
+        get_json_object(coalesce(col("after"), col("before")), "$.col_0").as("key"),
+        col("log_pos").as("offset"),
+        get_json_object(coalesce(col("after"), col("before")), "$.col_1").as("title"))
+    val delDir = Files.createTempDirectory("binlog_e2e_del_").toString
+    graft.cdc.CdcSink.writeSnapshot(delEvents, delDir)
+    assert(spark.read.parquet(delDir).count() == 0,
+      "deleted row survived the snapshot")
+
+    // 30_write fixture: two INSERTs land; snapshot holds both rows
+    val insEvents = BinlogSource.events(spark, s"$fixtures/30_write_rows_v2/*")
+      .filter(col("op").isNotNull && col("table_name") === "rustcdc")
+      .select(col("table_name").as("table"), col("op"),
+        get_json_object(col("after"), "$.col_0").as("key"),
+        col("log_pos").as("offset"),
+        get_json_object(col("after"), "$.col_1").as("title"))
+    val insDir = Files.createTempDirectory("binlog_e2e_ins_").toString
+    graft.cdc.CdcSink.writeSnapshot(insEvents, insDir)
+    val rows = spark.read.parquet(insDir).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("title")).toMap
+    assert(rows == Map("1" -> "cdc-1", "2" -> "cdc-2"), rows.toString)
+  }
+
   test("streaming: readStream.format(\"binlog\") tails rotated files") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("binlog_stream_")
