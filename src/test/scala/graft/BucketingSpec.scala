@@ -28,6 +28,14 @@ class BucketingSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("bucketed fact-fact join plans without any Exchange") {
+    // the suite may inherit an earlier session whose warehouse dir
+    // differs — clear both catalog entries and stale locations
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     Tables.lineitem(spark, sf)
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
