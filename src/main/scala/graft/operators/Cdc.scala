@@ -25,6 +25,7 @@ object Cdc {
     QueryDef("cdc_type_decode", typeDecode, None),
     QueryDef("cdc_binlog_source", binlogSource, None),
     QueryDef("cdc_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
+    QueryDef("cdc_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
     QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
   )
@@ -205,6 +206,39 @@ object Cdc {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("table_id")).as("n_tables"))
       .orderBy("event_type")
+
+  // --- cdc_sessionize: gap-based sessionization ---------------------
+  // Spark side uses the NATIVE session_window (merging gap windows,
+  // the streaming-ready shape); the oracle reconstructs sessions via
+  // the lag+cumulative-sum formulation. Two independent definitions
+  // agreeing pins the semantics.
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+    log.groupBy(col("key"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_types"))
+      .select(col("key"),
+        date_trunc("second", col("sw.start")).as("session_start"),
+        col("n_events"), col("n_types"))
+      .orderBy("key", "session_start")
+  }
+
+  private val sessionizeSql =
+    s"""WITH t AS (
+       |  SELECT key, ts,
+       |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, "offset")
+       |                   > INTERVAL 30 MINUTE OR
+       |              LAG(ts) OVER (PARTITION BY key ORDER BY ts, "offset") IS NULL
+       |         THEN 1 ELSE 0 END AS new_session, event_type
+       |  FROM ($changelogSql)),
+       |sess AS (
+       |  SELECT key, ts, event_type,
+       |         SUM(new_session) OVER (PARTITION BY key ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM t)
+       |SELECT key, CAST(DATE_TRUNC('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+       |       COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
+       |FROM sess GROUP BY key, session_id
+       |ORDER BY key, session_start""".stripMargin
 
   // --- cdc_stream_apply: Structured Streaming upsert == batch snapshot ---
   private def streamApply(s: SparkSession, dir: String): DataFrame =

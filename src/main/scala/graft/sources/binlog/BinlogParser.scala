@@ -210,7 +210,9 @@ object BinlogParser {
       }
       val rows = mutable.ArrayBuffer.empty[Decoded]
       var idx = 0
-      while (b.remaining() > 0 && tm.colTypes.nonEmpty) {
+      var lastPos = -1
+      while (b.remaining() > 0 && tm.colTypes.nonEmpty && b.position() != lastPos) {
+        lastPos = b.position()
         val img1 = readRowImage(b, tm, present1)
         val img2 = if (h.eventType == 0x1f) readRowImage(b, tm, present2) else null
         val (before, after) = h.eventType match {
