@@ -15,6 +15,7 @@ import graft.functions.{CosineSimilarity, DotProduct}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    graft.plans.TopKPerKey.register(e)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

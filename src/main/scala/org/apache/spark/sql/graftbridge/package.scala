@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(classic.ClassicConversions.castToImpl(spark), plan)
+
+  def analyzedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    classic.ClassicConversions.castToImpl(df).queryExecution.analyzed
 }

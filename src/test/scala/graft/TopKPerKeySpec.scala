@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopKPerKey
+
+class TopKPerKeySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  test("TopKPerKey matches the window row_number formulation") {
+    val orders = Tables.orders(spark, sf)
+    val viaPlan = TopKPerKey(orders, Seq("o_orderpriority"), "o_totalprice", 5)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted.toSeq }
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted.toSeq }
+    assert(viaPlan == viaWindow)
+  }
+
+  test("plan contains TopKPerKeyExec with exactly one keyed exchange, no sort") {
+    val df = TopKPerKey(Tables.orders(spark, sf), Seq("o_orderpriority"), "o_totalprice", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning(o_orderpriority")) == 1, plan)
+    assert(!plan.contains("Sort ["), s"unexpected sort in:\n$plan")
+  }
+
+  test("k larger than any group returns every row") {
+    val n = Tables.orders(spark, sf).count()
+    assert(TopKPerKey(Tables.orders(spark, sf), Seq("o_orderpriority"), "o_totalprice",
+      1000000).count() == n)
+  }
+}
