@@ -67,10 +67,15 @@ object CdcSink {
     }
     partitionCol match {
       case None =>
-        // unpartitioned: full merge
+        // unpartitioned: full merge. allowMissingColumns both ways →
+        // schema EVOLVES when the changelog gains columns (reference
+        // DDL propagation: ALTER TABLE ADD COLUMN flows into the
+        // table; dropped columns stay, null-filled)
         val existing = spark.read.parquet(tableDir)
           .withColumn("op", lit(Op.Update))
-        val merged = CdcApply.snapshot(existing.unionByName(changes).localCheckpoint())
+        val merged = CdcApply.snapshot(
+          existing.unionByName(changes, allowMissingColumns = true)
+            .localCheckpoint())
         merged.write.mode(SaveMode.Overwrite).parquet(tableDir)
       case Some(p) =>
         // collect touched partition values from the SMALL change batch
@@ -80,7 +85,8 @@ object CdcSink {
             .filter(col(p).isin(touched: _*)) // partition-pruned read
             .withColumn("op", lit(Op.Update))
           val merged = CdcApply.snapshot(
-            existing.unionByName(changes.filter(col(p).isin(touched: _*)))
+            existing.unionByName(changes.filter(col(p).isin(touched: _*)),
+                allowMissingColumns = true)
               .localCheckpoint()) // sever lineage: source files are being overwritten
           val mergedStable = merged.localCheckpoint()
           mergedStable.write.mode(SaveMode.Overwrite)
@@ -95,6 +101,72 @@ object CdcSink {
         }
     }
     commitOffsets(changes, tableDir)
+    maybeCompact(spark, tableDir, partitionCol)
+  }
+
+  /** Checkpoint-style compaction every N merges — the reference
+    * creates a delta checkpoint every 10 commits
+    * (`src/delta/mod.rs:262-285` try_create_checkpoint); the parquet
+    * analog is rewriting accumulated small files into one per
+    * partition. At 100 TB merge cadence this is what keeps scan task
+    * counts (and NameNode/listing pressure) bounded.
+    */
+  val CompactEvery = 10
+
+  private def maybeCompact(
+      spark: SparkSession,
+      tableDir: String,
+      partitionCol: Option[String]): Unit = {
+    val mergeCount = bumpMergeCounter(spark, tableDir)
+    if (mergeCount % CompactEvery == 0) compact(spark, tableDir, partitionCol)
+  }
+
+  /** Rewrite the table to one file per partition. The static
+    * overwrite clears the directory, so sidecar metadata (commit
+    * offsets, merge counter) is captured first and restored after.
+    */
+  def compact(
+      spark: SparkSession,
+      tableDir: String,
+      partitionCol: Option[String]): Unit = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = Seq(CommitFile, "_graft_merge_count").flatMap { name =>
+      val p = new Path(tableDir, name)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        Some(name -> content)
+      } else None
+    }
+    val snap = spark.read.parquet(tableDir).localCheckpoint()
+    partitionCol match {
+      case Some(p) =>
+        // hash-distribute on the partition column → one file per value
+        snap.repartition(col(p))
+          .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tableDir)
+      case None =>
+        snap.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tableDir)
+    }
+    sidecars.foreach { case (name, content) =>
+      val out = fs.create(new Path(tableDir, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def bumpMergeCounter(spark: SparkSession, tableDir: String): Long = {
+    val p = new Path(tableDir, "_graft_merge_count")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    val next = current + 1
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    next
   }
 
   /** Route undecodable records to the dead-letter area. Returns the

@@ -85,6 +85,17 @@ class BinlogSpec extends AnyFunSuite {
     assert(d.head.before.contains("\"col_1\":\"abcde\""), d.head.before)
   }
 
+  test("truncated binlog parses the intact prefix without crashing") {
+    val full = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/30_write_rows_v2/mysql-bin.000002"))
+    val whole = BinlogParser.parseFile(full)
+    // chop mid-event: everything before the cut still decodes
+    val truncated = BinlogParser.parseFile(full.take(full.length - 37))
+    assert(truncated.nonEmpty)
+    assert(truncated.size < whole.size)
+    assert(truncated.forall(e => !e.typeName.startsWith("CORRUPT")))
+  }
+
   test("gtid + previous_gtids parse") {
     val events = parse("gtid_prev_gtid/mysql-bin.000001")
     assert(events.exists(e => e.typeName == "PREVIOUS_GTIDS"))

@@ -84,6 +84,35 @@ class CdcSinkSpec extends AnyFunSuite {
       viaBatch.values.max || CdcSink.committedOffsets(spark, dir).nonEmpty)
   }
 
+  test("merge evolves schema when the changelog gains a column") {
+    val dir = Files.createTempDirectory("graft_sink_evolve_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, None)
+    // DDL added a column upstream: new batch carries `extra`
+    val evolved = changelog(("b", "c", 2, "p1", 2.0))
+      .withColumn("extra", lit("new-col"))
+    CdcSink.merge(spark, evolved, dir, None)
+    val snap = spark.read.parquet(dir)
+    assert(snap.columns.contains("extra"))
+    val byKey = snap.select("key", "extra").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byKey == Map("a" -> None, "b" -> Some("new-col")))
+  }
+
+  test("every 10th merge compacts to one file and keeps metadata") {
+    val dir = Files.createTempDirectory("graft_sink_compact_").toString
+    CdcSink.writeSnapshot(changelog(("k0", "c", 0, "p1", 0.0)), dir, None)
+    (1 to CdcSink.CompactEvery).foreach { i =>
+      CdcSink.merge(spark, changelog((s"k$i", "c", i.toLong, "p1", i.toDouble)), dir, None)
+    }
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    assert(spark.read.parquet(dir).count() == CdcSink.CompactEvery + 1)
+    // sidecar metadata survived the compaction rewrite
+    assert(CdcSink.committedOffsets(spark, dir).nonEmpty)
+    assert(new java.io.File(dir, "_graft_merge_count").exists())
+  }
+
   test("listeners: progress bookkeeping and per-event callbacks fire") {
     import graft.cdc.Listeners
     val pl = new Listeners.ProgressListener
