@@ -45,6 +45,10 @@ object BloomDedup {
     // might_contain requires a constant/scalar-subquery filter side
     val bloomBytes = history.agg(bloomAgg(col(keyCol)).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    // empty history (or all-null keys): the aggregate is null and
+    // might_contain(null, …) would null-drop EVERY row — nothing has
+    // been seen, so everything passes through
+    if (bloomBytes == null) return incoming
     val probed = incoming
       .withColumn("__maybe_seen", mightContain(lit(bloomBytes), col(keyCol)))
     val certainlyNew = probed.filter(!col("__maybe_seen")).drop("__maybe_seen")

@@ -76,16 +76,27 @@ object CdcSink {
         val merged = CdcApply.snapshot(
           existing.unionByName(changes, allowMissingColumns = true)
             .localCheckpoint())
-        merged.write.mode(SaveMode.Overwrite).parquet(tableDir)
+        // static overwrite clears the dir — keep commit/counter files
+        preservingSidecars(fs, tableDir) {
+          merged.write.mode(SaveMode.Overwrite).parquet(tableDir)
+        }
       case Some(p) =>
         // collect touched partition values from the SMALL change batch
         val touched = changes.select(p).distinct().collect().map(_.get(0))
         if (touched.nonEmpty) {
+          // isin never matches null — a null partition value would be
+          // silently dropped (and its offset still committed: data
+          // loss), so null-touch needs an explicit isNull disjunct
+          val nonNull = touched.filter(_ != null)
+          def touchedPred = {
+            val base = if (nonNull.isEmpty) lit(false) else col(p).isin(nonNull: _*)
+            if (touched.contains(null)) base || col(p).isNull else base
+          }
           val existing = spark.read.parquet(tableDir)
-            .filter(col(p).isin(touched: _*)) // partition-pruned read
+            .filter(touchedPred) // partition-pruned read
             .withColumn("op", lit(Op.Update))
           val merged = CdcApply.snapshot(
-            existing.unionByName(changes.filter(col(p).isin(touched: _*)),
+            existing.unionByName(changes.filter(touchedPred),
                 allowMissingColumns = true)
               .localCheckpoint()) // sever lineage: source files are being overwritten
           val mergedStable = merged.localCheckpoint()
@@ -93,16 +104,26 @@ object CdcSink {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(p).parquet(tableDir)
           // dynamic overwrite never touches partitions with zero
-          // surviving rows — drop emptied partitions explicitly
+          // surviving rows — drop emptied partitions explicitly,
+          // using Hive's on-disk partition-path encoding
           val survivors = mergedStable.select(p).distinct().collect().map(_.get(0)).toSet
           touched.filterNot(survivors.contains).foreach { v =>
-            fs.delete(new Path(tableDir, s"$p=$v"), true)
+            fs.delete(new Path(tableDir, s"$p=${hivePartName(v)}"), true)
           }
         }
     }
     commitOffsets(changes, tableDir)
     maybeCompact(spark, tableDir, partitionCol)
   }
+
+  /** Hive partition-directory encoding for a partition value (null →
+    * default-partition marker; special characters percent-escaped the
+    * way Spark writes them).
+    */
+  private def hivePartName(v: Any): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v.toString)
 
   /** Checkpoint-style compaction every N merges — the reference
     * creates a delta checkpoint every 10 commits
@@ -130,6 +151,24 @@ object CdcSink {
       tableDir: String,
       partitionCol: Option[String]): Unit = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = spark.read.parquet(tableDir).localCheckpoint()
+    preservingSidecars(fs, tableDir) {
+      partitionCol match {
+        case Some(p) =>
+          // hash-distribute on the partition column → one file per value
+          snap.repartition(col(p))
+            .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tableDir)
+        case None =>
+          snap.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tableDir)
+      }
+    }
+  }
+
+  /** Static overwrites clear the table dir; capture the sidecar
+    * metadata files first and restore them after `body`.
+    */
+  private def preservingSidecars(fs: org.apache.hadoop.fs.FileSystem, tableDir: String)(
+      body: => Unit): Unit = {
     val sidecars = Seq(CommitFile, "_graft_merge_count").flatMap { name =>
       val p = new Path(tableDir, name)
       if (fs.exists(p)) {
@@ -138,15 +177,7 @@ object CdcSink {
         Some(name -> content)
       } else None
     }
-    val snap = spark.read.parquet(tableDir).localCheckpoint()
-    partitionCol match {
-      case Some(p) =>
-        // hash-distribute on the partition column → one file per value
-        snap.repartition(col(p))
-          .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tableDir)
-      case None =>
-        snap.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tableDir)
-    }
+    body
     sidecars.foreach { case (name, content) =>
       val out = fs.create(new Path(tableDir, name), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -189,19 +220,29 @@ object CdcSink {
     * a no-op).
     */
   private def commitOffsets(changes: DataFrame, tableDir: String): Unit = {
+    val spark = changes.sparkSession
     val sourceCol =
       if (changes.columns.contains("source_file")) col("source_file")
       else lit("default")
-    val offsets = changes
+    val batchOffsets = changes
       .groupBy(sourceCol.as("source"))
       .agg(max(col("offset")).as("committed_offset"))
       .collect()
-      .map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+    // merge with previously committed sources — a batch from source B
+    // must not erase source A's resume point (monotone per source)
+    val previous = committedOffsets(spark, tableDir)
+    val merged = previous ++ batchOffsets.map { case (src, off) =>
+      src -> math.max(off, previous.getOrElse(src, Long.MinValue))
+    }
+    val json = merged
+      .map { case (src, off) => s""""$src": $off""" }
       .mkString("{", ", ", "}")
     val fs = new Path(tableDir)
-      .getFileSystem(org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(tableDir, CommitFile), true)
-    try out.write(offsets.getBytes("UTF-8")) finally out.close()
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Read back committed offsets (resume point after restart). */

@@ -33,12 +33,20 @@ object CdcStream {
       event_type: String,
       value: Double)
 
-  /** Post-batch snapshot row emitted for every touched key. */
+  /** Post-batch snapshot row emitted for every touched key.
+    * `deleted = true` is a TOMBSTONE: without it, a sink that saw an
+    * earlier upsert for the key (previous micro-batch) would keep the
+    * stale row forever. The tombstone also stays in state so a
+    * redelivered pre-delete change cannot resurrect the key; in a
+    * long-running stream pair this with a watermark timeout to
+    * eventually reap tombstone state.
+    */
   final case class Upsert(
       key: String,
       last_offset: Long,
       event_type: String,
-      value: Double)
+      value: Double,
+      deleted: Boolean = false)
 
   /** Fold a micro-batch of changes for one key into the stored
     * latest-row state. Mirrors ValueBuffers' last-writer-wins.
@@ -51,13 +59,13 @@ object CdcStream {
     changes.toSeq.sortBy(_.offset).foreach { c =>
       if (current.forall(_.last_offset < c.offset)) {
         current =
-          if (c.op == Op.Delete) None
+          if (c.op == Op.Delete) Some(Upsert(key, c.offset, c.event_type, 0.0, deleted = true))
           else Some(Upsert(key, c.offset, c.event_type, c.value))
       }
     }
     current match {
       case Some(u) => state.update(u); Iterator.single(u)
-      case None    => state.remove(); Iterator.empty
+      case None    => Iterator.empty
     }
   }
 
@@ -97,11 +105,13 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // multiple micro-batches may re-emit a key; keep the last emission
+    // multiple micro-batches may re-emit a key; keep the last
+    // emission, then drop tombstoned keys
     CdcApply.snapshot(
-      s.table(queryName).withColumn("op", lit(Op.Update)),
+      s.table(queryName)
+        .withColumn("op", when(col("deleted"), Op.Delete).otherwise(Op.Update)),
       keyCols = Seq("key"), offsetCol = "last_offset")
-      .drop("op")
+      .drop("op", "deleted")
   }
 
   /** Continuous ingest into a [[CdcSink]] snapshot table — the full

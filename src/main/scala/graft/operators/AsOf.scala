@@ -46,6 +46,10 @@ object AsOf {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val lCols = left.columns
+    val collisions = payload.toSet.intersect(lCols.toSet)
+    require(collisions.isEmpty,
+      s"payload columns ${collisions.mkString(", ")} also exist on the left side — " +
+        "rename them on one side before joining (silent nulling otherwise)")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // facts sort after dims at equal ts

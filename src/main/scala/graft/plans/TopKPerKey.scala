@@ -95,20 +95,24 @@ final case class TopKPerKeyExec(
     val keyExprs = keys
     val ordExpr = order.child
     val kLocal = k
+    val descending = order.direction == org.apache.spark.sql.catalyst.expressions.Descending
     child.execute().mapPartitions({ it =>
       // generated projections must be instantiated on the executor
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordProj = UnsafeProjection.create(Seq(ordExpr), childOutput)
       val k = kLocal
+      val sign = if (descending) 1 else -1
       // bounded heap per key: O(n log K) time, O(#keys × K) memory
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Double, InternalRow)]]()
       val cmp = new java.util.Comparator[(Double, InternalRow)] {
         override def compare(a: (Double, InternalRow), b: (Double, InternalRow)): Int =
-          java.lang.Double.compare(a._1, b._1) // min-heap: evict smallest
+          sign * java.lang.Double.compare(a._1, b._1) // heap root = next eviction
       }
       it.foreach { row =>
+        val ordRow = ordProj(row)
+        if (!ordRow.isNullAt(0)) { // null order values are excluded
         val key = keyProj(row).copy()
-        val ord = ordProj(row).getDouble(0)
+        val ord = ordRow.getDouble(0)
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
@@ -117,6 +121,7 @@ final case class TopKPerKeyExec(
         if (heap.size < k) heap.add((ord, row.copy()))
         else if (cmp.compare((ord, null), heap.peek()) > 0) {
           heap.poll(); heap.add((ord, row.copy()))
+        }
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()

@@ -127,7 +127,19 @@ class BinlogMicroBatchStream(options: Map[String, String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def snapshot(): Seq[String] = BinlogScan.listFiles(options)
+  // With skipActiveFile=true the largest-named file is assumed to be
+  // the one the server is still writing and is withheld until a later
+  // file appears (rotation makes binlogs immutable). Default false:
+  // this source's contract is rotated/shipped (immutable) files — a
+  // file read in a batch is marked done and appended bytes would be
+  // missed.
+  private val skipActive =
+    options.getOrElse("skipActiveFile", "false").toBoolean
+
+  private def snapshot(): Seq[String] = {
+    val files = BinlogScan.listFiles(options)
+    if (skipActive && files.nonEmpty) files.init else files
+  }
 
   override def initialOffset(): Offset = BinlogFileOffset(Nil)
   override def latestOffset(): Offset = BinlogFileOffset(snapshot())
@@ -175,7 +187,11 @@ class BinlogPartitionReader(path: String) extends PartitionReader[InternalRow] {
     val in = fs.open(hp)
     val bytes =
       try {
-        val len = fs.getFileStatus(hp).getLen.toInt
+        val rawLen = fs.getFileStatus(hp).getLen
+        require(rawLen <= Int.MaxValue - 16,
+          s"binlog file $path is ${rawLen}B — beyond the 2 GiB single-buffer " +
+            "parser limit; split it at rotation boundaries first")
+        val len = rawLen.toInt
         val buf = new Array[Byte](len)
         in.readFully(0, buf)
         buf

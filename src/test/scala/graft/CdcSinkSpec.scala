@@ -62,6 +62,37 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(a == 9.0)
   }
 
+  test("merge handles null and escape-needing partition values") {
+    val dir = Files.createTempDirectory("graft_sink_nullpart_").toString
+    val withNull = Seq(("a", "c", 1L, null.asInstanceOf[String], 1.0),
+      ("b", "c", 2L, "p 2", 2.0)) // space needs Hive path escaping
+      .toDF("key", "op", "offset", "part", "value")
+      .withColumn("source_file", lit("bin.1"))
+    CdcSink.writeSnapshot(withNull, dir, Some("part"))
+    // update the null-partition key, delete the escaped-partition key
+    val batch = Seq(("a", "u", 3L, null.asInstanceOf[String], 9.0),
+      ("b", "d", 4L, "p 2", 0.0))
+      .toDF("key", "op", "offset", "part", "value")
+      .withColumn("source_file", lit("bin.1"))
+    CdcSink.merge(spark, batch, dir, Some("part"))
+    val snap = spark.read.parquet(dir).select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(snap == Map("a" -> 9.0), snap.toString)
+    // the emptied escaped partition directory is gone
+    assert(!new java.io.File(dir, "part=p%202").exists())
+  }
+
+  test("commit offsets from different sources merge, not overwrite") {
+    val dir = Files.createTempDirectory("graft_sink_multisrc_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 100, "p1", 1.0)), dir, None)
+    val fromOtherSource = Seq(("z", "c", 7L, "p1", 9.9))
+      .toDF("key", "op", "offset", "part", "value")
+      .withColumn("source_file", lit("bin.2"))
+    CdcSink.merge(spark, fromOtherSource, dir, None)
+    assert(CdcSink.committedOffsets(spark, dir) ==
+      Map("bin.1" -> 100L, "bin.2" -> 7L))
+  }
+
   test("dead letter queue captures and removes bad records") {
     val dir = Files.createTempDirectory("graft_sink_dlq_").toString
     val batch = changelog(("a", "c", 1, "p1", 1.0), ("bad", "c", 2, "p1", -1.0))
@@ -80,8 +111,10 @@ class CdcSinkSpec extends AnyFunSuite {
     val viaBatch = SparkEntry.queries("cdc_snapshot")(spark, "/root/testdata/sf0.001")
       .select("key", "last_offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaStream == viaBatch)
-    assert(CdcSink.committedOffsets(spark, dir).values.max ==
-      viaBatch.values.max || CdcSink.committedOffsets(spark, dir).nonEmpty)
+    val committed = CdcSink.committedOffsets(spark, dir)
+    assert(committed.nonEmpty)
+    // the committed resume point is the max offset seen in the stream
+    assert(committed.values.max == 999L, committed.toString)
   }
 
   test("merge evolves schema when the changelog gains a column") {

@@ -80,10 +80,16 @@ class CdcSpec extends AnyFunSuite {
     val out1 = applyGroup("k", Iterator(ch("u", 3, 30), ch("u", 1, 10), ch("u", 2, 20)), st1).toList
     assert(out1.map(u => (u.last_offset, u.value)) == List((3L, 30.0)))
 
-    // delete with the highest offset wins even if delivered first
+    // delete with the highest offset wins even if delivered first —
+    // emitted as a TOMBSTONE that stays in state (blocks resurrection
+    // by redelivered pre-delete changes)
     val st2 = new TestState[Upsert](None)
     val out2 = applyGroup("k", Iterator(ch("d", 5, 0), ch("u", 4, 40)), st2).toList
-    assert(out2.isEmpty && !st2.exists)
+    assert(out2.map(u => (u.last_offset, u.deleted)) == List((5L, true)))
+    assert(st2.exists && st2.get.deleted)
+    // ...and a later redelivery of offset 4 does not resurrect
+    val out2b = applyGroup("k", Iterator(ch("u", 4, 40)), st2).toList
+    assert(out2b.map(_.deleted) == List(true))
 
     // redelivered older offset must not regress existing state
     val st3 = new TestState[Upsert](Some(Upsert("k", 9, "t", 90)))
