@@ -42,7 +42,9 @@ object Relational {
     QueryDef("q21_intersect", q21, Some(q21Sql)),
     QueryDef("q22_except", q22, Some(q22Sql)),
     QueryDef("q23_pivot", q23, Some(q23Sql)),
-    QueryDef("q24_percentile", q24, Some(q24Sql))
+    QueryDef("q24_percentile", q24, Some(q24Sql)),
+    QueryDef("q26_json", q26, Some(q26Sql)),
+    QueryDef("q27_approx_sketch", q27, None)
   )
 
   // --- q1: scan → filter → hash agg (partial agg map-side, one shuffle) ---
@@ -443,4 +445,36 @@ object Relational {
       | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
       | ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q26: JSON extraction from the events payload column ---
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+
+  private val q26Sql =
+    """SELECT event_type,
+      | COUNT(k) AS n_with_k, MAX(k) AS max_k,
+      | CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q27: approximate sketches (HLL distinct + approx quantiles).
+  // Engine-specific sketch internals → rows-only gate; accuracy vs
+  // exact values is asserted in RelationalSpec.
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy("l_returnflag")
 }
