@@ -172,10 +172,19 @@ object Dedup {
   private val SimBits = 63
 
   private def tokenBit(i: Int, hCol: String): String = {
-    val nibble = i / 4 + 1
+    // references the pre-decoded scalar nibble column n{i/4} — one
+    // instr per hex char (16/token) instead of one per bit (63/token)
     val div = 1 << (3 - i % 4)
-    s"CAST(FLOOR((instr('0123456789abcdef', substring($hCol, $nibble, 1)) - 1) / $div.0) AS INT) % 2"
+    s"CAST(FLOOR(n${i / 4} / $div.0) AS INT) % 2"
   }
+
+  /** Nibble-decode projection: n0..n15 scalar columns (stay in
+    * codegen registers — an array here measured SLOWER than even the
+    * 63-instr naive form).
+    */
+  private def nibbleCols: String =
+    (0 until 16).map(j =>
+      s"instr('0123456789abcdef', substring(h16, ${j + 1}, 1)) - 1 AS n$j").mkString(",\n    ")
 
   /** Same generated SQL text runs in Spark and DuckDB. */
   private def simhashCoreSql: String = {
@@ -192,9 +201,11 @@ object Dedup {
     corpus(s, dir).createOrReplaceTempView("dedup_corpus_v")
     val sql =
       s"""WITH toks AS (
-         |  SELECT doc_id, substring(md5(tok), 1, 16) AS h16
-         |  FROM (SELECT doc_id, explode(split(text, '\\\\s+')) AS tok FROM dedup_corpus_v)
-         |  WHERE tok <> ''),
+         |  SELECT doc_id, $nibbleCols
+         |  FROM (
+         |    SELECT doc_id, substring(md5(tok), 1, 16) AS h16
+         |    FROM (SELECT doc_id, explode(split(text, '\\\\s+')) AS tok FROM dedup_corpus_v)
+         |    WHERE tok <> '')),
          |sh AS ($simhashCoreSql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       a.simhash AS simhash_a, b.simhash AS simhash_b,
@@ -207,9 +218,11 @@ object Dedup {
   private val simhashSql =
     s"""WITH corpus AS ($corpusSql),
        |toks AS (
-       |  SELECT doc_id, substring(md5(tok), 1, 16) AS h16
-       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus)
-       |  WHERE tok <> ''),
+       |  SELECT doc_id, $nibbleCols
+       |  FROM (
+       |    SELECT doc_id, substring(md5(tok), 1, 16) AS h16
+       |    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus)
+       |    WHERE tok <> '')),
        |sh AS ($simhashCoreSql)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       a.simhash AS simhash_a, b.simhash AS simhash_b,
