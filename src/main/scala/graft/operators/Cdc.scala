@@ -25,6 +25,7 @@ object Cdc {
     QueryDef("cdc_type_decode", typeDecode, None),
     QueryDef("cdc_binlog_source", binlogSource, None),
     QueryDef("cdc_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
+    QueryDef("cdc_binlog_throughput", binlogThroughput, None),
     QueryDef("cdc_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
     QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
@@ -195,6 +196,34 @@ object Cdc {
       |  AND user_id NOT IN (SELECT user_id FROM events
       |                      WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events))
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- cdc_binlog_throughput: parse a generated binlog at volume ---
+  // The reference's headline single-node workload is binlog parsing;
+  // this generates a deterministic binlog (size scaled to the SF) on
+  // first use, then measures the distributed parse through the DSv2
+  // source. 8 files → 8-way parallelism.
+  private def binlogThroughput(s: SparkSession, dir: String): DataFrame = {
+    val rowsPerFile = dir match {
+      case d if d.endsWith("0.1") => 250000
+      case d if d.endsWith("0.01") => 25000
+      case _ => 2500
+    }
+    val nFiles = 8
+    val genDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_binlog_gen_$rowsPerFile")
+    if (!java.nio.file.Files.isDirectory(genDir) ||
+        genDir.toFile.listFiles().length < nFiles) {
+      java.nio.file.Files.createDirectories(genDir)
+      (1 to nFiles).foreach { i =>
+        graft.sources.binlog.BinlogGen.writeFile(
+          genDir.resolve(f"mysql-bin.$i%06d").toString, rowsPerFile)
+      }
+    }
+    graft.sources.binlog.BinlogSource.events(s, genDir.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("file")).as("n_files"))
+      .orderBy("event_type")
+  }
 
   // --- cdc_binlog_source: real MySQL binlog files → event DataFrame ---
   // Reads the reference repo's own binlog fixtures through the DSv2
