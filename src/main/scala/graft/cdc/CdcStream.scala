@@ -69,6 +69,28 @@ object CdcStream {
     }
   }
 
+  /** Timeout-aware variant: same fold, but every state update arms
+    * an event-time timeout `ttlMs` past the current watermark; when
+    * the group times out the state (typically a tombstone that
+    * outlived any possible redelivery) is reaped. This is what
+    * bounds state at 100 TB key cardinality — pair with
+    * `withWatermark` on the changelog.
+    */
+  def applyGroupTtl(ttlMs: Long)(
+      key: String,
+      changes: Iterator[Change],
+      state: GroupState[Upsert]): Iterator[Upsert] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = applyGroup(key, changes, state)
+      if (state.exists)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+      out
+    }
+  }
+
   /** Run the streaming upsert over a parquet-backed changelog to
     * completion (availableNow) and return the resulting snapshot.
     * The same code path serves a real unbounded source — only the

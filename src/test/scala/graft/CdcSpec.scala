@@ -51,18 +51,20 @@ class CdcSpec extends AnyFunSuite {
   }
 
   /** Minimal in-memory GroupState for exercising the fold function. */
-  class TestState[S](initial: Option[S]) extends org.apache.spark.sql.streaming.GroupState[S] {
+  class TestState[S](initial: Option[S], timedOut: Boolean = false)
+      extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = initial
     private var removed = false
+    var timeoutSetTo: Long = Long.MinValue
     override def exists: Boolean = v.isDefined
     override def get: S = v.get
     override def getOption: Option[S] = v
     override def update(s: S): Unit = { v = Some(s); removed = false }
     override def remove(): Unit = { v = None; removed = true }
-    override def hasTimedOut: Boolean = false
+    override def hasTimedOut: Boolean = timedOut
     override def setTimeoutDuration(d: Long): Unit = ()
     override def setTimeoutDuration(d: String): Unit = ()
-    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = { timeoutSetTo = t }
     override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
     override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
     override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
@@ -95,6 +97,22 @@ class CdcSpec extends AnyFunSuite {
     val st3 = new TestState[Upsert](Some(Upsert("k", 9, "t", 90)))
     val out3 = applyGroup("k", Iterator(ch("u", 7, 70)), st3).toList
     assert(out3.map(_.last_offset) == List(9L))
+  }
+
+  test("applyGroupTtl: arms timeouts and reaps timed-out state") {
+    import CdcStream._
+    val ts = new java.sql.Timestamp(0L)
+    // live update: state set, timeout armed at watermark + ttl
+    val st = new TestState[Upsert](None)
+    val out = applyGroupTtl(60000L)("k",
+      Iterator(Change("k", "u", 1, ts, "t", 1.0)), st).toList
+    assert(out.nonEmpty && st.exists)
+    assert(st.timeoutSetTo == 60000L) // watermark 0 + ttl
+    // timed-out group: state reaped, nothing emitted
+    val stOld = new TestState[Upsert](
+      Some(Upsert("k", 5, "t", 0.0, deleted = true)), timedOut = true)
+    val out2 = applyGroupTtl(60000L)("k", Iterator.empty, stOld).toList
+    assert(out2.isEmpty && !stOld.exists)
   }
 
   test("batch snapshot and streaming apply agree") {
