@@ -49,8 +49,13 @@ object BloomDedup {
     // might_contain(null, …) would null-drop EVERY row — nothing has
     // been seen, so everything passes through
     if (bloomBytes == null) return incoming
+    // single pass over incoming: rows failing the bloom probe join an
+    // all-false anti-join trivially, so express the whole thing as
+    // "bloom-negative OR survives the exact anti-join" — the probe
+    // column is computed once and the incoming scan happens once
     val probed = incoming
       .withColumn("__maybe_seen", mightContain(lit(bloomBytes), col(keyCol)))
+      .localCheckpoint() // one scan; tiny: incoming batch + 1 boolean
     val certainlyNew = probed.filter(!col("__maybe_seen")).drop("__maybe_seen")
     val needsCheck = probed.filter(col("__maybe_seen")).drop("__maybe_seen")
       .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
 object CdcSink {
 
   val CommitFile = "_graft_commit_offset.json"
-  val DlqDir = "_graft_dlq"
+
+  /** DLQ path for a table — a SIBLING directory, deliberately outside
+    * the table dir so snapshot overwrites/compaction can never clear
+    * captured records.
+    */
+  def dlqDir(tableDir: String): String = tableDir.stripSuffix("/") + "_dlq"
 
   /** Canonical changelog columns every sink input must carry. */
   val requiredCols: Seq[String] = Seq("key", "op", "offset")
@@ -71,7 +76,7 @@ object CdcSink {
         // schema EVOLVES when the changelog gains columns (reference
         // DDL propagation: ALTER TABLE ADD COLUMN flows into the
         // table; dropped columns stay, null-filled)
-        val existing = spark.read.parquet(tableDir)
+        val existing = spark.read.option("mergeSchema", "true").parquet(tableDir)
           .withColumn("op", lit(Op.Update))
         val merged = CdcApply.snapshot(
           existing.unionByName(changes, allowMissingColumns = true)
@@ -92,7 +97,10 @@ object CdcSink {
             val base = if (nonNull.isEmpty) lit(false) else col(p).isin(nonNull: _*)
             if (touched.contains(null)) base || col(p).isNull else base
           }
-          val existing = spark.read.parquet(tableDir)
+          // mergeSchema: after a partial (touched-partition) schema
+          // evolution, untouched files still carry the old footer — a
+          // plain read could resolve to it and drop evolved columns
+          val existing = spark.read.option("mergeSchema", "true").parquet(tableDir)
             .filter(touchedPred) // partition-pruned read
             .withColumn("op", lit(Op.Update))
           val merged = CdcApply.snapshot(
@@ -151,7 +159,8 @@ object CdcSink {
       tableDir: String,
       partitionCol: Option[String]): Unit = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = spark.read.parquet(tableDir).localCheckpoint()
+    val snap = spark.read.option("mergeSchema", "true").parquet(tableDir)
+      .localCheckpoint()
     preservingSidecars(fs, tableDir) {
       partitionCol match {
         case Some(p) =>
@@ -177,8 +186,8 @@ object CdcSink {
         Some(name -> content)
       } else None
     }
-    body
-    sidecars.foreach { case (name, content) =>
+    try body
+    finally sidecars.foreach { case (name, content) =>
       val out = fs.create(new Path(tableDir, name), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
@@ -210,7 +219,7 @@ object CdcSink {
     val bad = changes.filter(isBad)
     if (!bad.isEmpty) {
       bad.withColumn("_dlq_ts", current_timestamp())
-        .write.mode(SaveMode.Append).parquet(s"$tableDir/$DlqDir")
+        .write.mode(SaveMode.Append).parquet(dlqDir(tableDir))
     }
     changes.filter(!isBad)
   }

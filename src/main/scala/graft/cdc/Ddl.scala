@@ -47,13 +47,16 @@ object Ddl {
     * Pure built-in expressions (upper/like) → stays in codegen.
     */
   def classify(stmt: Column): Column = {
-    val u = upper(stmt)
-    when(u.like("ALTER TABLE %RENAME COLUMN%"), "rename_column")
-      .when(u.like("ALTER TABLE %RENAME TO%"), "rename_table")
-      .when(u.like("ALTER TABLE %ADD%"), "add_column")
-      .when(u.like("ALTER TABLE %DROP%"), "drop_column")
-      .when(u.like("DROP TABLE%"), "drop_table")
-      .when(u.like("TRUNCATE%"), "truncate")
+    // anchored on the token AFTER the table name, so a table called
+    // user_address cannot be misread as an ADD/DROP statement —
+    // keeps classify consistent with Ddl.parse
+    val alterTail = "(?i)^\\s*ALTER\\s+TABLE\\s+\\S+\\s+"
+    when(stmt.rlike(alterTail + "RENAME\\s+COLUMN\\b"), "rename_column")
+      .when(stmt.rlike(alterTail + "RENAME\\s+TO\\b"), "rename_table")
+      .when(stmt.rlike(alterTail + "ADD\\b"), "add_column")
+      .when(stmt.rlike(alterTail + "DROP\\b"), "drop_column")
+      .when(stmt.rlike("(?i)^\\s*DROP\\s+TABLE\\b"), "drop_table")
+      .when(stmt.rlike("(?i)^\\s*TRUNCATE\\b"), "truncate")
       .otherwise("other")
   }
 }

@@ -145,12 +145,12 @@ object Cdc {
   private val ddlParseSql =
     """SELECT kind, COUNT(*) AS n FROM (
       |  SELECT CASE
-      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %RENAME COLUMN%' THEN 'rename_column'
-      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %RENAME TO%' THEN 'rename_table'
-      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %ADD%' THEN 'add_column'
-      |    WHEN UPPER(stmt) LIKE 'ALTER TABLE %DROP%' THEN 'drop_column'
-      |    WHEN UPPER(stmt) LIKE 'DROP TABLE%' THEN 'drop_table'
-      |    WHEN UPPER(stmt) LIKE 'TRUNCATE%' THEN 'truncate'
+      |    WHEN regexp_matches(stmt, '(?i)^\s*ALTER\s+TABLE\s+\S+\s+RENAME\s+COLUMN\b') THEN 'rename_column'
+      |    WHEN regexp_matches(stmt, '(?i)^\s*ALTER\s+TABLE\s+\S+\s+RENAME\s+TO\b') THEN 'rename_table'
+      |    WHEN regexp_matches(stmt, '(?i)^\s*ALTER\s+TABLE\s+\S+\s+ADD\b') THEN 'add_column'
+      |    WHEN regexp_matches(stmt, '(?i)^\s*ALTER\s+TABLE\s+\S+\s+DROP\b') THEN 'drop_column'
+      |    WHEN regexp_matches(stmt, '(?i)^\s*DROP\s+TABLE\b') THEN 'drop_table'
+      |    WHEN regexp_matches(stmt, '(?i)^\s*TRUNCATE\b') THEN 'truncate'
       |    ELSE 'other' END AS kind
       |  FROM (
       |    SELECT CASE p_partkey % 6

@@ -186,13 +186,16 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** Array of the NProbe nearest cell ids for a query vector. */
+  /** Array of the NProbe nearest cell ids for a query vector. Ties
+    * rank the SMALLER cell id first (negid trick), matching
+    * nearestCell's tiebreak so a vector's own cell is always probed.
+    */
   private def probedCells(vec: Column, centroids: Array[Array[Float]]): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, lit(c)).as("sim"), lit(i).as("id"))
+      struct(cosine(vec, lit(c)).as("sim"), lit(-i).as("negid"))
     }: _*)
     transform(slice(reverse(array_sort(scored)), 1, NProbe),
-      s => s.getField("id"))
+      s => -s.getField("negid"))
   }
 
   // --- embedding-cosine near-duplicate pairs ---

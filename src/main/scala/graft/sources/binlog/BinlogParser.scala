@@ -292,10 +292,20 @@ object BinlogParser {
     case 0x0f | 0xfd => // VARCHAR / VAR_STRING
       val len = if (meta > 255) u16(b) else u8(b)
       jsonString(fixedBytesString(b, len))
-    case 0xfe => // STRING (CHAR)
-      val realMeta = stringMeta(meta)
-      val len = if (realMeta > 255) u16(b) else u8(b)
-      jsonString(fixedBytesString(b, len))
+    case 0xfe => // STRING family: real type hides in metadata byte0
+      val b0 = meta >> 8
+      if (b0 == 0xf7 || b0 == 0xf8) {
+        // ENUM / SET: value is a (meta&0xff)-byte little-endian index
+        // or bitmask, NOT a length-prefixed string
+        val packLen = math.max(meta & 0xff, 1)
+        var v = 0L
+        (0 until packLen).foreach(i => v |= (u8(b).toLong << (8 * i)))
+        v.toString
+      } else {
+        val realMeta = stringMeta(meta)
+        val len = if (realMeta > 255) u16(b) else u8(b)
+        jsonString(fixedBytesString(b, len))
+      }
     case 0xfc => // BLOB: meta = number of length bytes
       var len = 0L
       (0 until meta).foreach(i => len |= (u8(b).toLong << (8 * i)))
@@ -319,8 +329,9 @@ object BinlogParser {
         (packed >> 12) & 0x3ff, (packed >> 6) & 0x3f, packed & 0x3f)
     case 0xf6 => // NEWDECIMAL — public packed-BCD layout
       jsonString(decodeDecimal(b, meta >> 8, meta & 0xff))
-    case 0x10 => // BIT
-      val bits = (meta >> 8); val nbytes = meta & 0xff
+    case 0x10 => // BIT(n): meta = (n % 8, n / 8); value = ceil(n/8) bytes
+      val totalBits = (meta & 0xff) * 8 + (meta >> 8)
+      val nbytes = (totalBits + 7) / 8
       val raw = new Array[Byte](nbytes); b.get(raw)
       "\"0x" + raw.map("%02x".format(_)).mkString + "\""
     case t =>

@@ -94,6 +94,14 @@ class BinlogScan(options: Map[String, String]) extends Scan with Batch {
 }
 
 object BinlogScan {
+  /** The session's Hadoop conf (spark.hadoop.* — credentials, fs
+    * implementations) when a session is active; default otherwise.
+    */
+  def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** Expand path/glob options to concrete file paths, name-sorted —
     * binlog files rotate with lexicographically increasing suffixes
     * (mysql-bin.000001, …), so name order IS commit order.
@@ -103,7 +111,7 @@ object BinlogScan {
       .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
       .orElse(options.get("path").map(Seq(_)))
       .getOrElse(Seq.empty)
-    val conf = new Configuration()
+    val conf = sessionHadoopConf()
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -176,14 +184,28 @@ object BinlogFileOffset {
 }
 
 class BinlogReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path)
+  // driver-side conf captured at planning, shipped to executors
+  private val confBytes: Array[Byte] = {
+    val conf = BinlogScan.sessionHadoopConf()
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.DataOutputStream(bos)
+    conf.write(oos); oos.close()
+    bos.toByteArray
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val conf = new Configuration(false)
+    conf.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(confBytes)))
+    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path, conf)
+  }
 }
 
-class BinlogPartitionReader(path: String) extends PartitionReader[InternalRow] {
+class BinlogPartitionReader(path: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private lazy val events: Iterator[BinlogParser.Decoded] = {
     val hp = new Path(path)
-    val fs = hp.getFileSystem(new Configuration())
+    val fs = hp.getFileSystem(conf)
     val in = fs.open(hp)
     val bytes =
       try {

@@ -98,8 +98,36 @@ class CdcSinkSpec extends AnyFunSuite {
     val batch = changelog(("a", "c", 1, "p1", 1.0), ("bad", "c", 2, "p1", -1.0))
     val clean = CdcSink.deadLetter(batch, dir, isBad = col("value") < 0)
     assert(clean.count() == 1)
-    val dlq = spark.read.parquet(s"$dir/${CdcSink.DlqDir}")
+    val dlq = spark.read.parquet(CdcSink.dlqDir(dir))
     assert(dlq.count() == 1 && dlq.select("key").head.getString(0) == "bad")
+  }
+
+  test("DLQ survives merges and compaction (sibling dir)") {
+    val dir = Files.createTempDirectory("graft_sink_dlqsafe_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, None)
+    CdcSink.deadLetter(changelog(("bad", "c", 2, "p1", -1.0)), dir, col("value") < 0)
+      .count() // materialize the DLQ write
+    // unpartitioned merge does a static overwrite of the table dir
+    CdcSink.merge(spark, changelog(("z", "c", 3, "p1", 3.0)), dir, None)
+    assert(spark.read.parquet(CdcSink.dlqDir(dir)).count() == 1)
+  }
+
+  test("partitioned merge keeps evolved columns on later merges") {
+    val dir = Files.createTempDirectory("graft_sink_pevolve_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
+      dir, Some("part"))
+    // batch with a new column touches only p1
+    CdcSink.merge(spark,
+      changelog(("a", "u", 3, "p1", 5.0)).withColumn("extra", lit("v1")),
+      dir, Some("part"))
+    // later batch WITHOUT the new column touches only p2 — the
+    // evolved column must survive the re-read + rewrite
+    CdcSink.merge(spark, changelog(("b", "u", 4, "p2", 6.0)), dir, Some("part"))
+    val snap = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(snap.columns.contains("extra"))
+    val a = snap.filter($"key" === "a").select("extra").head.getString(0)
+    assert(a == "v1")
   }
 
   test("streaming ingest lands on the batch snapshot") {

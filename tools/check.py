@@ -24,10 +24,11 @@ def main(sfdir, outdir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{outdir}/{name}"
-        files = glob.glob(f"{spark_dir}/*.parquet")
+        files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
-        got = pq.read_table(files[0]).to_pandas()
+        import pyarrow as pa
+        got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:
