@@ -101,6 +101,71 @@ object BinlogGen {
     b.array()
   }
 
+  /** A second table exercising the metadata-bearing types: BIT(9),
+    * ENUM (1-byte pack), SET (2-byte pack), DATE. One WRITE_ROWS
+    * event with `n` rows.
+    */
+  val TypedTableId = 78L
+
+  def writeTypedFile(path: String, n: Int): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      pos = writeEvent(out, pos, 0x13, typedTableMapBody())
+      pos = writeEvent(out, pos, 0x1e, typedRowsBody(n))
+      pos = writeEvent(out, pos, 0x10, xidBody(1L))
+    } finally out.close()
+  }
+
+  private def typedTableMapBody(): Array[Byte] = {
+    val schema = "gen".getBytes("UTF-8")
+    val table = "typed".getBytes("UTF-8")
+    // cols: INT(0x03), BIT(0x10, meta 1,1 → 9 bits), ENUM(0xfe, meta f7 01),
+    //       SET(0xfe, meta f8 02), DATE(0x0a)
+    val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
+      1 + 5 + 1 + 6 + 1).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, TypedTableId)
+    b.putShort(1)
+    b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
+    b.put(table.length.toByte); b.put(table); b.put(0.toByte)
+    b.put(5.toByte) // col count
+    b.put(Array[Byte](0x03, 0x10, 0xfe.toByte, 0xfe.toByte, 0x0a))
+    b.put(6.toByte) // meta block length
+    b.put(1.toByte); b.put(1.toByte) // BIT(9): bits%8=1, bytes=1
+    b.put(0xf7.toByte); b.put(1.toByte) // ENUM, 1-byte pack
+    b.put(0xf8.toByte); b.put(2.toByte) // SET, 2-byte pack
+    b.put(0.toByte) // nullability
+    b.array()
+  }
+
+  private def typedRowsBody(n: Int): Array[Byte] = {
+    val rows = (1 to n).map { i =>
+      val r = ByteBuffer.allocate(1 + 4 + 2 + 1 + 2 + 3).order(ByteOrder.LITTLE_ENDIAN)
+      r.put(0.toByte) // null bitmap
+      r.putInt(i) // INT
+      r.put(((i >> 8) & 1).toByte); r.put((i & 0xff).toByte) // BIT(9): 2 bytes
+      r.put((1 + i % 3).toByte) // ENUM index
+      r.putShort((i % 7).toShort) // SET bitmask (2 bytes LE)
+      val (y, m, d) = (2024, 1 + i % 12, 1 + i % 28)
+      val packed = d | (m << 5) | (y << 9)
+      r.put((packed & 0xff).toByte)
+      r.put(((packed >> 8) & 0xff).toByte)
+      r.put(((packed >> 16) & 0xff).toByte)
+      r.array()
+    }
+    val rowBytes = rows.map(_.length).sum
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, TypedTableId)
+    b.putShort(1)
+    b.putShort(2)
+    b.put(5.toByte)
+    b.put(0x1f.toByte) // all 5 columns present
+    rows.foreach(b.put)
+    b.array()
+  }
+
   private def xidBody(xid: Long): Array[Byte] = {
     val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     b.putLong(xid)

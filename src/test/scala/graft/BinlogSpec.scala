@@ -103,6 +103,25 @@ class BinlogSpec extends AnyFunSuite {
     assert(df.filter(col("op") === "c").count() == 1234)
   }
 
+  test("typed round-trip: BIT/ENUM/SET/DATE decode without misalignment") {
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_typed_")
+    val f = dir.resolve("mysql-bin.000001").toString
+    BinlogGen.writeTypedFile(f, n = 300)
+    val events = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    val writes = events.filter(_.typeName == "WRITE_ROWS_V2")
+    assert(writes.length == 300)
+    assert(!events.exists(_.typeName.startsWith("CORRUPT")))
+    // row i=1: INT 1, BIT(9) 0x0001, ENUM 2, SET 1, DATE 2024-02-02
+    assert(writes.head.after ==
+      """{"col_0":1,"col_1":"0x0001","col_2":2,"col_3":1,"col_4":"2024-02-02"}""",
+      writes.head.after)
+    // row i=300: BIT(9) carries the 9th bit (300 = 0x12c)
+    assert(writes.last.after.contains("\"col_1\":\"0x012c\""), writes.last.after)
+    assert(writes.last.after.contains("\"col_0\":300"), writes.last.after)
+  }
+
   test("truncated binlog parses the intact prefix without crashing") {
     val full = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$fixtures/30_write_rows_v2/mysql-bin.000002"))
