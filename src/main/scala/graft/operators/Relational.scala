@@ -44,7 +44,8 @@ object Relational {
     QueryDef("q23_pivot", q23, Some(q23Sql)),
     QueryDef("q24_percentile", q24, Some(q24Sql)),
     QueryDef("q26_json", q26, Some(q26Sql)),
-    QueryDef("q27_approx_sketch", q27, None)
+    QueryDef("q27_approx_sketch", q27, None),
+    QueryDef("q28_correlated_subquery", q28, Some(q28Sql))
   )
 
   // --- q1: scan → filter → hash agg (partial agg map-side, one shuffle) ---
@@ -465,6 +466,36 @@ object Relational {
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q28: correlated scalar subquery (TPC-H Q17 shape) ----------
+  // "lineitems below 50% of their part's average quantity". Spark
+  // side de-correlates explicitly into an aggregate + join — the
+  // plan Catalyst itself produces for the correlated SQL — with the
+  // per-part average kept in exact decimal so the threshold compare
+  // is engine-identical.
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_li"))
+    // qty < 0.5 * (sum/n)  ⟺  qty * 2n < sum — exact decimal×int
+    // arithmetic on both engines (a decimal DIVISION would round at
+    // engine-specific scales and flip boundary rows)
+    li.join(perPart, col("l_partkey") === col("p_key"))
+      .filter(dec(col("l_quantity")) * lit(2) * col("n_li") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        dsum(col("l_extendedprice")).as("small_value"))
+  }
+
+  private val q28Sql =
+    """SELECT COUNT(*) AS n_small,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_value
+      |FROM lineitem l1
+      |JOIN (SELECT l_partkey AS p_key,
+      |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |        COUNT(*) AS n_li
+      |      FROM lineitem GROUP BY l_partkey) agg
+      |  ON l1.l_partkey = agg.p_key
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < sum_qty""".stripMargin
 
   // --- q27: approximate sketches (HLL distinct + approx quantiles).
   // Engine-specific sketch internals → rows-only gate; accuracy vs
