@@ -19,9 +19,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM JIT, codegen, parquet footer cache
+    // warm-up: JVM JIT, codegen, parquet footer cache, benchmark
+    // binlog generation (one-time, must not land in a timed window)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(10).collect()
+    operators.Cdc.ensureBinlogGenerated(sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -49,13 +49,12 @@ object BloomDedup {
     // might_contain(null, …) would null-drop EVERY row — nothing has
     // been seen, so everything passes through
     if (bloomBytes == null) return incoming
-    // single pass over incoming: rows failing the bloom probe join an
-    // all-false anti-join trivially, so express the whole thing as
-    // "bloom-negative OR survives the exact anti-join" — the probe
-    // column is computed once and the incoming scan happens once
+    // NOTE: probed is referenced by both branches, so a batch caller
+    // pays the (cheap) bloom probe twice; kept as a pure expression
+    // because materializing here (checkpoint/persist) would break
+    // streaming callers and force eager evaluation
     val probed = incoming
       .withColumn("__maybe_seen", mightContain(lit(bloomBytes), col(keyCol)))
-      .localCheckpoint() // one scan; tiny: incoming batch + 1 boolean
     val certainlyNew = probed.filter(!col("__maybe_seen")).drop("__maybe_seen")
     val needsCheck = probed.filter(col("__maybe_seen")).drop("__maybe_seen")
       .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -26,12 +26,13 @@ object Ddl {
   final case class TruncateTable(table: String) extends Stmt
   final case class Other(table: String) extends Stmt
 
-  private val addCol     = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(\w+).*$""".r
-  private val dropCol    = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+(?:COLUMN\s+)?(\w+).*$""".r
-  private val renameCol  = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+).*$""".r
-  private val renameTbl  = """(?i)^\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+TO\s+(\S+).*$""".r
-  private val dropTbl    = """(?i)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+).*$""".r
-  private val truncTbl   = """(?i)^\s*TRUNCATE\s+(?:TABLE\s+)?(\S+).*$""".r
+  private val T = "(`[^`]+`|\\S+)" // table token: quoted or bare
+  private val addCol     = ("(?i)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+ADD\\s+(?:COLUMN\\s+)?(\\w+).*$").r
+  private val dropCol    = ("(?i)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+DROP\\s+(?:COLUMN\\s+)?(\\w+).*$").r
+  private val renameCol  = ("(?i)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+).*$").r
+  private val renameTbl  = ("(?i)^\\s*ALTER\\s+TABLE\\s+" + T + "\\s+RENAME\\s+TO\\s+" + T + ".*$").r
+  private val dropTbl    = ("(?i)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?" + T + ".*$").r
+  private val truncTbl   = ("(?i)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?" + T + ".*$").r
 
   def parse(sql: String): Stmt = sql match {
     case renameCol(t, from, to) => RenameColumn(t, from, to)
@@ -50,7 +51,8 @@ object Ddl {
     // anchored on the token AFTER the table name, so a table called
     // user_address cannot be misread as an ADD/DROP statement —
     // keeps classify consistent with Ddl.parse
-    val alterTail = "(?i)^\\s*ALTER\\s+TABLE\\s+\\S+\\s+"
+    // table token: backtick-quoted (may contain spaces) or bare
+    val alterTail = "(?i)^\\s*ALTER\\s+TABLE\\s+(?:`[^`]+`|\\S+)\\s+"
     when(stmt.rlike(alterTail + "RENAME\\s+COLUMN\\b"), "rename_column")
       .when(stmt.rlike(alterTail + "RENAME\\s+TO\\b"), "rename_table")
       .when(stmt.rlike(alterTail + "ADD\\b"), "add_column")

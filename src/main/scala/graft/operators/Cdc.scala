@@ -202,7 +202,11 @@ object Cdc {
   // this generates a deterministic binlog (size scaled to the SF) on
   // first use, then measures the distributed parse through the DSv2
   // source. 8 files → 8-way parallelism.
-  private def binlogThroughput(s: SparkSession, dir: String): DataFrame = {
+  /** Ensure the benchmark binlogs exist (atomic: generate into a
+    * temp dir, rename into place, then drop a completion marker so a
+    * crashed/concurrent generation can never be half-read).
+    */
+  def ensureBinlogGenerated(dir: String): String = {
     val rowsPerFile = dir match {
       case d if d.endsWith("0.1") => 250000
       case d if d.endsWith("0.01") => 25000
@@ -211,15 +215,29 @@ object Cdc {
     val nFiles = 8
     val genDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_binlog_gen_$rowsPerFile")
-    if (!java.nio.file.Files.isDirectory(genDir) ||
-        genDir.toFile.listFiles().length < nFiles) {
-      java.nio.file.Files.createDirectories(genDir)
+    val marker = genDir.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        genDir.getParent, s"graft_binlog_tmp_")
       (1 to nFiles).foreach { i =>
         graft.sources.binlog.BinlogGen.writeFile(
-          genDir.resolve(f"mysql-bin.$i%06d").toString, rowsPerFile)
+          tmp.resolve(f"mysql-bin.$i%06d").toString, rowsPerFile)
+      }
+      java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
+      try java.nio.file.Files.move(tmp, genDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the race: another process finished first
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       }
     }
-    graft.sources.binlog.BinlogSource.events(s, genDir.toString)
+    genDir.toString
+  }
+
+  private def binlogThroughput(s: SparkSession, dir: String): DataFrame = {
+    val genDir = ensureBinlogGenerated(dir)
+    graft.sources.binlog.BinlogSource.events(s, genDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), countDistinct(col("file")).as("n_files"))
       .orderBy("event_type")

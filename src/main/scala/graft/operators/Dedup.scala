@@ -171,7 +171,7 @@ object Dedup {
   // ---------------------------------------------------------------
   private val SimBits = 63
 
-  private def tokenBit(i: Int, hCol: String): String = {
+  private def tokenBit(i: Int): String = {
     // references the pre-decoded scalar nibble column n{i/4} — one
     // instr per hex char (16/token) instead of one per bit (63/token)
     val div = 1 << (3 - i % 4)
@@ -189,7 +189,7 @@ object Dedup {
   /** Same generated SQL text runs in Spark and DuckDB. */
   private def simhashCoreSql: String = {
     val sums = (0 until SimBits).map(i =>
-      s"SUM(CASE WHEN ${tokenBit(i, "h16")} = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n    ")
+      s"SUM(CASE WHEN ${tokenBit(i)} = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n    ")
     val value = (0 until SimBits).map(i =>
       s"(CASE WHEN s$i > 0 THEN CAST(${1L << (SimBits - 1 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
     s"""SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM (

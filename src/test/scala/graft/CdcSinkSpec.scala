@@ -110,6 +110,10 @@ class CdcSinkSpec extends AnyFunSuite {
     // unpartitioned merge does a static overwrite of the table dir
     CdcSink.merge(spark, changelog(("z", "c", 3, "p1", 3.0)), dir, None)
     assert(spark.read.parquet(CdcSink.dlqDir(dir)).count() == 1)
+    // explicit compaction (another static overwrite) must not touch it
+    CdcSink.compact(spark, dir, None)
+    assert(spark.read.parquet(CdcSink.dlqDir(dir)).count() == 1)
+    assert(CdcSink.committedOffsets(spark, dir).nonEmpty)
   }
 
   test("partitioned merge keeps evolved columns on later merges") {

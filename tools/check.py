@@ -5,6 +5,7 @@ against DuckDB oracles over the same parquet tables. Usage:
 """
 import sys, os, json, glob
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -27,7 +28,6 @@ def main(sfdir, outdir):
         files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
-        import pyarrow as pa
         got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
         try:
             exp = con.execute(sql).fetchdf()
