@@ -39,6 +39,28 @@ class CdcSpec extends AnyFunSuite {
     assert(Ddl.parse("DROP TABLE IF EXISTS t1") == Ddl.DropTable("t1"))
     assert(Ddl.parse("TRUNCATE TABLE t1") == Ddl.TruncateTable("t1"))
     assert(Ddl.parse("SELECT 1") == Ddl.Other(""))
+    // backtick-quoted identifiers (may contain spaces)
+    assert(Ddl.parse("ALTER TABLE `my table` ADD COLUMN c INT") ==
+      Ddl.AddColumn("`my table`", "c"))
+    // keywords inside table names must not confuse classification
+    assert(Ddl.parse("ALTER TABLE user_address DROP COLUMN x") ==
+      Ddl.DropColumn("user_address", "x"))
+  }
+
+  test("Ddl.classify agrees with Ddl.parse on tricky statements") {
+    import spark.implicits._
+    val stmts = Seq(
+      "ALTER TABLE `my table` ADD COLUMN c INT" -> "add_column",
+      "ALTER TABLE user_address DROP COLUMN x" -> "drop_column",
+      "ALTER TABLE add_rename RENAME TO t2" -> "rename_table",
+      "alter table T rename column a to b" -> "rename_column",
+      "DROP TABLE `drop zone`" -> "drop_table",
+      "TRUNCATE t" -> "truncate",
+      "INSERT INTO adder VALUES (1)" -> "other")
+    val got = stmts.map(_._1).toDF("stmt")
+      .select(Ddl.classify(org.apache.spark.sql.functions.col("stmt")).as("kind"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == stmts.map(_._2), got.mkString(","))
   }
 
   test("BinlogTypes covers all 31 wire types and 15 parsed events") {
