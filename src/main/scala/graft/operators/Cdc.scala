@@ -217,6 +217,8 @@ object Cdc {
       System.getProperty("java.io.tmpdir"), s"graft_binlog_gen_$rowsPerFile")
     val marker = genDir.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
+      // stale partial dir from a crashed/pre-marker generation
+      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
       val tmp = java.nio.file.Files.createTempDirectory(
         genDir.getParent, s"graft_binlog_tmp_")
       (1 to nFiles).foreach { i =>
@@ -227,8 +229,8 @@ object Cdc {
       try java.nio.file.Files.move(tmp, genDir,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { // lost the race: another process finished first
-        case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.DirectoryNotEmptyException =>
+        case _: java.io.IOException
+            if java.nio.file.Files.exists(marker) =>
           org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       }
     }
