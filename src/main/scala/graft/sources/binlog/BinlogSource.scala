@@ -73,24 +73,34 @@ class BinlogTable(properties: Map[String, String]) extends Table with SupportsRe
     new BinlogScanBuilder(options.asScala.toMap ++ properties)
 }
 
-class BinlogScanBuilder(options: Map[String, String]) extends ScanBuilder {
-  override def build(): Scan = new BinlogScan(options)
+class BinlogScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BinlogSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve canonical field order; empty projection (count(*))
+    // keeps one cheap column so rows still materialize
+    val names = requiredSchema.fieldNames.toSet
+    val pruned = StructType(BinlogSource.schema.fields.filter(f => names(f.name)))
+    required = if (pruned.isEmpty) StructType(BinlogSource.schema.fields.take(1)) else pruned
+  }
+  override def build(): Scan = new BinlogScan(options, required)
 }
 
 final case class BinlogInputPartition(path: String) extends InputPartition
 
-class BinlogScan(options: Map[String, String]) extends Scan with Batch {
-  override def readSchema(): StructType = BinlogSource.schema
+class BinlogScan(options: Map[String, String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BinlogMicroBatchStream(options)
+    new BinlogMicroBatchStream(options, required)
 
   override def planInputPartitions(): Array[InputPartition] =
     BinlogScan.listFiles(options).map(BinlogInputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory
+    new BinlogReaderFactory(required)
 }
 
 object BinlogScan {
@@ -131,7 +141,7 @@ object BinlogScan {
   * how a replica tails the binlog index. Files are immutable once
   * rotated, so replay from a committed offset is deterministic.
   */
-class BinlogMicroBatchStream(options: Map[String, String])
+class BinlogMicroBatchStream(options: Map[String, String], required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -165,7 +175,7 @@ class BinlogMicroBatchStream(options: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory
+    new BinlogReaderFactory(required)
 }
 
 final case class BinlogFileOffset(files: Seq[String])
@@ -183,7 +193,7 @@ object BinlogFileOffset {
   }
 }
 
-class BinlogReaderFactory extends PartitionReaderFactory {
+class BinlogReaderFactory(required: StructType) extends PartitionReaderFactory {
   // driver-side conf captured at planning, shipped to executors
   private val confBytes: Array[Byte] = {
     val conf = BinlogScan.sessionHadoopConf()
@@ -197,12 +207,34 @@ class BinlogReaderFactory extends PartitionReaderFactory {
     val conf = new Configuration(false)
     conf.readFields(new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(confBytes)))
-    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path, conf)
+    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path, conf, required)
   }
 }
 
-class BinlogPartitionReader(path: String, conf: Configuration)
+class BinlogPartitionReader(path: String, conf: Configuration, required: StructType)
     extends PartitionReader[InternalRow] {
+  // column pruning: per-field extractors selected once, not per row
+  private val extractors: Array[BinlogParser.Decoded => Any] =
+    required.fieldNames.map {
+      case "file" => (_: BinlogParser.Decoded) => UTF8String.fromString(path)
+      case "log_pos" => (e: BinlogParser.Decoded) => e.header.logPos
+      case "ts" => (e: BinlogParser.Decoded) => e.header.timestamp
+      case "server_id" => (e: BinlogParser.Decoded) => e.header.serverId
+      case "event_type" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.typeName)
+      case "table_id" => (e: BinlogParser.Decoded) => e.tableId
+      case "schema_name" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.schemaName)
+      case "table_name" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.tableName)
+      case "op" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.op)
+      case "row_index" => (e: BinlogParser.Decoded) => e.rowIndex
+      case "before" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.before)
+      case "after" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.after)
+      case "query" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.query)
+      case "gtid" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.gtid)
+      case "xid" => (e: BinlogParser.Decoded) => e.xid
+      case "int_value" => (e: BinlogParser.Decoded) => e.intValue
+      case "next_binlog" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.nextBinlog)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
   private lazy val events: Iterator[BinlogParser.Decoded] = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(conf)
@@ -230,24 +262,7 @@ class BinlogPartitionReader(path: String, conf: Configuration)
 
   override def get(): InternalRow = {
     val e = current
-    InternalRow(
-      UTF8String.fromString(path),
-      e.header.logPos,
-      e.header.timestamp,
-      e.header.serverId,
-      UTF8String.fromString(e.typeName),
-      e.tableId,
-      UTF8String.fromString(e.schemaName),
-      UTF8String.fromString(e.tableName),
-      UTF8String.fromString(e.op),
-      e.rowIndex,
-      UTF8String.fromString(e.before),
-      UTF8String.fromString(e.after),
-      UTF8String.fromString(e.query),
-      UTF8String.fromString(e.gtid),
-      e.xid,
-      e.intValue,
-      UTF8String.fromString(e.nextBinlog))
+    InternalRow.fromSeq(extractors.map(f => f(e)).toSeq)
   }
 
   override def close(): Unit = ()

@@ -85,6 +85,19 @@ class BinlogSpec extends AnyFunSuite {
     assert(d.head.before.contains("\"col_1\":\"abcde\""), d.head.before)
   }
 
+  test("DSv2 column pruning reaches the binlog scan") {
+    val df = BinlogSource.events(spark, s"$fixtures/30_write_rows_v2/*")
+      .select("event_type", "xid")
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("event_type"), scanLine)
+    assert(!scanLine.contains("next_binlog"), scanLine)
+    // pruned read still returns correct values
+    assert(df.filter(col("xid") > 0).count() > 0)
+    // count(*) over an empty projection still works
+    assert(BinlogSource.events(spark, s"$fixtures/30_write_rows_v2/*").count() > 0)
+  }
+
   test("generator round-trip: written binlog parses back exactly") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_gen_")
