@@ -15,7 +15,8 @@ object TextAnalysis {
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
-    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql))
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("text_commonness", commonness, Some(commonnessSql))
   )
 
   // ---------------------------------------------------------------
@@ -163,6 +164,46 @@ object TextAnalysis {
       .join(rolling, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------
+  // text_commonness: corpus-LM-style fluency signal. A document's
+  // score = fraction of its bigram OCCURRENCES whose bigram appears
+  // ≥ 5 times in the whole corpus — the counts-only analog of bigram
+  // log-likelihood (integer arithmetic + one division → exact
+  // cross-engine). Two shuffles: corpus bigram counts, then the
+  // doc-bigram ⨝ counts join re-aggregated per doc.
+  // ---------------------------------------------------------------
+  private val CommonMin = 5
+
+  private def commonness(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))")).as("bg"))
+    val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("n_corpus"))
+    bigrams.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus") >= CommonMin, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("commonness",
+        col("n_common").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private val commonnessSql =
+    s"""WITH bigrams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |counts AS (SELECT bg, COUNT(*) AS n_corpus FROM bigrams GROUP BY bg)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN n_corpus >= $CommonMin THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST(SUM(CASE WHEN n_corpus >= $CommonMin THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS commonness
+       |FROM bigrams JOIN counts USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val fingerprintSql =
     s"""SELECT d.doc_id, d.canonical_fp, r.rolling_fp FROM
