@@ -166,6 +166,95 @@ object BinlogGen {
     b.array()
   }
 
+  /** A third table exercising the temporal2 fractional encodings,
+    * blob-like JSON/GEOMETRY payloads, and the legacy temporal types:
+    * INT, DATETIME2(3), TIMESTAMP2(2), TIME2(0), JSON, GEOMETRY,
+    * legacy TIME, legacy DATETIME. Values fixed per row (id varies)
+    * so the spec can assert exact decode output.
+    */
+  val TemporalTableId = 79L
+
+  def writeTemporalFile(path: String, n: Int): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      pos = writeEvent(out, pos, 0x13, temporalTableMapBody())
+      pos = writeEvent(out, pos, 0x1e, temporalRowsBody(n))
+      pos = writeEvent(out, pos, 0x10, xidBody(1L))
+    } finally out.close()
+  }
+
+  private def temporalTableMapBody(): Array[Byte] = {
+    val schema = "gen".getBytes("UTF-8")
+    val table = "temporal".getBytes("UTF-8")
+    val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
+      1 + 8 + 1 + 5 + 1).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, TemporalTableId)
+    b.putShort(1)
+    b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
+    b.put(table.length.toByte); b.put(table); b.put(0.toByte)
+    b.put(8.toByte) // col count
+    b.put(Array[Byte](0x03, 0x12, 0x11, 0x13, 0xf5.toByte, 0xff.toByte, 0x0b, 0x0c))
+    b.put(5.toByte) // meta block length
+    b.put(3.toByte) // DATETIME2 fsp=3
+    b.put(2.toByte) // TIMESTAMP2 fsp=2
+    b.put(0.toByte) // TIME2 fsp=0
+    b.put(4.toByte) // JSON: 4 length bytes
+    b.put(4.toByte) // GEOMETRY: 4 length bytes
+    b.put(0.toByte) // nullability
+    b.array()
+  }
+
+  private def putBE(b: ByteBuffer, v: Long, nBytes: Int): Unit =
+    ((nBytes - 1) to 0 by -1).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+  private def temporalRowsBody(n: Int): Array[Byte] = {
+    // WKB point(1.0, 2.0): byte-order 01, type 1, x, y — 21 bytes
+    val wkb = {
+      val g = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+      g.put(1.toByte); g.putInt(1); g.putDouble(1.0); g.putDouble(2.0)
+      g.array()
+    }
+    val json = Array[Byte](0x01, 0x02) // opaque JSONB payload
+    val rows = (1 to n).map { i =>
+      val r = ByteBuffer.allocate(1 + 4 + 7 + 5 + 3 + (4 + json.length) +
+        (4 + wkb.length) + 3 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      r.put(0.toByte) // null bitmap
+      r.putInt(i)
+      // DATETIME2(3): 2024-01-02 03:04:05.678
+      val ymd = (2024 * 13 + 1) << 5 | 2
+      val hms = (3 << 12) | (4 << 6) | 5
+      putBE(r, (ymd.toLong << 17 | hms) + 0x8000000000L, 5)
+      putBE(r, 6780L, 2) // .678 s in 100µs units
+      // TIMESTAMP2(2): epoch 1700000000, .25 s
+      putBE(r, 1700000000L, 4)
+      putBE(r, 25L, 1)
+      // TIME2(0): 12:34:56
+      putBE(r, ((12 << 12) | (34 << 6) | 56) + 0x800000L, 3)
+      // JSON: 4-byte LE length + payload
+      r.putInt(json.length); r.put(json)
+      // GEOMETRY: 4-byte LE length + WKB
+      r.putInt(wkb.length); r.put(wkb)
+      // legacy TIME 09:34:56 → 93456 as 3-byte LE
+      val t = 93456
+      r.put((t & 0xff).toByte); r.put(((t >> 8) & 0xff).toByte); r.put(((t >> 16) & 0xff).toByte)
+      // legacy DATETIME 2024-01-02 03:04:05 → 8-byte LE
+      r.putLong(20240102030405L)
+      r.array()
+    }
+    val rowBytes = rows.map(_.length).sum
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, TemporalTableId)
+    b.putShort(1)
+    b.putShort(2)
+    b.put(8.toByte)
+    b.put(0xff.toByte) // all 8 columns present
+    rows.foreach(b.put)
+    b.array()
+  }
+
   private def xidBody(xid: Long): Array[Byte] = {
     val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     b.putLong(xid)

@@ -238,6 +238,7 @@ object BinlogParser {
     case 0x04 | 0x05 => u8(b) // FLOAT / DOUBLE: pack length
     case 0x0f | 0xfd => u16(b) // VARCHAR / VAR_STRING: max length
     case 0xf6 => (u8(b) << 8) | u8(b) // NEWDECIMAL: precision, scale
+    case 0xf5 => u8(b) // JSON: length-bytes (blob-like)
     case 0xfc => u8(b) // BLOB: length-bytes
     case 0xfe => (u8(b) << 8) | u8(b) // STRING: real type, length
     case 0x10 => (u8(b) << 8) | u8(b) // BIT: bits, bytes
@@ -284,8 +285,18 @@ object BinlogParser {
     case 0x05 => // DOUBLE
       val v = b.getDouble
       if (v == v.toLong) v.toLong.toString else v.toString
+    case 0x06 => "null" // NULL: zero bytes on the wire
+    case 0x07 => u32(b).toString // legacy TIMESTAMP: 4-byte LE epoch seconds
+    case 0x0b => // legacy TIME: 3-byte LE packed int HHMMSS
+      val v = u8(b) | (u8(b) << 8) | (u8(b) << 16)
+      "\"%02d:%02d:%02d\"".format(v / 10000, (v / 100) % 100, v % 100)
+    case 0x0c => // legacy DATETIME: 8-byte LE packed int YYYYMMDDHHMMSS
+      val v = b.getLong
+      val (d, t) = (v / 1000000L, v % 1000000L)
+      "\"%04d-%02d-%02d %02d:%02d:%02d\"".format(
+        d / 10000, (d / 100) % 100, d % 100, t / 10000, (t / 100) % 100, t % 100)
     case 0x0d => (1900 + u8(b)).toString // YEAR
-    case 0x0a => // DATE: 3 bytes packed
+    case 0x0a | 0x0e => // DATE / NEWDATE: 3 bytes packed
       val v = u8(b) | (u8(b) << 8) | (u8(b) << 16)
       val (d, m, y) = (v & 0x1f, (v >> 5) & 0x0f, v >> 9)
       "\"%04d-%02d-%02d\"".format(y, m, d)
@@ -311,22 +322,30 @@ object BinlogParser {
       (0 until meta).foreach(i => len |= (u8(b).toLong << (8 * i)))
       val bytes = new Array[Byte](len.toInt); b.get(bytes)
       jsonString(new String(bytes, StandardCharsets.UTF_8))
-    case 0x11 => // TIMESTAMP2: 4 bytes BE seconds + fsp
+    case 0xf5 | 0xff => // JSON / GEOMETRY: blob-like length prefix; payload
+      // is binary (MySQL JSONB / WKB) — surface as hex, never reinterpret
+      var len = 0L
+      (0 until meta).foreach(i => len |= (u8(b).toLong << (8 * i)))
+      val bytes = new Array[Byte](len.toInt); b.get(bytes)
+      "\"0x" + bytes.map("%02x".format(_)).mkString + "\""
+    case 0x11 => // TIMESTAMP2: 4 bytes BE seconds + fsp fraction
       val secs = beInt(b, 4)
-      skip(b, fspBytes(meta))
-      secs.toString
-    case 0x12 => // DATETIME2: 5 bytes BE packed + fsp
+      val frac = fracDigits(b, meta)
+      if (frac.isEmpty) secs.toString else s"$secs.$frac"
+    case 0x12 => // DATETIME2: 5 bytes BE packed + fsp fraction
       val packed = beLong(b, 5) - 0x8000000000L
       val ymd = (packed >> 17).toInt; val hms = (packed & 0x1ffff).toInt
       val ym = ymd >> 5
-      skip(b, fspBytes(meta))
-      "\"%04d-%02d-%02d %02d:%02d:%02d\"".format(
+      val frac = fracDigits(b, meta)
+      val base = "%04d-%02d-%02d %02d:%02d:%02d".format(
         ym / 13, ym % 13, ymd & 0x1f, hms >> 12, (hms >> 6) & 0x3f, hms & 0x3f)
-    case 0x13 => // TIME2: 3 bytes BE + fsp
+      "\"" + (if (frac.isEmpty) base else s"$base.$frac") + "\""
+    case 0x13 => // TIME2: 3 bytes BE + fsp fraction
       val packed = beLong(b, 3) - 0x800000L
-      skip(b, fspBytes(meta))
-      "\"%02d:%02d:%02d\"".format(
+      val frac = fracDigits(b, meta)
+      val base = "%02d:%02d:%02d".format(
         (packed >> 12) & 0x3ff, (packed >> 6) & 0x3f, packed & 0x3f)
+      "\"" + (if (frac.isEmpty) base else s"$base.$frac") + "\""
     case 0xf6 => // NEWDECIMAL — public packed-BCD layout
       jsonString(decodeDecimal(b, meta >> 8, meta & 0xff))
     case 0x10 => // BIT(n): meta = (n % 8, n / 8); value = ceil(n/8) bytes
@@ -402,6 +421,20 @@ object BinlogParser {
   }
 
   private def fspBytes(fsp: Int): Int = (fsp + 1) / 2
+
+  /** Fractional seconds for the *2 temporal types: fsp digits stored
+    * big-endian in ceil(fsp/2) bytes, each unit = 10^(6-2*nBytes) µs.
+    * Returns the fsp-digit decimal string ("" when fsp == 0).
+    */
+  private def fracDigits(b: ByteBuffer, fsp: Int): String = {
+    val n = fspBytes(fsp)
+    if (n == 0) ""
+    else {
+      val raw = beLong(b, n)
+      val micros = raw * (n match { case 1 => 10000L; case 2 => 100L; case _ => 1L })
+      "%06d".format(micros).take(fsp)
+    }
+  }
 
   private def lenEnc(b: ByteBuffer): Long = u8(b) match {
     case 0xfb => -1L

@@ -151,6 +151,27 @@ class BinlogSpec extends AnyFunSuite {
     assert(writes.last.after.contains("\"col_0\":300"), writes.last.after)
   }
 
+  test("temporal2 fractions, JSON/GEOMETRY payloads, legacy temporals decode exactly") {
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_temporal_")
+    val f = dir.resolve("mysql-bin.000001").toString
+    BinlogGen.writeTemporalFile(f, n = 5)
+    val events = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    assert(!events.exists(_.typeName.startsWith("CORRUPT")))
+    val writes = events.filter(_.typeName == "WRITE_ROWS_V2")
+    assert(writes.length == 5)
+    assert(writes.head.after ==
+      """{"col_0":1,"col_1":"2024-01-02 03:04:05.678","col_2":1700000000.25,""" +
+      """"col_3":"12:34:56","col_4":"0x0102",""" +
+      """"col_5":"0x0101000000000000000000f03f0000000000000040",""" +
+      """"col_6":"09:34:56","col_7":"2024-01-02 03:04:05"}""",
+      writes.head.after)
+    // all 5 rows decode identically except the id — no misalignment drift
+    assert(writes.last.after.contains("\"col_0\":5"))
+    assert(writes.last.after.endsWith(writes.head.after.dropWhile(_ != ',')))
+  }
+
   test("truncated binlog parses the intact prefix without crashing") {
     val full = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$fixtures/30_write_rows_v2/mysql-bin.000002"))
