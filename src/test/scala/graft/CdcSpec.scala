@@ -137,6 +137,51 @@ class CdcSpec extends AnyFunSuite {
     assert(out2.isEmpty && !stOld.exists)
   }
 
+  test("EventTimeTimeout reaps quiet state through the real state store") {
+    import CdcStream._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+    val input = MemoryStream[Change]
+    val upserts = input.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(applyGroupTtl(1000L))
+    val qn = s"ttl_evict_${System.nanoTime()}"
+    val q = upserts.writeStream.outputMode("update").format("memory").queryName(qn)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ttl_ckpt_").toString)
+      .start()
+
+    // batch 1: a live row and a delete tombstone — both land in state
+    input.addData(
+      Change("a", "u", 1, ts(1000), "t", 1.0),
+      Change("b", "d", 2, ts(1000), "t", 0.0))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators(0).numRowsTotal == 2)
+    // batch 2: watermark jumps past every armed timeout (they arm
+    // against the lagging pre-batch watermark); the watermark-advance
+    // no-data batch then reaps all quiet state
+    input.addData(Change("c", "u", 3, ts(100000), "t", 1.0))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(stateRows == 0, s"expected quiet state reaped, got $stateRows")
+
+    // documented trade-off: once the tombstone is reaped, a redelivered
+    // pre-delete change resurrects the key — TTL must exceed the
+    // redelivery horizon
+    input.addData(Change("b", "u", 1, ts(100001), "t", 5.0))
+    q.processAllAvailable()
+    val emitted = spark.table(qn).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Boolean]("deleted")))
+    q.stop()
+    assert(emitted.count { case (k, d) => k == "b" && !d } == 1, emitted.mkString(","))
+  }
+
   test("batch snapshot and streaming apply agree") {
     val batch = SparkEntry.queries("cdc_snapshot")(spark, sf).collect().toSeq
     val stream = SparkEntry.queries("cdc_stream_apply")(spark, sf).collect().toSeq
