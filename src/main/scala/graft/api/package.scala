@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.cdc.{BloomDedup, CdcApply, MatchStrategy}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Ergonomic library surface: `import graft.api._` and every engine
+  * operator hangs off the DataFrame — the form a user switching from
+  * the reference calls on their OWN tables (the `SparkEntry.queries`
+  * entries are these same operators bound to the test corpus).
+  *
+  * {{{
+  * import graft.api._
+  * val snap   = changelog.cdcSnapshot(keyCols = Seq("table", "key"))
+  * val fresh  = events.suppressSeen(history, "event_id")
+  * val pairs  = docs.minhashCandidatePairs("doc_id", "text")
+  * val scored = docs.withTextStats("text")
+  * val nn     = corpus.cosineTopK("vec_id", "embedding", queries, k = 5)
+  * }}}
+  */
+package object api {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // --- CDC --------------------------------------------------------
+
+    /** Latest surviving row per key (last-writer-wins, deletes drop) —
+      * changelog → queryable snapshot. One keyed shuffle.
+      */
+    def cdcSnapshot(
+        keyCols: Seq[String],
+        offsetCol: String = "offset",
+        opCol: String = "op"): DataFrame =
+      CdcApply.snapshot(df, keyCols, offsetCol, opCol)
+
+    /** Per-op counts and offset ranges — the reference's ingest
+      * bookkeeping as a one-line aggregate.
+      */
+    def cdcOpStats(opCol: String = "op"): DataFrame =
+      CdcApply.opStats(df, opCol)
+
+    /** Keep only events whose `db.table` matches the reference's
+      * MatchStrategy wildcard patterns (`*` → `.*`).
+      */
+    def matchingTables(
+        qualified: Column,
+        databases: Seq[String],
+        tables: Seq[String]): DataFrame =
+      df.filter(MatchStrategy.matches(qualified, databases, tables))
+
+    /** Drop rows whose key already appears in `history`: bloom-sketch
+      * front gate (no false negatives) + exact back-check on the
+      * positive subset.
+      */
+    def suppressSeen(history: DataFrame, keyCol: String): DataFrame =
+      BloomDedup.suppressSeen(df, history, keyCol)
+
+    // --- dedup ------------------------------------------------------
+
+    /** One canonical row per distinct text (lowest id wins). */
+    def dropExactDuplicates(idCol: String, textCol: String): DataFrame =
+      Dedup.dropExactDuplicates(df, idCol, textCol)
+
+    /** MinHash-LSH near-duplicate candidate pairs (doc_a < doc_b).
+      * `md5Hash = true` for the cross-engine-deterministic variant.
+      */
+    def minhashCandidatePairs(
+        idCol: String,
+        textCol: String,
+        k: Int = 12,
+        r: Int = 3,
+        md5Hash: Boolean = false): DataFrame =
+      Dedup.minhashPairs(df, idCol, textCol, k, r, md5Hash)
+
+    // --- text analysis ----------------------------------------------
+
+    /** Append token counts, char count, ratio features, quality score
+      * and predicted language for `textCol` — the full per-document
+      * feature row a pipeline filters on.
+      */
+    def withTextStats(textCol: String): DataFrame = {
+      val t = col(textCol)
+      df.withColumn("n_ws_tokens", TextAnalysis.wsTokenCount(t))
+        .withColumn("n_bpe_tokens", TextAnalysis.bpeTokenCount(t))
+        .withColumn("n_chars", length(t).cast("long"))
+        .withColumn("punct_ratio", TextAnalysis.punctRatio(t))
+        .withColumn("digit_ratio", TextAnalysis.digitRatio(t))
+        .withColumn("stopword_ratio", TextAnalysis.stopwordRatio(t))
+        .withColumn("quality_score", TextAnalysis.qualityScore(t))
+        .withColumn("lang_pred", TextAnalysis.langIdOf(t))
+    }
+
+    // --- similarity -------------------------------------------------
+
+    /** Brute-force cosine top-k against a broadcast query set. The
+      * query frame needs (q_id, q_vec) columns; see
+      * Similarity.cosineTopK for fully custom names.
+      */
+    def cosineTopK(
+        idCol: String,
+        embCol: String,
+        queries: DataFrame,
+        k: Int): DataFrame =
+      Similarity.cosineTopK(df, idCol, embCol, queries, "q_id", "q_vec", k)
+  }
+}

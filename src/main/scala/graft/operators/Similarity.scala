@@ -51,22 +51,35 @@ object Similarity {
   private val QuerySetSize = 8
   private val TopK = 5
 
+  /** Parametric brute-force cosine top-k: broadcast the (small)
+    * query set against the full corpus — one scan, the corpus never
+    * shuffles; per-partition partial top-k via the window. Query
+    * columns (qIdCol, qVecCol) must not collide with corpus names.
+    * Library-surface form of sim_topk_bruteforce.
+    */
+  def cosineTopK(
+      corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol).as("q_id"), col(idCol).as("neighbor_id"),
+        cosine(col(qVecCol), col(embCol)).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- brute-force cosine top-k (baseline / ground truth) ---
   private def topk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_vec"), col("embedding")).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("q_id"), col("rk"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy("q_id", "rk")
+    cosineTopK(emb, "vec_id", "embedding", queries, "q_id", "q_vec", TopK)
   }
 
   private val Planes = 12

@@ -30,32 +30,38 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "es", "una", "por", "para", "como", "más", "pero"),
     "fr" -> Seq("le", "les", "et", "est", "une", "pour", "dans", "ce", "pas", "sur"))
 
-  private def langid(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), "\\s+")
+  /** Language of a text column: stopword-overlap argmax over the
+    * known languages (ties alphabetical: de<en<es<fr), zh when the
+    * text is mostly non-ascii, "und" when nothing matches. Pure
+    * codegen'd Column — usable on any table.
+    */
+  def langIdOf(text: Column): Column = {
+    val toks = split(text, "\\s+")
     val scores = stopwords.map { case (lang, words) =>
       val arr = array(words.map(lit): _*)
-      (size(array_intersect(array_distinct(toks), arr)).cast("double") /
-        size(array_distinct(toks))).as(s"score_$lang")
+      lang -> (size(array_intersect(array_distinct(toks), arr)).cast("double") /
+        size(array_distinct(toks)))
     }
-    val nonAscii = (length(col("text")) -
-      length(regexp_replace(col("text"), "[ -~]", ""))).cast("double") / length(col("text"))
-    val scored = Tables.documents(s, dir)
-      .select((col("doc_id") +: col("lang").as("lang_actual") +:
-        nonAscii.as("ascii_ratio") +: scores): _*)
-    // argmax with deterministic tiebreak: zh if mostly non-ascii,
-    // else greatest score, ties broken alphabetically (de<en<es<fr)
-    val best = stopwords.map(_._1).foldLeft((lit("und"), lit(-1.0))) {
-      case ((bl, bs), lang) =>
-        val sc = col(s"score_$lang")
+    // argmax with deterministic tiebreak: strictly-greater replaces
+    val best = scores.foldLeft((lit("und"), lit(-1.0))) {
+      case ((bl, bs), (lang, sc)) =>
         (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
-    scored
-      .withColumn("lang_pred",
-        when(col("ascii_ratio") < 0.5, best._1).otherwise(lit("zh")))
+    }._1
+    when(nonAsciiRatio(text) < 0.5, best).otherwise(lit("zh"))
+  }
+
+  /** fraction of characters outside printable ascii — stripping
+    * `[ -~]` leaves exactly the non-ascii characters
+    */
+  def nonAsciiRatio(text: Column): Column =
+    length(regexp_replace(text, "[ -~]", "")).cast("double") / length(text)
+
+  private def langid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang").as("lang_actual"), langIdOf(col("text")).as("lang_pred"))
       .groupBy("lang_actual", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang_actual", "lang_pred")
-  }
 
   private val langidSql = {
     val scoreExprs = stopwords.map { case (lang, words) =>
@@ -70,10 +76,10 @@ object TextAnalysis {
     }._1
     s"""SELECT lang_actual, lang_pred, COUNT(*) AS n FROM (
        |  SELECT lang_actual,
-       |         CASE WHEN ascii_ratio < 0.5 THEN $best ELSE 'zh' END AS lang_pred
+       |         CASE WHEN non_ascii_ratio < 0.5 THEN $best ELSE 'zh' END AS lang_pred
        |  FROM (
        |    SELECT doc_id, lang AS lang_actual,
-       |      CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text) AS ascii_ratio,
+       |      CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text) AS non_ascii_ratio,
        |      $scoreExprs
        |    FROM (SELECT *, string_split_regex(text, '\\s+') AS toks FROM documents)))
        |GROUP BY lang_actual, lang_pred ORDER BY lang_actual, lang_pred""".stripMargin
@@ -83,27 +89,39 @@ object TextAnalysis {
   // text_quality: length / punctuation / stopword / digit ratios
   // folded into a 0-100 score. Per-doc row output (no FP agg).
   // ---------------------------------------------------------------
-  private def quality(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    val nTok = size(toks)
+  /** ratio of characters matched by `charClass` (a regex class) */
+  private def charRatio(text: Column, charClass: String): Column =
+    (length(text) - length(regexp_replace(text, charClass, "")))
+      .cast("double") / length(text)
+
+  def punctRatio(text: Column): Column = charRatio(text, "[\\.,;:!\\?]")
+  def digitRatio(text: Column): Column = charRatio(text, "[0-9]")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(text, "\\s+")
     val stopArr = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
+    size(array_intersect(array_distinct(toks), stopArr)).cast("double") / size(toks)
+  }
+
+  /** 0-100 composite quality score: length saturation × punctuation
+    * penalty × digit penalty. Usable on any text column.
+    */
+  def qualityScore(text: Column): Column =
+    round(lit(100.0) *
+      least(lit(1.0), size(split(text, "\\s+")).cast("double") / 20) *
+      (lit(1.0) - punctRatio(text)) *
+      (lit(1.0) - digitRatio(text)), 4)
+
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("punct_ratio",
-        (length(col("text")) - length(regexp_replace(col("text"), "[\\.,;:!\\?]", "")))
-          .cast("double") / length(col("text")))
-      .withColumn("stopword_ratio",
-        size(array_intersect(array_distinct(toks), stopArr)).cast("double") / nTok)
-      .withColumn("digit_ratio",
-        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-          .cast("double") / length(col("text")))
-      .withColumn("quality_score",
-        round(lit(100.0) *
-          least(lit(1.0), col("n_tokens").cast("double") / 20) *
-          (lit(1.0) - col("punct_ratio")) *
-          (lit(1.0) - col("digit_ratio")), 4))
+      .withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_tokens", size(split(text, "\\s+")).cast("long"))
+      .withColumn("punct_ratio", punctRatio(text))
+      .withColumn("stopword_ratio", stopwordRatio(text))
+      .withColumn("digit_ratio", digitRatio(text))
+      .withColumn("quality_score", qualityScore(text))
       .drop("text")
       .orderBy("doc_id")
   }
@@ -129,11 +147,19 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** whitespace-delimited token count */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, "\\s+")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single symbols */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeish)).cast("long")
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
-        regexp_count(col("text"), lit(bpeish)).cast("long").as("n_bpe_tokens"),
+        wsTokenCount(col("text")).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
@@ -154,12 +180,14 @@ object TextAnalysis {
     val d = Tables.documents(s, dir)
       .withColumn("w", array_sort(array_distinct(split(col("text"), "\\s+"))))
       .withColumn("canonical_fp", md5(concat_ws(" ", col("w"))))
+    // explode the OFFSETS and substring per row — avoids materializing
+    // the full per-doc gram array (len(text)×8 chars) before the agg
     val rolling = d
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")).as("gram"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 7)")).as("i"))
       .groupBy("doc_id")
-      .agg(min(md5(col("gram"))).as("rolling_fp"))
+      .agg(min(md5(expr("substring(text, i, 8)"))).as("rolling_fp"))
     d.select(col("doc_id"), col("canonical_fp"))
       .join(rolling, Seq("doc_id"), "left")
       .orderBy("doc_id")

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api._
+
+/** The library surface (`import graft.api._`) on user-shaped tables —
+  * not the test corpus — proving the operators are parametric.
+  */
+class ApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("cdcSnapshot folds a changelog, matchingTables filters by pattern") {
+    val changelog = Seq(
+      ("appdb.orders", "k1", 1L, "c", 10.0),
+      ("appdb.orders", "k1", 2L, "u", 20.0),
+      ("appdb.orders", "k2", 3L, "c", 30.0),
+      ("appdb.orders", "k2", 4L, "d", 0.0),
+      ("otherdb.users", "k9", 5L, "c", 1.0)
+    ).toDF("table", "key", "offset", "op", "value")
+
+    val snap = changelog
+      .matchingTables(col("table"), Seq("appdb"), Seq("ord*"))
+      .cdcSnapshot(keyCols = Seq("table", "key"))
+      .collect()
+    assert(snap.map(r => (r.getAs[String]("key"), r.getAs[Double]("value"))).toSet ==
+      Set(("k1", 20.0))) // k2 deleted, otherdb filtered out
+
+    val stats = changelog.cdcOpStats().collect()
+    assert(stats.map(_.getAs[String]("op")).toSet == Set("c", "u", "d"))
+  }
+
+  test("suppressSeen drops only keys present in history") {
+    val history = Seq(1L, 2L, 3L).toDF("id")
+    val incoming = Seq(2L, 3L, 4L, 5L).toDF("id")
+    val fresh = incoming.suppressSeen(history, "id").collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(4L, 5L))
+  }
+
+  test("dropExactDuplicates keeps lowest-id canonical per text") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (7L, "the quick brown fox"),
+      (3L, "something else entirely")
+    ).toDF("id", "body")
+    val kept = docs.dropExactDuplicates("id", "body").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhashCandidatePairs finds a planted near-duplicate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " nu"), // near-dup of 1
+      (3L, "totally different words about completely unrelated topics here now friends")
+    ).toDF("id", "body")
+    val pairs = docs.minhashCandidatePairs("id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // md5 variant agrees on the planted pair
+    val pairsMd5 = docs.minhashCandidatePairs("id", "body", md5Hash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsMd5.contains((1L, 2L)))
+  }
+
+  test("withTextStats appends the full feature row") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a fine day for sitting on mats today ok"),
+      (2L, "le chat est dans les jardins pour une promenade dans ce parc pas loin sur")
+    ).toDF("id", "body")
+    val stats = docs.withTextStats("body").collect().map(r =>
+      r.getAs[Long]("id") -> r).toMap
+    assert(stats(1L).getAs[String]("lang_pred") == "en")
+    assert(stats(2L).getAs[String]("lang_pred") == "fr")
+    assert(stats(1L).getAs[Long]("n_ws_tokens") == 18L)
+    assert(stats(1L).getAs[Double]("quality_score") > 50.0)
+    assert(stats(1L).getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("cosineTopK ranks the aligned vector first") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.1f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.0f)),
+      (13L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vid", "emb")
+    val queries = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
+    val nn = corpus.cosineTopK("vid", "emb", queries, k = 2).collect()
+    assert(nn.length == 2)
+    assert(nn.head.getAs[Long]("neighbor_id") == 10L)
+    assert(nn.head.getAs[Int]("rk") == 1)
+    assert(nn(1).getAs[Long]("neighbor_id") == 11L)
+  }
+}
