@@ -431,13 +431,16 @@ object Relational {
 
   // --- q24: exact interpolated percentiles (same linear-interp
   // definition in Spark `percentile` and DuckDB `quantile_cont`) ---
+  // one percentile aggregate with an array of fractions — a single
+  // value buffer per group instead of three copies of the data
   private def q24(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps")(0), 4).as("p50"),
+        round(col("ps")(1), 4).as("p90"),
+        round(col("ps")(2), 4).as("p99"))
       .orderBy("l_returnflag")
 
   private val q24Sql =
