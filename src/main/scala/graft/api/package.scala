@@ -56,6 +56,12 @@ package object api {
     def suppressSeen(history: DataFrame, keyCol: String): DataFrame =
       BloomDedup.suppressSeen(df, history, keyCol)
 
+    /** Binlog DSv2 rows (`spark.read.format("binlog")`) → typed
+      * `Dataset[ChangeEvent]` keyed by `keyPath` in the row image.
+      */
+    def asChangeEvents(keyPath: String = "$.col_0"): org.apache.spark.sql.Dataset[graft.cdc.ChangeEvent] =
+      graft.cdc.Changelog.fromBinlog(df, keyPath)
+
     // --- dedup ------------------------------------------------------
 
     /** One canonical row per distinct text (lowest id wins). */

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -23,6 +23,31 @@ object Changelog {
 
   def fromEvents(s: SparkSession, dir: String): DataFrame =
     canonicalize(Tables.events(s, dir))
+
+  /** Binlog DSv2 rows → typed `Dataset[ChangeEvent]` — the seam
+    * between `spark.read.format("binlog")` and the CDC operators
+    * (CdcApply.snapshot / CdcSink take its toDF directly). `keyPath`
+    * is the JSON path of the primary key inside the row image; for
+    * composite keys pre-extract and concat instead.
+    */
+  def fromBinlog(
+      binlogRows: DataFrame,
+      keyPath: String = "$.col_0"): Dataset[ChangeEvent] = {
+    val s = binlogRows.sparkSession
+    import s.implicits._
+    binlogRows
+      .filter(col("op").isNotNull)
+      .select(
+        concat_ws(".", col("schema_name"), col("table_name")).as("table"),
+        col("op"),
+        get_json_object(coalesce(col("after"), col("before")), keyPath).as("key"),
+        col("file").as("sourceFile"),
+        col("log_pos").as("offset"),
+        timestamp_seconds(col("ts")).as("ts"),
+        col("before"),
+        col("after"))
+      .as[ChangeEvent]
+  }
 
   def canonicalize(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType

@@ -190,6 +190,21 @@ class BinlogSpec extends AnyFunSuite {
       (e.typeName == "GTID" || e.typeName == "ANONYMOUS_GTID") && e.gtid != null))
   }
 
+  test("fromBinlog: typed Dataset[ChangeEvent] feeds CdcApply directly") {
+    import graft.api._
+    val ds = BinlogSource.events(spark, s"$fixtures/30_write_rows_v2/*").asChangeEvents()
+    val evs = ds.collect()
+    assert(evs.nonEmpty)
+    val e = evs.find(_.key == "1").get
+    assert(e.op == "c")
+    assert(e.table == "rustcdc.rustcdc")
+    assert(e.after.exists(_.contains("cdc-1")) && e.before.isEmpty)
+    assert(e.offset > 0 && e.sourceFile.nonEmpty)
+    // the typed changelog drops straight into the batch materializer
+    val snap = graft.cdc.CdcApply.snapshot(ds.toDF(), keyCols = Seq("table", "key"))
+    assert(snap.count() == evs.map(_.key).distinct.length)
+  }
+
   test("end-to-end CDC: binlog fixtures → changelog → sink snapshot") {
     import java.nio.file.Files
     // 32_delete fixture: INSERT (1,'abcde') then DELETE where 1=1 —
