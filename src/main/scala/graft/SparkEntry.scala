@@ -8,7 +8,7 @@ object SparkEntry {
   /** All implemented operators (SURVEY.md §2), one QueryDef each. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Skew.defs ++
-      operators.AsOf.defs ++ operators.Cdc.defs ++
+      operators.AsOf.defs ++ operators.Ranges.defs ++ operators.Cdc.defs ++
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs
 
