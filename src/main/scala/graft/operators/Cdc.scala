@@ -26,6 +26,7 @@ object Cdc {
     QueryDef("cdc_binlog_source", binlogSource, None),
     QueryDef("cdc_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
     QueryDef("cdc_binlog_throughput", binlogThroughput, None),
+    QueryDef("cdc_gtid_set", gtidSet, Some(gtidSetSql)),
     QueryDef("cdc_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
     QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
@@ -255,6 +256,30 @@ object Cdc {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("table_id")).as("n_tables"))
       .orderBy("event_type")
+
+  // --- cdc_gtid_set: executed-GTID interval compaction --------------
+  // The reference decodes Gtid/PreviousGtids events (uuid:gno pairs);
+  // a resuming replica persists them as coalesced intervals. Here the
+  // events table plays the transaction log: user_id % 16 = source
+  // server, event_id = gno. See [[graft.cdc.GtidSet]].
+  private def gtidSet(s: SparkSession, dir: String): DataFrame =
+    GtidSet.intervals(
+      Tables.events(s, dir).select(
+        (col("user_id") % 16).as("server_id"), col("event_id").as("gno")),
+      "server_id", "gno")
+      .orderBy("server_id", "gno_start")
+
+  private val gtidSetSql =
+    """WITH txns AS (
+      |  SELECT DISTINCT user_id % 16 AS server_id, event_id AS gno FROM events),
+      |isl AS (
+      |  SELECT server_id, gno,
+      |         gno - ROW_NUMBER() OVER (PARTITION BY server_id ORDER BY gno) AS grp
+      |  FROM txns)
+      |SELECT server_id, MIN(gno) AS gno_start, MAX(gno) AS gno_end,
+      |       COUNT(*) AS n_txns
+      |FROM isl GROUP BY server_id, grp
+      |ORDER BY server_id, gno_start""".stripMargin
 
   // --- cdc_sessionize: gap-based sessionization ---------------------
   // Spark side uses the NATIVE session_window (merging gap windows,

@@ -16,7 +16,8 @@ object TextAnalysis {
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
-    QueryDef("text_commonness", commonness, Some(commonnessSql))
+    QueryDef("text_commonness", commonness, Some(commonnessSql)),
+    QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql))
   )
 
   // ---------------------------------------------------------------
@@ -232,6 +233,54 @@ object TextAnalysis {
        |  CAST(SUM(CASE WHEN n_corpus >= $CommonMin THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS commonness
        |FROM bigrams JOIN counts USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_pii_scrub: PII redaction (emails / phone numbers) — a
+  // standard pre-training hygiene pass. The synthetic corpus is
+  // PII-free, so deterministic PII is planted from doc_id first;
+  // the redactor then has known ground truth to count and remove.
+  // Pure regexp built-ins — codegen'd, embarrassingly parallel, the
+  // only shuffle is the final presentation sort. Regexes use the
+  // common Java-regex / RE2 subset (no alternation, no backrefs) so
+  // both engines match identically.
+  // ---------------------------------------------------------------
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phone numbers. Usable on any text column. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  private def plantedPii(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id"), lit("@example.com or +1 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")
+      ).as("planted"))
+
+  private def piiScrub(s: SparkSession, dir: String): DataFrame =
+    plantedPii(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("planted"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("planted"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(scrubPii(col("planted"))).as("scrub_md5"))
+      .orderBy("doc_id")
+
+  private val piiScrubSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(planted, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(planted, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(planted, '$emailRe', '<EMAIL>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g')) AS scrub_md5
+       |FROM (SELECT doc_id,
+       |        text || ' Contact user' || doc_id || '@example.com or +1 555-867-' ||
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS planted
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   private val fingerprintSql =
     s"""SELECT d.doc_id, d.canonical_fp, r.rolling_fp FROM

@@ -192,4 +192,23 @@ class CdcSpec extends AnyFunSuite {
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("GtidSet coalesces transaction ids into MySQL-style intervals") {
+    import spark.implicits._
+    // source a: 1,2,3,5,7,8 (+ redelivered 2) → 1-3, 5, 7-8
+    // source b: 10 → 10
+    val txns = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 5L), ("a", 7L), ("a", 8L),
+      ("a", 2L), ("b", 10L)).toDF("src", "gno")
+    val ivs = GtidSet.intervals(txns, "src", "gno")
+      .orderBy("src", "gno_start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivs.toSeq == Seq(
+      ("a", 1L, 3L, 3L), ("a", 5L, 5L, 1L), ("a", 7L, 8L, 2L),
+      ("b", 10L, 10L, 1L)))
+    val txt = GtidSet.rendered(txns, "src", "gno")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(txt == Map("a" -> "1-3:5:7-8", "b" -> "10"))
+  }
 }

@@ -129,4 +129,19 @@ class PipelineSpec extends AnyFunSuite {
     val n = run("text_langid").collect().map(_.getAs[Long]("n")).sum
     assert(n == Tables.documents(spark, sf).count())
   }
+
+  test("text_pii_scrub redacts every planted email and phone number") {
+    import spark.implicits._
+    val rows = run("text_pii_scrub").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // every doc has the planted email + phone; corpus text may add more
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1)
+      assert(r.getAs[Long]("n_phones") >= 1)
+    }
+    // the redactor removes everything it counted
+    val scrubbed = Seq("See a.b@x.org or +1 555-867-0042, thanks").toDF("text")
+      .select(operators.TextAnalysis.scrubPii($"text")).head.getString(0)
+    assert(scrubbed == "See <EMAIL> or <PHONE>, thanks")
+  }
 }
