@@ -62,6 +62,13 @@ package object api {
     def asChangeEvents(keyPath: String = "$.col_0"): org.apache.spark.sql.Dataset[graft.cdc.ChangeEvent] =
       graft.cdc.Changelog.fromBinlog(df, keyPath)
 
+    /** Coalesce per-source transaction ids into executed-GTID-style
+      * intervals (`gno_start`, `gno_end`, `n_txns`) — bounded resume
+      * state, like MySQL's `gtid_executed`.
+      */
+    def gtidIntervals(sourceCol: String, gnoCol: String): DataFrame =
+      graft.cdc.GtidSet.intervals(df, sourceCol, gnoCol)
+
     // --- dedup ------------------------------------------------------
 
     /** One canonical row per distinct text (lowest id wins). */
@@ -96,6 +103,10 @@ package object api {
         .withColumn("quality_score", TextAnalysis.qualityScore(t))
         .withColumn("lang_pred", TextAnalysis.langIdOf(t))
     }
+
+    /** Redact emails and phone numbers from `textCol` in place. */
+    def scrubPii(textCol: String): DataFrame =
+      df.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
 
     // --- similarity -------------------------------------------------
 

@@ -28,7 +28,15 @@ object GtidSet {
     */
   def intervals(txns: DataFrame, sourceCol: String, gnoCol: String): DataFrame = {
     val w = Window.partitionBy(sourceCol).orderBy(gnoCol)
-    txns.select(col(sourceCol), col(gnoCol)).distinct()
+    // dedup redelivered (source, gno) pairs with lag over the SAME
+    // window instead of distinct(): a distinct would shuffle on
+    // (source, gno) and the window again on source — this plan has
+    // ONE exchange total (the filter preserves partitioning+order,
+    // so the second window pass reuses it)
+    txns.select(col(sourceCol), col(gnoCol))
+      .withColumn("_prev", lag(gnoCol, 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(gnoCol))
+      .drop("_prev")
       .withColumn("_island", col(gnoCol) - row_number().over(w))
       .groupBy(col(sourceCol), col("_island"))
       .agg(

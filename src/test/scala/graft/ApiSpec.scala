@@ -86,6 +86,20 @@ class ApiSpec extends AnyFunSuite {
     assert(stats(1L).getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("gtidIntervals and scrubPii work on user-shaped tables") {
+    val txns = Seq(("u1", 1L), ("u1", 2L), ("u1", 4L), ("u2", 9L))
+      .toDF("server_uuid", "txn_id")
+    val ivs = txns.gtidIntervals("server_uuid", "txn_id")
+      .orderBy("server_uuid", "gno_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ivs.toSeq == Seq(("u1", 1L, 2L), ("u1", 4L, 4L), ("u2", 9L, 9L)))
+
+    val scrubbed = Seq((1L, "mail me at a@b.io please"))
+      .toDF("id", "body").scrubPii("body")
+      .head.getAs[String]("body")
+    assert(scrubbed == "mail me at <EMAIL> please")
+  }
+
   test("cosineTopK ranks the aligned vector first") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f, 0.0f)),
