@@ -99,7 +99,8 @@ object CdcStream {
   def applyAvailableNow(
       s: SparkSession,
       dir: String,
-      queryName: String = "cdc_stream_apply"): DataFrame = {
+      queryName: String = "cdc_stream_apply",
+      statePartitions: Option[Int] = None): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // RocksDB state store: ~2× faster than the default HDFS-backed
@@ -118,15 +119,17 @@ object CdcStream {
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(applyGroup)
-    val q = upserts.writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("cdc_ckpt_").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, statePartitions) {
+      val q = upserts.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_ckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // multiple micro-batches may re-emit a key; keep the last
     // emission, then drop tombstoned keys
     CdcApply.snapshot(
@@ -134,6 +137,26 @@ object CdcStream {
         .withColumn("op", when(col("deleted"), Op.Delete).otherwise(Op.Update)),
       keyCols = Seq("key"), offsetCol = "last_offset")
       .drop("op", "deleted")
+  }
+
+  /** Run `body` (start a stream + await it) with
+    * `spark.sql.shuffle.partitions` temporarily overridden. The
+    * override pins the stateful operator's state-store partition
+    * count, which is locked into the checkpoint at first start: a
+    * bounded local replay with small state wants a handful of RocksDB
+    * instances, not one per core; a long-lived cluster deployment
+    * should size it to total executor cores and leave this None. The
+    * conf must stay overridden until the query terminates because
+    * micro-batches plan asynchronously after `start()`.
+    */
+  private def withStatePartitions[T](
+      s: SparkSession, n: Option[Int])(body: => T): T = n match {
+    case None => body
+    case Some(parts) =>
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try body
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Continuous ingest into a [[CdcSink]] snapshot table — the full
@@ -173,7 +196,8 @@ object CdcStream {
   def windowedAgg(
       s: SparkSession,
       dir: String,
-      queryName: String = "cdc_stream_window"): DataFrame = {
+      queryName: String = "cdc_stream_window",
+      statePartitions: Option[Int] = None): DataFrame = {
     import graft.QueryDef._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Changelog.canonicalize(
@@ -185,15 +209,17 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("cdc_wckpt_").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, statePartitions) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_wckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(queryName)
   }
 }

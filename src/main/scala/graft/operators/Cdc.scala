@@ -316,8 +316,10 @@ object Cdc {
 
   // --- cdc_stream_apply: Structured Streaming upsert == batch snapshot ---
   private def streamApply(s: SparkSession, dir: String): DataFrame =
+    // 8 state partitions: bounded replay with small per-key state —
+    // RocksDB instance spin-up dominates at one store per core
     CdcStream.applyAvailableNow(s, dir,
-      s"cdc_stream_apply_${System.nanoTime()}")
+      s"cdc_stream_apply_${System.nanoTime()}", statePartitions = Some(8))
       .select(col("key"), col("last_offset"), col("event_type"), col("value"))
       .orderBy("key")
 
@@ -326,7 +328,8 @@ object Cdc {
 
   // --- cdc_stream_window: watermarked windowed agg ---
   private def streamWindow(s: SparkSession, dir: String): DataFrame =
-    CdcStream.windowedAgg(s, dir, s"cdc_stream_window_${System.nanoTime()}")
+    CdcStream.windowedAgg(s, dir, s"cdc_stream_window_${System.nanoTime()}",
+      statePartitions = Some(8))
       .select(date_trunc("second", col("day")).as("day"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
