@@ -27,18 +27,25 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(10).collect()
     operators.Cdc.ensureBinlogGenerated(sfDir)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink evaluates every column (count() would let Catalyst
-      // prune the projections being measured)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def timeAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink evaluates every column (count() would let Catalyst
+        // prune the projections being measured)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // cold pass = planning + codegen + execution (first-touch UX);
+    // steady pass = same queries re-run in the warmed JVM — what the
+    // engine sustains, the number comparable to a long-lived cluster
+    val cold = timeAll()
+    val steady = timeAll()
+    val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(cold)},"steady_total":$steadyTotal,"steady_queries":${toJson(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
