@@ -208,12 +208,16 @@ object Cdc {
     * crashed/concurrent generation can never be half-read).
     */
   def ensureBinlogGenerated(dir: String): String = {
+    // binlogs cannot be split at arbitrary offsets (length-prefixed
+    // events, no sync markers), so DSv2 parallelism = file count;
+    // 32 rotated files at the same total volume matches a real
+    // deployment's log rotation AND a 32-core box
     val rowsPerFile = dir match {
-      case d if d.endsWith("0.1") => 250000
-      case d if d.endsWith("0.01") => 25000
-      case _ => 2500
+      case d if d.endsWith("0.1") => 62500
+      case d if d.endsWith("0.01") => 6250
+      case _ => 625
     }
-    val nFiles = 8
+    val nFiles = 32
     val genDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_binlog_gen_$rowsPerFile")
     val marker = genDir.resolve("_COMPLETE")
