@@ -116,7 +116,12 @@ object Ranges {
       col("o_orderdate").as("w_start"),
       expr("timestampadd(DAY, CAST(o_orderkey % 30 AS INT) + 1, o_orderdate)")
         .as("w_end"))
-    pointInInterval(points, "ship_date", intervals, "w_start", "w_end")
+    // distinct ship dates are calendar-bounded (~2.5k rows at ANY
+    // scale factor) — broadcast them so the exploded intervals side
+    // never shuffles; without the hint Catalyst broadcasts whichever
+    // side its size estimate favors, and at sf0.1+ the exploded
+    // intervals outgrow the threshold → sort-merge join of both sides
+    pointInInterval(broadcast(points), "ship_date", intervals, "w_start", "w_end")
       .groupBy("ship_date")
       .agg(count(lit(1)).as("n_open"), dsum(col("o_totalprice")).as("open_value"))
       .orderBy("ship_date")
