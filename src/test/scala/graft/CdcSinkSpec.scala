@@ -221,4 +221,47 @@ class CdcSinkSpec extends AnyFunSuite {
     val keys = spark.read.parquet(dir).select("key").collect().map(_.getString(0)).toSet
     assert(keys == Set("z"))
   }
+
+  test("schema evolution end-to-end: DDL stream drives the snapshot table") {
+    import graft.cdc.Ddl
+    val root = Files.createTempDirectory("graft_sink_ddl_").toString
+    val dir = s"$root/t1"
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)), dir, None)
+
+    // ALTER TABLE t1 ADD COLUMN score: no rewrite; next merge carries
+    // the new column and the table schema evolves lazily
+    assert(CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 ADD COLUMN score INT"), dir) == dir)
+    val withScore = Seq(("c", "c", 3L, "p1", 3.0, 42))
+      .toDF("key", "op", "offset", "part", "value", "score")
+      .withColumn("source_file", lit("bin.1"))
+    CdcSink.merge(spark, withScore, dir, None)
+    val snap = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(snap.columns.contains("score"))
+    val scores = snap.select("key", "score").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(scores("c").contains(42) && scores("a").isEmpty, scores.toString)
+
+    // RENAME COLUMN then DROP COLUMN rewrite in place
+    CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 RENAME COLUMN score TO rating"), dir)
+    assert(spark.read.parquet(dir).columns.contains("rating"))
+    CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 DROP COLUMN rating"), dir)
+    assert(!spark.read.parquet(dir).columns.contains("rating"))
+
+    // TRUNCATE clears data but the replication position survives
+    val committedBefore = CdcSink.committedOffsets(spark, dir)
+    assert(committedBefore.nonEmpty)
+    CdcSink.applyDdl(spark, Ddl.parse("TRUNCATE TABLE t1"), dir)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(CdcSink.committedOffsets(spark, dir) == committedBefore)
+    // post-truncate merge repopulates (schema from the batch)
+    CdcSink.merge(spark, changelog(("z", "c", 9, "p1", 7.0)), dir, None)
+    assert(spark.read.parquet(dir).count() == 1)
+
+    // RENAME TABLE moves the directory; DROP TABLE removes it
+    val dir2 = CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 RENAME TO `t2`"), dir)
+    assert(dir2.endsWith("/t2") && !new java.io.File(dir).exists())
+    assert(spark.read.parquet(dir2).count() == 1)
+    CdcSink.applyDdl(spark, Ddl.parse("DROP TABLE IF EXISTS t2"), dir2)
+    assert(!new java.io.File(dir2).exists())
+  }
 }
