@@ -18,6 +18,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the AppStatus/SQLAppStatus listeners run even with the UI off
+      // and by default retain ~1000 executions' plan graphs + job/
+      // stage/task rollups; over a 122-execution run that backlog
+      // inflated later queries 2-4× (measured: the same 5 queries
+      // steady at 4.6s alone vs 19.9s late in the full suite)
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "16")
+      .config("spark.ui.retainedStages", "32")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -50,6 +60,10 @@ object Bench {
     // steady pass = same queries re-run in the warmed JVM — what the
     // engine sustains, the number comparable to a long-lived cluster
     val cold = timeAll()
+    // settle the JVM between passes, outside any timed window — the
+    // steady pass should measure sustained query cost, not the cold
+    // pass's garbage
+    System.gc(); Thread.sleep(2000)
     val steady = timeAll()
     val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0

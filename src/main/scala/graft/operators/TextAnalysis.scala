@@ -17,7 +17,9 @@ object TextAnalysis {
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_commonness", commonness, Some(commonnessSql)),
-    QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql))
+    QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("text_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
+    QueryDef("text_repetition", repetition, Some(repetitionSql))
   )
 
   // ---------------------------------------------------------------
@@ -280,6 +282,90 @@ object TextAnalysis {
        |        text || ' Contact user' || doc_id || '@example.com or +1 555-867-' ||
        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS planted
        |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_paragraph_dedup: paragraph-level exact dedup — the C4 /
+  // RefinedWeb boilerplate pass (repeated footers, nav text, license
+  // blurbs removed at sub-document granularity). The synthetic corpus
+  // has no paragraph structure, so each doc gets one of 7
+  // deterministic boilerplate footers planted (doc_id % 7), then the
+  // operator detects paragraphs recurring across documents: explode
+  // on the sentence delimiter → md5 map-side → one shuffle on the
+  // 128-bit hash → per-paragraph (n_docs, n_occurrences) → compact
+  // histogram. At 100 TB only (hash, doc_id) rows shuffle, never
+  // paragraph bodies.
+  // ---------------------------------------------------------------
+  private val Footers = 7
+
+  private def plantedParagraphs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(". all rights reserved footer "),
+        (col("doc_id") % Footers).cast("string"), lit(" terms apply")
+      ).as("ptext"))
+
+  private def paragraphDedup(s: SparkSession, dir: String): DataFrame =
+    plantedParagraphs(s, dir)
+      .select(col("doc_id"), explode(split(col("ptext"), "\\. ")).as("para"))
+      .filter(col("para") =!= "")
+      .groupBy(md5(col("para")).as("para_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2) // boilerplate = recurs across docs
+      .groupBy("n_docs")
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(col("n_occurrences")).as("total_occurrences"),
+        min(col("para_hash")).as("first_hash"))
+      .orderBy("n_docs")
+
+  private val paragraphDedupSql =
+    s"""WITH paras AS (
+       |  SELECT doc_id, unnest(string_split_regex(
+       |           text || '. all rights reserved footer ' ||
+       |           CAST(doc_id % $Footers AS VARCHAR) || ' terms apply',
+       |           '\\. ')) AS para
+       |  FROM documents),
+       |per_para AS (
+       |  SELECT md5(para) AS para_hash,
+       |         COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+       |  FROM paras WHERE para <> '' GROUP BY md5(para))
+       |SELECT n_docs, COUNT(*) AS n_paragraphs,
+       |       CAST(SUM(n_occurrences) AS BIGINT) AS total_occurrences,
+       |       MIN(para_hash) AS first_hash
+       |FROM per_para WHERE n_docs >= 2
+       |GROUP BY n_docs ORDER BY n_docs""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_repetition: Gopher-style intra-document repetition — the
+  // fraction of word-3-gram occurrences that are duplicates of an
+  // earlier occurrence in the SAME document. Array built-ins only
+  // (transform/array_distinct), zero shuffles beyond the
+  // presentation sort: the signal is per-row, embarrassingly
+  // parallel, integer counts + one division.
+  // ---------------------------------------------------------------
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))").as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("rep_frac",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+
+  private val repetitionSql =
+    s"""SELECT doc_id,
+       |  CAST(len(g) AS BIGINT) AS n_grams,
+       |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       |  CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS rep_frac
+       |FROM (
+       |  SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 3)
        |ORDER BY doc_id""".stripMargin
 
   private val fingerprintSql =

@@ -144,4 +144,34 @@ class PipelineSpec extends AnyFunSuite {
       .select(operators.TextAnalysis.scrubPii($"text")).head.getString(0)
     assert(scrubbed == "See <EMAIL> or <PHONE>, thanks")
   }
+
+  test("text_paragraph_dedup surfaces the 7 planted boilerplate footers") {
+    val rows = run("text_paragraph_dedup").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // the 7 planted footers each recur across ~1/7 of the corpus; sum
+    // of occurrences across the recurring footer groups covers every doc
+    val footerOcc = rows.filter(_.getAs[Long]("n_docs") >= nDocs / Footers0 / 2)
+      .map(_.getAs[Long]("total_occurrences")).sum
+    assert(footerOcc >= nDocs, s"footer occurrences $footerOcc < $nDocs")
+  }
+  private val Footers0 = 7
+
+  test("text_repetition: rep_frac in [0,1] and exact on a known doc") {
+    import spark.implicits._
+    val rows = run("text_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("rep_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_grams"))
+    }
+    // "a b a b a b" → 3-grams: [a b a, b a b, a b a, b a b] → 4 grams,
+    // 2 distinct, rep_frac 0.5 — verify the formula end-to-end
+    val one = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val g = one.withColumn("w", split($"text", "\\s+"))
+      .selectExpr("size(w) - 2 AS n",
+        "size(array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS nd")
+      .head
+    assert(g.getInt(0) == 4 && g.getInt(1) == 2)
+  }
 }
