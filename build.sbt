@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in ONE JVM: 8g thrashes GC
   // (observed 10-20× tail latencies on shuffle-heavy queries)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // throughput collector: G1's concurrent cycles produced roving
+  // multi-second pause windows across a 126-query bench run;
+  // ParallelGC trades pause predictability for raw throughput, the
+  // right trade for a batch engine
+  "-XX:+UseParallelGC",
 )

@@ -38,12 +38,20 @@ object TextAnalysis {
     * text is mostly non-ascii, "und" when nothing matches. Pure
     * codegen'd Column — usable on any table.
     */
-  def langIdOf(text: Column): Column = {
-    val toks = split(text, "\\s+")
+  def langIdOf(text: Column): Column =
+    langIdOfDistinctToks(text, array_distinct(split(text, "\\s+")))
+
+  /** langIdOf with the distinct-token array supplied by the caller —
+    * lets a query project split+array_distinct ONCE instead of
+    * re-deriving it inside all four per-language scores (the repeated
+    * expression tree only partially CSEs in codegen). CollapseProject
+    * keeps the projection: since SPARK-36718 it won't inline non-cheap
+    * aliases referenced more than once.
+    */
+  def langIdOfDistinctToks(text: Column, td: Column): Column = {
     val scores = stopwords.map { case (lang, words) =>
       val arr = array(words.map(lit): _*)
-      lang -> (size(array_intersect(array_distinct(toks), arr)).cast("double") /
-        size(array_distinct(toks)))
+      lang -> (size(array_intersect(td, arr)).cast("double") / size(td))
     }
     // argmax with deterministic tiebreak: strictly-greater replaces
     val best = scores.foldLeft((lit("und"), lit(-1.0))) {
@@ -61,7 +69,9 @@ object TextAnalysis {
 
   private def langid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("lang").as("lang_actual"), langIdOf(col("text")).as("lang_pred"))
+      .withColumn("td", array_distinct(split(col("text"), "\\s+")))
+      .select(col("lang").as("lang_actual"),
+        langIdOfDistinctToks(col("text"), col("td")).as("lang_pred"))
       .groupBy("lang_actual", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang_actual", "lang_pred")
