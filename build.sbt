@@ -33,9 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in ONE JVM: 8g thrashes GC
   // (observed 10-20× tail latencies on shuffle-heavy queries)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // throughput collector: G1's concurrent cycles produced roving
-  // multi-second pause windows across a 126-query bench run;
-  // ParallelGC trades pause predictability for raw throughput, the
-  // right trade for a batch engine
-  "-XX:+UseParallelGC",
+  // keep the default G1: a ParallelGC experiment made the raw bench
+  // passes ~1.5× slower (cold 65.6s -> 104.6s at sf0.1) — this
+  // allocation-heavy workload wants G1's concurrent cycles despite
+  // their roving pause windows (the best-of-two-pass bench headline
+  // absorbs those)
 )

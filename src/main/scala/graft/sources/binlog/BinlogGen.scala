@@ -39,6 +39,50 @@ object BinlogGen {
     } finally out.close()
   }
 
+  /** FDE + one USER_VAR event per (name, typed value); None = SQL
+    * NULL. Mirrors the reference's UserVar event surface.
+    */
+  def writeUserVarFile(path: String, vars: Seq[(String, Option[Any])]): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      vars.foreach { case (name, v) =>
+        pos = writeEvent(out, pos, 0x0e, userVarBody(name, v))
+      }
+    } finally out.close()
+  }
+
+  private def userVarBody(name: String, value: Option[Any]): Array[Byte] = {
+    val n = name.getBytes("UTF-8")
+    val payload: Array[Byte] = value match {
+      case None => Array.empty
+      case Some(s: String) => s.getBytes("UTF-8")
+      case Some(d: Double) =>
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(java.lang.Double.doubleToLongBits(d)).array()
+      case Some(l: Long) =>
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+      case Some(other) => sys.error(s"unsupported user var type: $other")
+    }
+    val vType = value match {
+      case Some(_: String) => 0; case Some(_: Double) => 1; case _ => 2
+    }
+    val b = ByteBuffer.allocate(4 + n.length + 1 +
+      (if (value.isEmpty) 0 else 1 + 4 + 4 + payload.length))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(n.length); b.put(n)
+    b.put(if (value.isEmpty) 1.toByte else 0.toByte) // is_null
+    if (value.nonEmpty) {
+      b.put(vType.toByte)
+      b.putInt(33) // charset (utf8mb3_general_ci)
+      b.putInt(payload.length)
+      b.put(payload)
+    }
+    b.array()
+  }
+
   private def writeEvent(out: BufferedOutputStream, pos: Long, eventType: Int, body: Array[Byte]): Long = {
     val size = 19 + body.length
     val h = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)

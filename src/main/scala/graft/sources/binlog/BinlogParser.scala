@@ -9,8 +9,9 @@ import scala.collection.mutable
   * (dev.mysql.com/doc/internals/en/binlog-event.html). Covers the
   * same event subset the reference parses (rust-cdc README matrix /
   * `src/mysql/event/mod.rs`): FORMAT_DESCRIPTION, QUERY, ROTATE,
-  * INTVAR, XID, TABLE_MAP, ROWS_QUERY, WRITE/UPDATE/DELETE_ROWS v2,
-  * GTID, ANONYMOUS_GTID, PREVIOUS_GTIDS, HEARTBEAT.
+  * INTVAR, USER_VAR, XID, TABLE_MAP, ROWS_QUERY,
+  * WRITE/UPDATE/DELETE_ROWS v2, GTID, ANONYMOUS_GTID,
+  * PREVIOUS_GTIDS, HEARTBEAT.
   *
   * Pure function of the file bytes → event sequence; no I/O, no
   * shared state, so it parallelizes per-file inside a Spark source
@@ -55,6 +56,7 @@ object BinlogParser {
 
   val typeNames: Map[Int, String] = Map(
     0x02 -> "QUERY", 0x04 -> "ROTATE", 0x05 -> "INTVAR",
+    0x0e -> "USER_VAR",
     0x0f -> "FORMAT_DESCRIPTION", 0x10 -> "XID",
     0x11 -> "BEGIN_LOAD_QUERY", 0x12 -> "EXECUTE_LOAD_QUERY",
     0x13 -> "TABLE_MAP", 0x1b -> "HEARTBEAT", 0x1d -> "ROWS_QUERY",
@@ -134,6 +136,26 @@ object BinlogParser {
 
     case 0x10 => // XID
       Seq(Decoded(h, "XID", xid = u64(b)))
+
+    case 0x0e => // USER_VAR: @name := value (reference UserVar event)
+      val nameLen = u32(b).toInt
+      val name = fixedBytesString(b, nameLen)
+      val isNull = u8(b) == 1
+      if (isNull) Seq(Decoded(h, "USER_VAR", query = s"@$name=NULL"))
+      else {
+        val vType = u8(b)
+        skip(b, 4) // charset
+        val valLen = u32(b).toInt
+        val raw = new Array[Byte](math.min(valLen, b.remaining())); b.get(raw)
+        val repr = vType match {
+          case 0 => new String(raw, StandardCharsets.UTF_8) // STRING
+          case 1 => java.lang.Double.longBitsToDouble( // REAL: 8-byte LE
+            ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getLong).toString
+          case 2 => ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getLong.toString // INT
+          case _ => raw.map("%02x".format(_)).mkString // DECIMAL/ROW: hex
+        }
+        Seq(Decoded(h, "USER_VAR", query = s"@$name=$repr"))
+      }
 
     case 0x11 => // BEGIN_LOAD_QUERY: file_id + raw block
       val fileId = u32(b)

@@ -183,6 +183,20 @@ class BinlogSpec extends AnyFunSuite {
     assert(truncated.forall(e => !e.typeName.startsWith("CORRUPT")))
   }
 
+  test("user_var round-trip: string/int/real/null values decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_uservar_")
+    val path = s"$dir/mysql-bin.000001"
+    graft.sources.binlog.BinlogGen.writeUserVarFile(path, Seq(
+      "greeting" -> Some("hello world"),
+      "answer" -> Some(42L),
+      "pi" -> Some(3.5),
+      "nothing" -> None))
+    val events = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val uv = events.filter(_.typeName == "USER_VAR").map(_.query)
+    assert(uv == Seq("@greeting=hello world", "@answer=42", "@pi=3.5", "@nothing=NULL"), uv)
+  }
+
   test("gtid + previous_gtids parse") {
     val events = parse("gtid_prev_gtid/mysql-bin.000001")
     assert(events.exists(e => e.typeName == "PREVIOUS_GTIDS"))
