@@ -108,6 +108,22 @@ package object api {
     def scrubPii(textCol: String): DataFrame =
       df.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
 
+    /** Append the duplicate word-n-gram fraction (Gopher repetition
+      * signal) as `rep_frac` — shuffle-free projection.
+      */
+    def withRepetitionScore(textCol: String, n: Int = 3): DataFrame =
+      df.withColumn("rep_frac", TextAnalysis.repetitionScore(col(textCol), n))
+
+    /** Remove paragraphs recurring in ≥ `minDocs` documents and
+      * rebuild `textCol` in paragraph order — the C4-style
+      * boilerplate pass.
+      */
+    def dropBoilerplateParagraphs(
+        idCol: String,
+        textCol: String,
+        minDocs: Int = 2): DataFrame =
+      TextAnalysis.dropBoilerplateParagraphs(df, idCol, textCol, minDocs = minDocs)
+
     // --- similarity -------------------------------------------------
 
     /** Brute-force cosine top-k against a broadcast query set. The

@@ -345,6 +345,36 @@ object TextAnalysis {
        |FROM per_para WHERE n_docs >= 2
        |GROUP BY n_docs ORDER BY n_docs""".stripMargin
 
+  /** Remove paragraphs that recur across ≥ `minDocs` documents (the
+    * C4/RefinedWeb boilerplate pass) and reassemble each document in
+    * original paragraph order. Plan shape: posexplode → paragraph-hash
+    * counts (map-side partial agg, only hashes shuffle) → left-anti
+    * join against the recurring set → sort_array(collect_list) rebuild.
+    * At 100 TB the recurring-hash set is the small side of the join
+    * (boilerplate is by definition few distinct paragraphs) and AQE
+    * broadcasts it.
+    */
+  def dropBoilerplateParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\\. ",
+      joinSep: String = ". ",
+      minDocs: Int = 2): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .filter(col("para") =!= "")
+      .withColumn("ph", md5(col("para")))
+    val recurring = paras.groupBy("ph")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("ph")
+    paras.join(recurring, Seq("ph"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+        p => p("para")), joinSep).as(textCol))
+  }
+
   // ---------------------------------------------------------------
   // text_repetition: Gopher-style intra-document repetition — the
   // fraction of word-3-gram occurrences that are duplicates of an
@@ -353,6 +383,19 @@ object TextAnalysis {
   // presentation sort: the signal is per-row, embarrassingly
   // parallel, integer counts + one division.
   // ---------------------------------------------------------------
+  /** Duplicate word-n-gram fraction of `text` — 0 for no repetition,
+    * →1 as the doc degenerates into repeated phrases. Pure projection
+    * (no shuffle); usable as a filter column on any table.
+    */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val w = split(text, "\\s+")
+    val g = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    when(size(w) >= n,
+      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
   private def repetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("w", split(col("text"), "\\s+"))

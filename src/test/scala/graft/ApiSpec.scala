@@ -100,6 +100,31 @@ class ApiSpec extends AnyFunSuite {
     assert(scrubbed == "mail me at <EMAIL> please")
   }
 
+  test("dropBoilerplateParagraphs removes recurring footers, keeps unique text in order") {
+    val docs = Seq(
+      (1L, "alpha beta. all rights reserved. gamma delta"),
+      (2L, "epsilon zeta. all rights reserved. eta theta"),
+      (3L, "iota kappa only")
+    ).toDF("doc_id", "text")
+    val cleaned = docs.dropBoilerplateParagraphs("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "alpha beta. gamma delta")
+    assert(cleaned(2L) == "epsilon zeta. eta theta")
+    assert(cleaned(3L) == "iota kappa only")
+  }
+
+  test("withRepetitionScore: exact fraction and degenerate cases") {
+    val scored = Seq(
+      (1L, "a b a b a b"),   // grams: aba bab aba bab -> 2/4 dup
+      (2L, "w x y z"),       // no repetition
+      (3L, "one two")        // shorter than n -> 0.0
+    ).toDF("doc_id", "text").withRepetitionScore("text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("rep_frac")).toMap
+    assert(scored(1L) == 0.5)
+    assert(scored(2L) == 0.0)
+    assert(scored(3L) == 0.0)
+  }
+
   test("cosineTopK ranks the aligned vector first") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f, 0.0f)),
