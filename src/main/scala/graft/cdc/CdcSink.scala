@@ -271,6 +271,41 @@ object CdcSink {
     }
   }
 
+  /** Merge a changelog batch that may carry interleaved DDL events —
+    * the reference ingest loop's QUERY branch: data rows flush in
+    * offset order around each DDL, and each DDL applies to the table
+    * via [[applyDdl]] before later data lands. DDL rows have
+    * `op == Op.Query` and the statement text in `stmtCol`; they are
+    * rare, so collecting them to the driver (where schema decisions
+    * happen, as in the reference) is O(few), while data rows stay
+    * distributed throughout. Returns the table dir after the batch
+    * (it changes on RENAME TABLE).
+    */
+  def mergeWithDdl(
+      spark: SparkSession,
+      changes: DataFrame,
+      tableDir: String,
+      partitionCol: Option[String] = None,
+      stmtCol: String = "stmt"): String = {
+    val ddls: Array[(Long, String)] =
+      if (!changes.columns.contains(stmtCol)) Array.empty
+      else changes.filter(col("op") === Op.Query && col(stmtCol).isNotNull)
+        .select(col("offset"), col(stmtCol))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val data = changes.filter(col("op") =!= Op.Query)
+    var dir = tableDir
+    var lower = Long.MinValue
+    ddls.foreach { case (off, stmt) =>
+      val segment = data.filter(col("offset") > lower && col("offset") < off)
+      if (!segment.isEmpty) merge(spark, segment, dir, partitionCol)
+      dir = applyDdl(spark, Ddl.parse(stmt), dir, partitionCol)
+      lower = off
+    }
+    val rest = data.filter(col("offset") > lower)
+    if (!rest.isEmpty) merge(spark, rest, dir, partitionCol)
+    dir
+  }
+
   /** Route undecodable records to the dead-letter area. Returns the
     * clean subset. `isBad` marks rows the decoder rejected.
     */

@@ -222,6 +222,27 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(keys == Set("z"))
   }
 
+  test("mergeWithDdl: interleaved DDL applies in offset order around data") {
+    import graft.cdc.Op
+    val root = Files.createTempDirectory("graft_sink_ddlmix_").toString
+    val dir = s"$root/t1"
+    // offsets: insert a@1, b@2 | TRUNCATE@3 | insert z@4 | RENAME TO t9@5
+    val batch = Seq(
+      ("a", Op.Insert, 1L, "p1", 1.0, null.asInstanceOf[String]),
+      ("b", Op.Insert, 2L, "p1", 2.0, null.asInstanceOf[String]),
+      (null.asInstanceOf[String], Op.Query, 3L, "p1", 0.0, "TRUNCATE TABLE t1"),
+      ("z", Op.Insert, 4L, "p1", 9.0, null.asInstanceOf[String]),
+      (null.asInstanceOf[String], Op.Query, 5L, "p1", 0.0, "ALTER TABLE t1 RENAME TO t9"))
+      .toDF("key", "op", "offset", "part", "value", "stmt")
+      .withColumn("source_file", lit("bin.1"))
+    val finalDir = CdcSink.mergeWithDdl(spark, batch, dir, None)
+    assert(finalDir.endsWith("/t9"), finalDir)
+    val keys = spark.read.parquet(finalDir).select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("z"), s"truncate between inserts must drop a,b: $keys")
+    // the resume point survives the truncate and the rename
+    assert(CdcSink.committedOffsets(spark, finalDir) == Map("bin.1" -> 4L))
+  }
+
   test("schema evolution end-to-end: DDL stream drives the snapshot table") {
     import graft.cdc.Ddl
     val root = Files.createTempDirectory("graft_sink_ddl_").toString
