@@ -19,7 +19,8 @@ object TextAnalysis {
     QueryDef("text_commonness", commonness, Some(commonnessSql)),
     QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
-    QueryDef("text_repetition", repetition, Some(repetitionSql))
+    QueryDef("text_repetition", repetition, Some(repetitionSql)),
+    QueryDef("text_token_budget", tokenBudget, Some(tokenBudgetSql))
   )
 
   // ---------------------------------------------------------------
@@ -420,6 +421,80 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
        |  WHERE len(w) >= 3)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_token_budget: budget-bounded corpus curation — take the
+  // highest-quality documents, in (quality desc, doc_id) order, until
+  // a token budget is exhausted (here: half the corpus's tokens).
+  // The naive formulation is a GLOBAL window cumsum — a single-
+  // partition sort that dies at 100 TB. The scale shape used here:
+  //   1) per-score histogram (one small shuffle: distinct scores are
+  //      bounded by the 1e-4 rounding granularity),
+  //   2) driver-side threshold scan over the tiny histogram (like the
+  //      reference commits offsets driver-side: decisions are O(small)),
+  //   3) distributed filter score > threshold, plus a window over the
+  //      ONE boundary-score bucket (bounded partition) for the
+  //      partial take.
+  // The DuckDB oracle IS the naive global-window formulation —
+  // proving the distributed decomposition computes exactly it.
+  // ---------------------------------------------------------------
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        bpeTokenCount(col("text")).as("toks"),
+        qualityScore(col("text")).as("score"))
+    scored.cache()
+    try {
+      val budget = scored.agg(sum(col("toks"))).head.getLong(0) / 2
+      val hist = scored.groupBy("score").agg(sum(col("toks")).as("bucket_toks"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        .sortBy { case (sc, _) => -sc }
+      // walk the histogram until the budget crosses: scores above
+      // `boundary` are fully in; the boundary bucket takes partially
+      var cum = 0L
+      var boundary = Double.NegativeInfinity
+      var remainingAtBoundary = 0L
+      var fullyIn = Double.PositiveInfinity // scores strictly above are all in
+      val it = hist.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (sc, toks) = it.next()
+        if (cum + toks <= budget) { cum += toks; fullyIn = sc }
+        else { boundary = sc; remainingAtBoundary = budget - cum; done = true }
+      }
+      val full = scored.filter(col("score") >= fullyIn)
+      val partial =
+        if (!done) scored.limit(0)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("score")).orderBy(col("doc_id"))
+          scored.filter(col("score") === boundary)
+            .withColumn("__cum", sum(col("toks")).over(w))
+            .filter(col("__cum") <= remainingAtBoundary)
+            .drop("__cum")
+        }
+      full.unionAll(partial).orderBy(desc("score"), col("doc_id"))
+        .localCheckpoint() // sever lineage before uncache
+    } finally scored.unpersist()
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$bpeish')) AS BIGINT) AS toks,
+       |    ROUND(100.0 *
+       |      LEAST(1.0, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) / 20) *
+       |      (1.0 - CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text)) *
+       |      (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)), 4) AS score
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, toks, score,
+       |         SUM(toks) OVER (ORDER BY score DESC, doc_id
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM scored)
+       |SELECT doc_id, toks, score FROM sel
+       |WHERE cum <= (SELECT CAST(SUM(toks) AS BIGINT) // 2 FROM scored)
+       |ORDER BY score DESC, doc_id""".stripMargin
 
   private val fingerprintSql =
     s"""SELECT d.doc_id, d.canonical_fp, r.rolling_fp FROM
