@@ -124,6 +124,17 @@ package object api {
         minDocs: Int = 2): DataFrame =
       TextAnalysis.dropBoilerplateParagraphs(df, idCol, textCol, minDocs = minDocs)
 
+    /** Budget-bounded curation: rows in (scoreCol desc, idCol) order
+      * until the running `weightCol` sum exceeds `budget` — the
+      * global-window cumsum semantics without the global sort.
+      */
+    def takeByScoreBudget(
+        idCol: String,
+        weightCol: String,
+        scoreCol: String,
+        budget: Long): DataFrame =
+      TextAnalysis.takeByScoreBudget(df, idCol, weightCol, scoreCol, budget)
+
     // --- similarity -------------------------------------------------
 
     /** Brute-force cosine top-k against a broadcast query set. The

@@ -438,6 +438,52 @@ object TextAnalysis {
   // The DuckDB oracle IS the naive global-window formulation —
   // proving the distributed decomposition computes exactly it.
   // ---------------------------------------------------------------
+  /** Take rows in (scoreCol desc, idCol asc) order until the running
+    * sum of `weightCol` exceeds `budget` — exactly what a global
+    * `SUM() OVER (ORDER BY score DESC, id) <= budget` selects, but
+    * without the single-partition global sort that formulation
+    * forces. Shape: per-score histogram (small: distinct scores are
+    * bounded by score granularity) → driver threshold scan → one
+    * distributed filter + a window over the single boundary-score
+    * bucket. The caller supplies `budget`; rows must have a BIGINT
+    * weight and non-null numeric score.
+    */
+  def takeByScoreBudget(
+      scored: DataFrame,
+      idCol: String,
+      weightCol: String,
+      scoreCol: String,
+      budget: Long): DataFrame = {
+    val hist = scored.groupBy(scoreCol).agg(sum(col(weightCol)).as("__bucket_w"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (sc, _) => -sc }
+    // walk the histogram until the budget crosses: scores above the
+    // boundary are fully in; the boundary bucket takes partially
+    var cum = 0L
+    var boundary = Double.NegativeInfinity
+    var remainingAtBoundary = 0L
+    var fullyIn = Double.PositiveInfinity // scores ≥ this are all in
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (sc, w) = it.next()
+      if (cum + w <= budget) { cum += w; fullyIn = sc }
+      else { boundary = sc; remainingAtBoundary = budget - cum; done = true }
+    }
+    val full = scored.filter(col(scoreCol) >= fullyIn)
+    val partial =
+      if (!done) scored.limit(0)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(scoreCol)).orderBy(col(idCol))
+        scored.filter(col(scoreCol) === boundary)
+          .withColumn("__cum", sum(col(weightCol)).over(w))
+          .filter(col("__cum") <= remainingAtBoundary)
+          .drop("__cum")
+      }
+    full.unionAll(partial).orderBy(desc(scoreCol), col(idCol))
+  }
+
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -446,34 +492,7 @@ object TextAnalysis {
     scored.cache()
     try {
       val budget = scored.agg(sum(col("toks"))).head.getLong(0) / 2
-      val hist = scored.groupBy("score").agg(sum(col("toks")).as("bucket_toks"))
-        .collect().map(r => (r.getDouble(0), r.getLong(1)))
-        .sortBy { case (sc, _) => -sc }
-      // walk the histogram until the budget crosses: scores above
-      // `boundary` are fully in; the boundary bucket takes partially
-      var cum = 0L
-      var boundary = Double.NegativeInfinity
-      var remainingAtBoundary = 0L
-      var fullyIn = Double.PositiveInfinity // scores strictly above are all in
-      val it = hist.iterator
-      var done = false
-      while (it.hasNext && !done) {
-        val (sc, toks) = it.next()
-        if (cum + toks <= budget) { cum += toks; fullyIn = sc }
-        else { boundary = sc; remainingAtBoundary = budget - cum; done = true }
-      }
-      val full = scored.filter(col("score") >= fullyIn)
-      val partial =
-        if (!done) scored.limit(0)
-        else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("score")).orderBy(col("doc_id"))
-          scored.filter(col("score") === boundary)
-            .withColumn("__cum", sum(col("toks")).over(w))
-            .filter(col("__cum") <= remainingAtBoundary)
-            .drop("__cum")
-        }
-      full.unionAll(partial).orderBy(desc("score"), col("doc_id"))
+      takeByScoreBudget(scored, "doc_id", "toks", "score", budget)
         .localCheckpoint() // sever lineage before uncache
     } finally scored.unpersist()
   }

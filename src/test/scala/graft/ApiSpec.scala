@@ -125,6 +125,19 @@ class ApiSpec extends AnyFunSuite {
     assert(scored(3L) == 0.0)
   }
 
+  test("takeByScoreBudget matches the window-cumsum semantics incl. partial bucket") {
+    val rows = Seq(
+      (1L, 10L, 3.0), (2L, 10L, 3.0), (3L, 10L, 3.0), // boundary bucket
+      (4L, 5L, 9.0), (5L, 5L, 9.0),                   // best bucket: 10 total
+      (6L, 100L, 1.0))                                // never reached
+      .toDF("id", "w", "score")
+    // budget 25: bucket 9.0 fully in (10 tokens); boundary bucket 3.0
+    // has 15 left -> id 1 (cum 10) fits, id 2 (cum 20) does not
+    val got = rows.takeByScoreBudget("id", "w", "score", budget = 25L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 5L, 1L), got.toString)
+  }
+
   test("cosineTopK ranks the aligned vector first") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f, 0.0f)),
