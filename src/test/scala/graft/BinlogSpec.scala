@@ -132,6 +132,30 @@ class BinlogSpec extends AnyFunSuite {
     assert(df.filter(col("op") === "c").count() == 1234)
   }
 
+  test("randomized round-trip: 30 seeded shapes parse back exactly") {
+    import graft.sources.binlog.BinlogGen
+    val rnd = new scala.util.Random(20260812L) // fixed seed: deterministic
+    val dir = java.nio.file.Files.createTempDirectory("binlog_fuzz_")
+    (1 to 30).foreach { i =>
+      val nRows = 1 + rnd.nextInt(500)
+      val perEvent = 1 + rnd.nextInt(nRows)
+      val f = dir.resolve(f"mysql-bin.$i%06d").toString
+      BinlogGen.writeFile(f, nRows, perEvent)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      val events = BinlogParser.parseFile(bytes)
+      val writes = events.filter(_.typeName == "WRITE_ROWS_V2")
+      assert(writes.length == nRows, s"shape $i: $nRows rows @ $perEvent/event")
+      assert(writes.map(_.after).distinct.length == nRows) // every row distinct
+      assert(events.count(_.typeName == "XID") ==
+        (nRows + perEvent - 1) / perEvent)
+      assert(!events.exists(_.typeName.startsWith("CORRUPT")))
+      // arbitrary truncation never crashes and never fabricates rows
+      val cut = 20 + rnd.nextInt(math.max(bytes.length - 20, 1))
+      val partial = BinlogParser.parseFile(bytes.take(cut))
+      assert(partial.count(_.typeName == "WRITE_ROWS_V2") <= nRows)
+    }
+  }
+
   test("typed round-trip: BIT/ENUM/SET/DATE decode without misalignment") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_typed_")
