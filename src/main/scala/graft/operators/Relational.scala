@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * window, sort; /root/reference Cargo.toml `datafusion = "12.0.0"`).
   *
   * Re-expressed as declarative DataFrame plans so Catalyst handles
-  * pushdown/pruning/join-strategy; dimension tables are explicitly
-  * broadcast where they are guaranteed small relative to the fact
-  * side at any scale factor (region/nation/supplier/part/customer).
+  * pushdown/pruning/join-strategy. Explicit `broadcast()` hints are
+  * reserved for tables whose size is CONSTANT in the scale factor
+  * (nation = 25 rows, region = 5 rows). customer/part/supplier/orders
+  * grow linearly with SF, so forcing a broadcast on them would OOM the
+  * driver at the 100 TB design target even though it happens to fit at
+  * bench scale — those joins are left to AQE +
+  * `autoBroadcastJoinThreshold`, which picks BroadcastHashJoin at
+  * small SF (asserted in RelationalSpec's plan audit) and degrades to
+  * a shuffle join when the dim outgrows the threshold.
   */
 object Relational {
 
@@ -90,13 +96,15 @@ object Relational {
       |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  // --- q3: fact-fact shuffle join + broadcast dim + agg + topN ---
+  // --- q3: fact-fact shuffle join + size-based dim join + agg + topN.
+  // customer grows with SF — no broadcast hint; AQE picks BHJ while the
+  // filtered dim fits the threshold and SMJ beyond it. ---
   private def q3(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, dir)
     val l = Tables.lineitem(s, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(asDouble(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -255,11 +263,12 @@ object Relational {
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
       |ORDER BY o_custkey""".stripMargin
 
-  // --- q13: IN-subquery → semi join on a broadcast-able filtered dim ---
+  // --- q13: IN-subquery → semi join on a filtered dim. part grows with
+  // SF — strategy left to AQE (BHJ at small SF, shuffle semi beyond). ---
   private def q13(s: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(s, dir).filter(col("p_size") > 40).select("p_partkey")
     Tables.lineitem(s, dir)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_value"))
   }
 
@@ -286,7 +295,9 @@ object Relational {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
       |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
 
-  // --- q15: 5-table star join; all dims broadcast, one fact shuffle ---
+  // --- q15: 5-table star join. nation/region are constant-size (25/5
+  // rows at ANY scale factor) → explicit broadcast; customer scales
+  // with SF → AQE decides its join strategy. ---
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(s, dir)
     val n = Tables.nation(s, dir)
@@ -294,7 +305,7 @@ object Relational {
     val o = Tables.orders(s, dir)
     val l = Tables.lineitem(s, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")

@@ -35,6 +35,55 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  // --- plan audit: broadcast-hint discipline at the 100 TB target ---
+  // An explicit broadcast() hint pins the strategy regardless of size,
+  // so a hint on a table that grows with the scale factor (customer,
+  // part, supplier, orders, lineitem) is an OOM at scale even though
+  // it "works" at bench SF. Only constant-size tables (nation = 25
+  // rows, region = 5 rows) may carry hints.
+  private def hintedSources(name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+    plan.collect { case h: ResolvedHint =>
+      h.child.collectLeaves().collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      }.mkString(";")
+    }
+  }
+
+  private val scalingTables =
+    Seq("customer", "part", "supplier", "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("plan audit: no broadcast hint references an SF-scaling table") {
+    for (q <- Seq("q3_join_agg", "q13_in_subquery", "q15_multi_join", "q4_semi_join", "q5_anti_join")) {
+      for (hinted <- hintedSources(q); t <- scalingTables)
+        assert(!hinted.contains(s"/$t.parquet"),
+          s"$q force-broadcasts SF-scaling table $t — driver OOM at 100× scale")
+    }
+    // q15 keeps its hints on the constant-size dims only
+    val q15Hints = hintedSources("q15_multi_join")
+    assert(q15Hints.size == 2, s"q15 expected nation+region hints, got: $q15Hints")
+    assert(q15Hints.exists(_.contains("/nation.parquet")) && q15Hints.exists(_.contains("/region.parquet")))
+  }
+
+  test("plan audit: size-based planning still picks BroadcastHashJoin at small SF") {
+    // With the hints gone, Catalyst/AQE must still collapse the dim
+    // joins to BHJ while the dim is below autoBroadcastJoinThreshold —
+    // i.e. removing the hint costs nothing at bench scale.
+    def bhjCount(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // materialize so AQE finalizes the physical plan
+      "BroadcastHashJoin".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    assert(bhjCount("q3_join_agg") >= 1, "q3 customer join should be BHJ at sf0.01")
+    assert(bhjCount("q13_in_subquery") >= 1, "q13 part semi join should be BHJ at sf0.01")
+    assert(bhjCount("q15_multi_join") >= 3, "q15 dims should be BHJ at sf0.01")
+  }
+
   test("typed Dataset API: case-class encoder aggregation matches untyped") {
     import spark.implicits._
     val ds = Tables.lineitem(spark, sf)
