@@ -50,4 +50,44 @@ object Listeners {
       override def process(value: T): Unit = onEvent(value)
       override def close(errorOrNull: Throwable): Unit = ()
     })
+
+  /** End-to-end probe of both callback planes over the events
+    * changelog: streams every change through [[foreachEvent]] (an
+    * executor-side LongAccumulator counts per-event callbacks) with a
+    * [[ProgressListener]] attached (driver-side numInputRows
+    * bookkeeping). Both planes must independently account for every
+    * event — the returned two-row frame is oracle-checkable against
+    * `COUNT(*)` of the source.
+    */
+  def probe(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val listener = new ProgressListener
+    s.streams.addListener(listener)
+    try {
+      val qn = s"cdc_listeners_${System.nanoTime()}"
+      val acc = s.sparkContext.longAccumulator(qn)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val keys = Changelog.canonicalize(
+        s.readStream.schema(Tables0.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .select(col("key")).as[String]
+      val q = foreachEvent[String](keys, _ => acc.add(1))
+        .queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_listen_ckpt_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // accumulator values land with task completion (synchronous by
+      // awaitTermination); listener events ride the async bus — wait
+      // (bounded) until the driver plane catches up to the executors
+      val seen: Long = acc.value.longValue
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.rows(qn) < seen && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Seq(("driver", listener.rows(qn)), ("executor", seen))
+        .toDF("plane", "n_rows").orderBy("plane")
+    } finally s.streams.removeListener(listener)
+  }
 }

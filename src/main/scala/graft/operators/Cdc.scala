@@ -29,7 +29,12 @@ object Cdc {
     QueryDef("cdc_gtid_set", gtidSet, Some(gtidSetSql)),
     QueryDef("cdc_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
-    QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql))
+    QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql)),
+    QueryDef("cdc_sink", cdcSink, Some(sinkSql)),
+    QueryDef("cdc_ingest", cdcIngest, Some(ingestSql)),
+    QueryDef("cdc_listeners", cdcListeners, Some(listenersSql)),
+    QueryDef("cdc_binlog_stream", binlogStream, None),
+    QueryDef("cdc_binlog_pushdown", binlogPushdown, None)
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -317,6 +322,109 @@ object Cdc {
        |       COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
        |FROM sess GROUP BY key, session_id
        |ORDER BY key, session_start""".stripMargin
+
+  // --- cdc_sink: partitioned snapshot store, pruned merge ----------
+  // Splits the changelog at the midpoint offset, bootstraps the table
+  // from the first half, then MERGES the second half (the incremental
+  // path: touched-partition pruning, offset commits, compaction
+  // counter). The partition column is derived from the key (stable
+  // per key, like the reference's `partition_field`), so a pruned
+  // merge is exact. Result table must equal the one-shot snapshot —
+  // the oracle is the plain latest-per-key SQL.
+  private def cdcSink(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("key"), col("op"), col("offset"), col("event_type"), col("value"))
+      .withColumn("part", pmod(col("key").cast("long"), lit(8)))
+    val mid = log.agg(max("offset")).head.getLong(0) / 2
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_sink_q_").toString
+    CdcSink.writeSnapshot(log.filter(col("offset") <= mid), tableDir, Some("part"))
+    CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, Some("part"))
+    s.read.parquet(tableDir)
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  private val sinkSql =
+    s"""SELECT key, "offset" AS last_offset, event_type, "value"
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |      FROM ($changelogSql))
+       |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY key""".stripMargin
+
+  // --- cdc_ingest: streaming foreachBatch ingest == batch snapshot ---
+  // The full reference loop (source → buffer → flush-to-table) as a
+  // Structured Streaming query: each micro-batch is one flush, merged
+  // into the CdcSink table with offsets committed after data.
+  private def cdcIngest(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_ingest_q_").toString
+    CdcStream.ingestInto(s, dir, tableDir,
+      queryName = s"cdc_ingest_${System.nanoTime()}")
+    s.read.parquet(tableDir)
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  private val ingestSql = sinkSql
+
+  // --- cdc_listeners: both callback planes account for every event ---
+  private def cdcListeners(s: SparkSession, dir: String): DataFrame =
+    Listeners.probe(s, dir)
+
+  private val listenersSql =
+    """SELECT * FROM (
+      |  SELECT 'driver' AS plane, COUNT(*) AS n_rows FROM events
+      |  UNION ALL
+      |  SELECT 'executor' AS plane, COUNT(*) AS n_rows FROM events)
+      |ORDER BY plane""".stripMargin
+
+  // --- cdc_binlog_stream: readStream.format("binlog") micro-batch path ---
+  // Tails the reference repo's own fixture files through the DSv2
+  // MicroBatchStream (rows-only: the oracle cannot read binlog).
+  private def binlogStream(s: SparkSession, dir: String): DataFrame = {
+    val qn = s"cdc_binlog_stream_${System.nanoTime()}"
+    val q = s.readStream.format("binlog")
+      .load("/root/reference/tests/events/*/*")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("binlog_stream_ckpt_").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("file")).as("n_files"))
+      .orderBy("event_type")
+  }
+
+  // --- cdc_binlog_pushdown: DSv2 pruning/pushdown manifest ----------
+  // Runs a pruned+filtered scan and reports what actually reached the
+  // reader: the read schema must be the projected columns only, the
+  // dispatch-column equality must be pushed, and the numeric residual
+  // must NOT be (it stays with Spark). Rows-only by design — the
+  // manifest is engine-specific.
+  private def binlogPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = graft.sources.binlog.BinlogSource
+      .events(s, "/root/reference/tests/events/*/*")
+      .filter(col("event_type") === "WRITE_ROWS_V2" && col("log_pos") > 0)
+      .select("event_type", "table_name", "op")
+    val nRows = df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    scans.collect { case sc: graft.sources.binlog.BinlogScan =>
+      (sc.readSchema().fieldNames.sorted.mkString(","),
+        sc.pushedDown.map(_.toString).sorted.mkString(";"),
+        nRows)
+    }.toDF("read_columns", "pushed_filters", "n_rows")
+  }
 
   // --- cdc_stream_apply: Structured Streaming upsert == batch snapshot ---
   private def streamApply(s: SparkSession, dir: String): DataFrame =

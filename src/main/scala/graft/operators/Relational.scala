@@ -51,7 +51,8 @@ object Relational {
     QueryDef("q24_percentile", q24, Some(q24Sql)),
     QueryDef("q26_json", q26, Some(q26Sql)),
     QueryDef("q27_approx_sketch", q27, None),
-    QueryDef("q28_correlated_subquery", q28, Some(q28Sql))
+    QueryDef("q28_correlated_subquery", q28, Some(q28Sql)),
+    QueryDef("topk_per_key", topkPerKey, Some(topkPerKeySql))
   )
 
   // --- q1: scan → filter → hash agg (partial agg map-side, one shuffle) ---
@@ -510,6 +511,33 @@ object Relational {
       |      FROM lineitem GROUP BY l_partkey) agg
       |  ON l1.l_partkey = agg.p_key
       |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < sum_qty""".stripMargin
+
+  // --- topk_per_key: custom bounded-heap top-K plan -----------------
+  // Top-3 suppliers per returnflag through [[graft.plans.TopKPerKey]]
+  // (one keyed exchange, O(n log K) heap fold, NO per-partition sort —
+  // the 100 TB answer to the row_number window). The order value mixes
+  // the suppkey into the double so it is strictly unique per group
+  // (supp_qty is decimal(18,2)-exact, so distinct quantities differ by
+  // ≥ 0.01 → ×1e7 separates them by ≥ 1e5 ≫ any bench-scale suppkey),
+  // making the heap's choice — and the DuckDB oracle ordering by the
+  // same IEEE doubles — fully deterministic.
+  private def topkPerKey(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(dsum(col("l_quantity")).as("supp_qty"))
+      .withColumn("ord", col("supp_qty") * lit(1e7) + col("l_suppkey"))
+    graft.plans.TopKPerKey(perSupp, Seq("l_returnflag"), "ord", 3)
+      .select("l_returnflag", "l_suppkey", "supp_qty")
+  }
+
+  private val topkPerKeySql =
+    """SELECT l_returnflag, l_suppkey, supp_qty FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY ord DESC) AS rn
+      |  FROM (SELECT l_returnflag, l_suppkey,
+      |          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty,
+      |          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 1e7 + l_suppkey AS ord
+      |        FROM lineitem GROUP BY l_returnflag, l_suppkey))
+      |WHERE rn <= 3""".stripMargin
 
   // --- q27: approximate sketches (HLL distinct + approx quantiles).
   // Engine-specific sketch internals → rows-only gate; accuracy vs

@@ -115,8 +115,9 @@ final case class BinlogInputPartition(path: String) extends InputPartition
 class BinlogScan(
     options: Map[String, String],
     required: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    val pushedDown: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
+  private def filters = pushedDown
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)

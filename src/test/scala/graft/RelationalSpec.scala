@@ -79,9 +79,16 @@ class RelationalSpec extends AnyFunSuite {
       df.collect() // materialize so AQE finalizes the physical plan
       "BroadcastHashJoin".r.findAllIn(df.queryExecution.executedPlan.toString).length
     }
-    assert(bhjCount("q3_join_agg") >= 1, "q3 customer join should be BHJ at sf0.01")
-    assert(bhjCount("q13_in_subquery") >= 1, "q13 part semi join should be BHJ at sf0.01")
-    assert(bhjCount("q15_multi_join") >= 3, "q15 dims should be BHJ at sf0.01")
+    // suites share the JVM session — pin the threshold other specs
+    // may have disabled (BucketingSpec forces SMJ with -1)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (10 * 1024 * 1024).toString)
+    try {
+      assert(bhjCount("q3_join_agg") >= 1, "q3 customer join should be BHJ at sf0.01")
+      assert(bhjCount("q13_in_subquery") >= 1, "q13 part semi join should be BHJ at sf0.01")
+      assert(bhjCount("q15_multi_join") >= 3, "q15 dims should be BHJ at sf0.01")
+    } finally spark.conf.set(key, prev)
   }
 
   test("typed Dataset API: case-class encoder aggregation matches untyped") {
