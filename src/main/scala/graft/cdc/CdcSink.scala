@@ -1,27 +1,32 @@
 package graft.cdc
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-table sink — the reference's Delta ingest re-expressed
-  * over plain partitioned parquet (rust-cdc `src/delta/mod.rs`
-  * IngestProcessor/DataWriter: partition_field extraction, composite
-  * unique_key_fields, buffered upsert flush, commit offsets in
-  * `__commit_offset__.json`, dead-letter table).
+  * over parquet + a [[TxnLog]] transaction log (rust-cdc
+  * `src/delta/mod.rs` IngestProcessor/DataWriter: partition_field
+  * extraction, composite unique_key_fields, buffered upsert flush,
+  * transactional add/remove commits, checkpoint every 10 commits,
+  * commit offsets, dead-letter table).
   *
   * Design for scale:
-  *  - the snapshot table is hash-partitioned parquet, partitioned on
-  *    the user's partition column (like `IngestOptions
-  *    .partition_field`) so merges prune;
+  *  - every write lands in a fresh commit directory and becomes
+  *    visible only when the manifest version is atomically published
+  *    — a crash mid-merge can never lose or half-expose the table,
+  *    and a reader racing a writer sees a consistent version;
   *  - [[merge]] rewrites ONLY the partitions the incoming changelog
-  *    touches: read-side partition pruning via an IN filter over the
-  *    distinct incoming partition values (collected from the small
-  *    change batch, not the big table);
+  *    touches: the manifest maps files to partition values, so the
+  *    pruned read selects files directly (no directory listing);
   *  - commit offsets are written after data (write-ahead by data,
-  *    like the reference commits the log AFTER a successful flush),
-  *    and re-merging an already-committed batch is a no-op upsert —
-  *    idempotent recovery;
+  *    like the reference commits the log AFTER a successful flush)
+  *    via temp-file + atomic rename, and re-merging an
+  *    already-committed batch is a no-op upsert — idempotent
+  *    recovery;
+  *  - every [[CompactEvery]]-th merge compacts to one file per
+  *    partition and vacuums crashed/superseded commit dirs (the
+  *    reference's checkpoint-every-10-commits);
   *  - undecodable records are appended to a dead-letter directory
   *    (`IngestOptions.dlq_table_uri`).
   */
@@ -30,7 +35,7 @@ object CdcSink {
   val CommitFile = "_graft_commit_offset.json"
 
   /** DLQ path for a table — a SIBLING directory, deliberately outside
-    * the table dir so snapshot overwrites/compaction can never clear
+    * the table dir so snapshot compaction/vacuum can never clear
     * captured records.
     */
   def dlqDir(tableDir: String): String = tableDir.stripSuffix("/") + "_dlq"
@@ -38,86 +43,81 @@ object CdcSink {
   /** Canonical changelog columns every sink input must carry. */
   val requiredCols: Seq[String] = Seq("key", "op", "offset")
 
+  /** Read the snapshot table at its current committed version. */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    TxnLog.read(spark, tableDir)
+
+  private def fsFor(spark: SparkSession, tableDir: String): FileSystem =
+    new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Full rewrite: materialize the snapshot of `changelog` under
-    * `tableDir`, partitioned by `partitionCol` when given.
+    * `tableDir`, partitioned by `partitionCol` when given. Publishes
+    * one new version listing only the new files.
     */
   def writeSnapshot(
       changelog: DataFrame,
       tableDir: String,
       partitionCol: Option[String] = None): Unit = {
+    val spark = changelog.sparkSession
+    val fs = fsFor(spark, tableDir)
     val snap = CdcApply.snapshot(changelog)
-    val writer = snap.write.mode(SaveMode.Overwrite)
-    partitionCol match {
-      case Some(p) => writer.partitionBy(p).parquet(tableDir)
-      case None => writer.parquet(tableDir)
-    }
+    val version = TxnLog.current(fs, tableDir).map(_.version + 1).getOrElse(1L)
+    val entries = TxnLog.writeCommitDir(snap, tableDir, partitionCol, version)
+    TxnLog.commit(fs, tableDir, version, snap.schema, entries)
     commitOffsets(changelog, tableDir)
   }
 
   /** Incremental upsert merge: apply `changes` (a changelog batch)
     * to the existing snapshot, rewriting only touched partitions.
+    * The new version's manifest carries the untouched partitions'
+    * files forward unchanged.
     */
   def merge(
       spark: SparkSession,
       changes: DataFrame,
       tableDir: String,
       partitionCol: Option[String] = None): Unit = {
-    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tablePath = new Path(tableDir)
-    val hasData = fs.exists(tablePath) &&
-      fs.listStatus(tablePath).exists(s => !s.getPath.getName.startsWith("_"))
-    if (!hasData) {
+    val fs = fsFor(spark, tableDir)
+    val manifest = TxnLog.current(fs, tableDir)
+    if (manifest.isEmpty || manifest.get.entries.isEmpty) {
+      // bootstrap (or post-truncate repopulation — offsets merge in)
       writeSnapshot(changes, tableDir, partitionCol)
       return
     }
+    val m = manifest.get
     partitionCol match {
       case None =>
         // unpartitioned: full merge. allowMissingColumns both ways →
         // schema EVOLVES when the changelog gains columns (reference
         // DDL propagation: ALTER TABLE ADD COLUMN flows into the
         // table; dropped columns stay, null-filled)
-        val existing = spark.read.option("mergeSchema", "true").parquet(tableDir)
+        val existing = TxnLog.readEntries(spark, tableDir, m.entries)
           .withColumn("op", lit(Op.Update))
         val merged = CdcApply.snapshot(
-          existing.unionByName(changes, allowMissingColumns = true)
-            .localCheckpoint())
-        // static overwrite clears the dir — keep commit/counter files
-        preservingSidecars(fs, tableDir) {
-          merged.write.mode(SaveMode.Overwrite).parquet(tableDir)
-        }
+          existing.unionByName(changes, allowMissingColumns = true))
+        val entries = TxnLog.writeCommitDir(merged, tableDir, None, m.version + 1)
+        TxnLog.commit(fs, tableDir, m.version + 1, merged.schema, entries)
       case Some(p) =>
         // collect touched partition values from the SMALL change batch
         val touched = changes.select(p).distinct().collect().map(_.get(0))
         if (touched.nonEmpty) {
-          // isin never matches null — a null partition value would be
-          // silently dropped (and its offset still committed: data
-          // loss), so null-touch needs an explicit isNull disjunct
-          val nonNull = touched.filter(_ != null)
-          def touchedPred = {
-            val base = if (nonNull.isEmpty) lit(false) else col(p).isin(nonNull: _*)
-            if (touched.contains(null)) base || col(p).isNull else base
+          val touchedEsc = touched.map(hivePartName).toSet
+          val (touchedEntries, untouchedEntries) =
+            m.entries.partition(_.partition.exists(touchedEsc.contains))
+          val incoming = changes
+          val unioned = if (touchedEntries.isEmpty) incoming else {
+            // mergeSchema: after a partial (touched-partition) schema
+            // evolution, untouched files still carry the old footer —
+            // readEntries merges footers so evolved columns survive
+            TxnLog.readEntries(spark, tableDir, touchedEntries)
+              .withColumn("op", lit(Op.Update))
+              .unionByName(incoming, allowMissingColumns = true)
           }
-          // mergeSchema: after a partial (touched-partition) schema
-          // evolution, untouched files still carry the old footer — a
-          // plain read could resolve to it and drop evolved columns
-          val existing = spark.read.option("mergeSchema", "true").parquet(tableDir)
-            .filter(touchedPred) // partition-pruned read
-            .withColumn("op", lit(Op.Update))
-          val merged = CdcApply.snapshot(
-            existing.unionByName(changes.filter(touchedPred),
-                allowMissingColumns = true)
-              .localCheckpoint()) // sever lineage: source files are being overwritten
-          val mergedStable = merged.localCheckpoint()
-          mergedStable.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(p).parquet(tableDir)
-          // dynamic overwrite never touches partitions with zero
-          // surviving rows — drop emptied partitions explicitly,
-          // using Hive's on-disk partition-path encoding
-          val survivors = mergedStable.select(p).distinct().collect().map(_.get(0)).toSet
-          touched.filterNot(survivors.contains).foreach { v =>
-            fs.delete(new Path(tableDir, s"$p=${hivePartName(v)}"), true)
-          }
+          val merged = CdcApply.snapshot(unioned)
+          val newEntries = TxnLog.writeCommitDir(merged, tableDir, Some(p), m.version + 1)
+          // emptied partitions simply have no files in the new version
+          TxnLog.commit(fs, tableDir, m.version + 1, merged.schema,
+            untouchedEntries ++ newEntries)
         }
     }
     commitOffsets(changes, tableDir)
@@ -126,19 +126,20 @@ object CdcSink {
 
   /** Hive partition-directory encoding for a partition value (null →
     * default-partition marker; special characters percent-escaped the
-    * way Spark writes them).
+    * way Spark writes them). This is the form [[TxnLog.Entry]] stores.
     */
-  private def hivePartName(v: Any): String =
+  private[graft] def hivePartName(v: Any): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(v.toString)
 
   /** Checkpoint-style compaction every N merges — the reference
     * creates a delta checkpoint every 10 commits
-    * (`src/delta/mod.rs:262-285` try_create_checkpoint); the parquet
-    * analog is rewriting accumulated small files into one per
-    * partition. At 100 TB merge cadence this is what keeps scan task
-    * counts (and NameNode/listing pressure) bounded.
+    * (`src/delta/mod.rs:262-285` try_create_checkpoint); the analog
+    * is rewriting accumulated small files into one per partition and
+    * vacuuming superseded/crashed commit dirs. At 100 TB merge
+    * cadence this is what keeps scan task counts (and manifest size /
+    * listing pressure) bounded.
     */
   val CompactEvery = 10
 
@@ -150,46 +151,24 @@ object CdcSink {
     if (mergeCount % CompactEvery == 0) compact(spark, tableDir, partitionCol)
   }
 
-  /** Rewrite the table to one file per partition. The static
-    * overwrite clears the directory, so sidecar metadata (commit
-    * offsets, merge counter) is captured first and restored after.
-    */
+  /** Rewrite the table to one file per partition and vacuum. */
   def compact(
       spark: SparkSession,
       tableDir: String,
       partitionCol: Option[String]): Unit = {
-    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = spark.read.option("mergeSchema", "true").parquet(tableDir)
-      .localCheckpoint()
-    preservingSidecars(fs, tableDir) {
-      partitionCol match {
-        case Some(p) =>
+    val fs = fsFor(spark, tableDir)
+    TxnLog.current(fs, tableDir).foreach { m =>
+      if (m.entries.nonEmpty) {
+        val snap = TxnLog.readEntries(spark, tableDir, m.entries)
+        val out = partitionCol match {
           // hash-distribute on the partition column → one file per value
-          snap.repartition(col(p))
-            .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tableDir)
-        case None =>
-          snap.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tableDir)
+          case Some(p) => snap.repartition(col(p))
+          case None => snap.coalesce(1)
+        }
+        val entries = TxnLog.writeCommitDir(out, tableDir, partitionCol, m.version + 1)
+        TxnLog.commit(fs, tableDir, m.version + 1, out.schema, entries)
       }
-    }
-  }
-
-  /** Static overwrites clear the table dir; capture the sidecar
-    * metadata files first and restore them after `body`.
-    */
-  private def preservingSidecars(fs: org.apache.hadoop.fs.FileSystem, tableDir: String)(
-      body: => Unit): Unit = {
-    val sidecars = Seq(CommitFile, "_graft_merge_count").flatMap { name =>
-      val p = new Path(tableDir, name)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-        Some(name -> content)
-      } else None
-    }
-    try body
-    finally sidecars.foreach { case (name, content) =>
-      val out = fs.create(new Path(tableDir, name), true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
+      TxnLog.vacuum(fs, tableDir)
     }
   }
 
@@ -204,28 +183,46 @@ object CdcSink {
         finally in.close()
       }
     val next = current + 1
-    val out = fs.create(p, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    atomicWrite(fs, p, next.toString)
     next
   }
 
+  /** Crash-atomic small-file write: temp file + rename. A reader (or
+    * a resuming writer) sees either the old content or the new,
+    * never a torn write.
+    */
+  private def atomicWrite(fs: FileSystem, target: Path, content: String): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      // destination exists (HDFS rename does not overwrite): replace
+      // via delete+rename — the no-file window is recoverable (merge
+      // is idempotent), a torn file would not be
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"atomic replace failed for $target")
+    }
+  }
+
   /** End-to-end DDL propagation: apply a parsed [[Ddl.Stmt]] to the
-    * snapshot table on disk — the reference's handle_* fns
-    * (rust-cdc `src/delta/mod.rs` DDL branch) re-expressed over the
-    * parquet snapshot store.
+    * snapshot table — the reference's handle_* fns (rust-cdc
+    * `src/delta/mod.rs` DDL branch) re-expressed over the logged
+    * parquet store.
     *
     *  - AddColumn: no rewrite — the table schema evolves lazily on
     *    the next [[merge]] (`unionByName(allowMissingColumns)` +
-    *    `mergeSchema` read). Rewriting 100 TB to add a null column
+    *    mergeSchema read). Rewriting 100 TB to add a null column
     *    would be the anti-pattern.
-    *  - DropColumn / RenameColumn: projection rewrite (these change
-    *    existing bytes, so a rewrite is unavoidable — still one
-    *    straight-through column-pruned scan, no shuffle).
+    *  - DropColumn / RenameColumn: projection rewrite committed as a
+    *    new version (one straight-through column-pruned scan, no
+    *    shuffle).
     *  - RenameTable: filesystem rename (metadata-only, O(1)).
     *  - DropTable: recursive delete.
-    *  - TruncateTable: clear data, KEEP commit offsets — the
-    *    reference truncates data but the replication position must
-    *    survive (a resumed stream must not re-ingest history).
+    *  - TruncateTable: publish an EMPTY version, KEEP commit offsets
+    *    — the reference truncates data but the replication position
+    *    must survive (a resumed stream must not re-ingest history).
     *
     * Returns the table dir after the statement (differs on rename).
     */
@@ -234,18 +231,20 @@ object CdcSink {
       stmt: Ddl.Stmt,
       tableDir: String,
       partitionCol: Option[String] = None): String = {
-    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rewrite(project: DataFrame => DataFrame): Unit = {
-      val snap = spark.read.option("mergeSchema", "true").parquet(tableDir)
-      val out = project(snap).localCheckpoint() // sever lineage: overwriting source
-      preservingSidecars(fs, tableDir) {
-        val w = out.write.mode(SaveMode.Overwrite)
-        partitionCol match {
-          case Some(p) => w.partitionBy(p).parquet(tableDir)
-          case None => w.parquet(tableDir)
+    val fs = fsFor(spark, tableDir)
+    def rewrite(project: DataFrame => DataFrame): Unit =
+      TxnLog.current(fs, tableDir).foreach { m =>
+        val version = m.version + 1
+        if (m.entries.isEmpty) {
+          // empty table: the schema change still commits
+          val out = project(TxnLog.read(spark, tableDir))
+          TxnLog.commit(fs, tableDir, version, out.schema, Nil)
+        } else {
+          val out = project(TxnLog.readEntries(spark, tableDir, m.entries))
+          val entries = TxnLog.writeCommitDir(out, tableDir, partitionCol, version)
+          TxnLog.commit(fs, tableDir, version, out.schema, entries)
         }
       }
-    }
     stmt match {
       case Ddl.AddColumn(_, _) => tableDir // lazy evolution on next merge
       case Ddl.DropColumn(_, c) =>
@@ -262,10 +261,10 @@ object CdcSink {
       case Ddl.DropTable(_) =>
         fs.delete(new Path(tableDir), true); tableDir
       case Ddl.TruncateTable(_) =>
-        val keep = Set(CommitFile, "_graft_merge_count")
-        fs.listStatus(new Path(tableDir))
-          .filterNot(s => keep.contains(s.getPath.getName))
-          .foreach(s => fs.delete(s.getPath, true))
+        TxnLog.current(fs, tableDir).foreach { m =>
+          TxnLog.commit(fs, tableDir, m.version + 1, m.schema, Nil)
+          TxnLog.vacuum(fs, tableDir) // truncated data is gone for good
+        }
         tableDir
       case Ddl.Other(_) => tableDir
     }
@@ -316,14 +315,14 @@ object CdcSink {
     val bad = changes.filter(isBad)
     if (!bad.isEmpty) {
       bad.withColumn("_dlq_ts", current_timestamp())
-        .write.mode(SaveMode.Append).parquet(dlqDir(tableDir))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dlqDir(tableDir))
     }
     changes.filter(!isBad)
   }
 
   /** Committed max offset per source, written after a successful
     * flush (reference LogCommitter.commit: same-offset re-commit is
-    * a no-op).
+    * a no-op). Crash-atomic: temp file + rename.
     */
   private def commitOffsets(changes: DataFrame, tableDir: String): Unit = {
     val spark = changes.sparkSession
@@ -345,10 +344,7 @@ object CdcSink {
     val json = merged
       .map { case (src, off) => s""""$src": $off""" }
       .mkString("{", ", ", "}")
-    val fs = new Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(tableDir, CommitFile), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    atomicWrite(fsFor(spark, tableDir), new Path(tableDir, CommitFile), json)
   }
 
   /** Read back committed offsets (resume point after restart). */

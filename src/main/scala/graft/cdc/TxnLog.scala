@@ -1,0 +1,218 @@
+package graft.cdc
+
+import java.util.UUID
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Versioned transaction log for the [[CdcSink]] snapshot store — the
+  * reference's Delta commit semantics (rust-cdc `src/delta/mod.rs:
+  * 262-285`: transactional add/remove actions, checkpoint every 10
+  * commits) re-expressed over plain parquet + a manifest directory.
+  *
+  * Protocol (single writer, any number of readers):
+  *  1. a commit writes its data into a FRESH commit directory
+  *     (`c-<version>-<uuid>/`) under the table dir — existing files
+  *     are never modified or overwritten;
+  *  2. the commit is PUBLISHED by renaming a temp manifest into
+  *     `_graft_log/<version>.json` (atomic on posix/HDFS; rename onto
+  *     an existing version fails → concurrent-writer detection);
+  *  3. readers resolve the highest manifest and read exactly the
+  *     files it lists — a reader racing a merge sees either the old
+  *     or the new version, never a half-written directory;
+  *  4. a crash between (1) and (2) leaves an orphan commit dir that
+  *     the current manifest never references; [[vacuum]] (run at the
+  *     checkpoint/compaction cadence) removes orphans and superseded
+  *     versions.
+  *
+  * The manifest lists each live file with its (Hive-escaped)
+  * partition value, so a partition-pruned merge selects files without
+  * listing directories. File counts stay bounded by compaction, so
+  * the manifest itself stays small (one JSON line per live file).
+  */
+object TxnLog {
+
+  val LogDirName = "_graft_log"
+
+  /** Partition-directory column used inside commit dirs. The user's
+    * partition column is DUPLICATED into it before `partitionBy`, so
+    * data files keep the original column and manifest-listed files
+    * can be read directly (no partition-discovery basePath games).
+    */
+  val PartDirCol = "__gp"
+
+  /** One live data file. `partition` is the Hive-ESCAPED directory
+    * fragment (`p%202`, `__HIVE_DEFAULT_PARTITION__`), matching
+    * [[CdcSink.hivePartName]] output; None for unpartitioned tables.
+    */
+  final case class Entry(path: String, partition: Option[String])
+
+  final case class Manifest(version: Long, schemaJson: String, entries: Seq[Entry]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  /** Test-only failpoint: simulate a crash after data files are
+    * written but before the manifest publish — the window the
+    * protocol must make safe.
+    */
+  private[graft] var crashBeforeCommit: Boolean = false
+
+  def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption else None
+  }
+
+  /** Highest committed manifest, if the table has a log. */
+  def current(fs: FileSystem, tableDir: String): Option[Manifest] = {
+    val d = logDir(tableDir)
+    if (!fs.exists(d)) None
+    else {
+      val versions = fs.listStatus(d).map(_.getPath)
+        .flatMap(p => versionOf(p).map(_ -> p))
+      if (versions.isEmpty) None
+      else {
+        val (v, p) = versions.maxBy(_._1)
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(parseManifest(v, txt))
+      }
+    }
+  }
+
+  private def parseManifest(version: Long, txt: String): Manifest = {
+    val j = JsonMethods.parse(txt)
+    implicit val fmt: Formats = DefaultFormats
+    val schema = (j \ "schema").extract[String]
+    val entries = (j \ "files") match {
+      case JArray(items) => items.map { it =>
+        Entry((it \ "path").extract[String], (it \ "part").extractOpt[String])
+      }
+      case _ => Nil
+    }
+    Manifest(version, schema, entries)
+  }
+
+  /** Atomically publish `entries` as `version`. Throws if that
+    * version already exists (concurrent writer lost the race).
+    */
+  def commit(
+      fs: FileSystem,
+      tableDir: String,
+      version: Long,
+      schema: StructType,
+      entries: Seq[Entry]): Unit = {
+    if (crashBeforeCommit)
+      throw new RuntimeException("txnlog: injected crash before manifest publish")
+    val d = logDir(tableDir)
+    fs.mkdirs(d)
+    val json = JObject(
+      "version" -> JInt(BigInt(version)),
+      "schema" -> JString(schema.json),
+      "files" -> JArray(entries.toList.map(e => JObject(
+        "path" -> JString(e.path),
+        "part" -> e.partition.map(JString.apply).getOrElse(JNull)))))
+    val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(d, f"$version%020d.json")
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"txnlog: version $version already committed under $d")
+    }
+  }
+
+  /** Write `df` into a fresh commit directory for `version`; returns
+    * the manifest entries (paths relative to the table dir). Nothing
+    * is visible to readers until [[commit]] publishes them.
+    */
+  def writeCommitDir(
+      df: DataFrame,
+      tableDir: String,
+      partitionCol: Option[String],
+      version: Long): Seq[Entry] = {
+    val spark = df.sparkSession
+    val dirName = s"c-$version-${UUID.randomUUID().toString.take(8)}"
+    val dest = new Path(tableDir, dirName)
+    partitionCol match {
+      case Some(p) =>
+        df.withColumn(PartDirCol, col(p))
+          .write.partitionBy(PartDirCol).parquet(dest.toString)
+      case None =>
+        df.write.parquet(dest.toString)
+    }
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listParquet(fs, dest).map { f =>
+      val rel = relativize(new Path(tableDir), f)
+      val part = rel.split('/')
+        .find(_.startsWith(PartDirCol + "="))
+        .map(_.substring(PartDirCol.length + 1))
+      Entry(rel, part)
+    }
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val s = p.toUri.getPath
+    require(s.startsWith(b + "/"), s"$p not under $base")
+    s.substring(b.length + 1)
+  }
+
+  /** Read the table at its current version. Falls back to a plain
+    * (mergeSchema) directory read for pre-log directories; an empty
+    * manifest yields an empty frame with the committed schema.
+    */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    current(fs, tableDir) match {
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(tableDir)
+      case Some(m) if m.entries.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      case Some(m) =>
+        readEntries(spark, tableDir, m.entries)
+    }
+  }
+
+  /** Read a subset of manifest entries (partition-pruned merges). */
+  def readEntries(spark: SparkSession, tableDir: String, entries: Seq[Entry]): DataFrame = {
+    val paths = entries.map(e => new Path(tableDir, e.path).toString)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .drop(PartDirCol) // defensive: never surface the dir column
+  }
+
+  /** Remove commit directories the current manifest does not
+    * reference (crashed commits, superseded versions) and manifests
+    * older than current. Run at the compaction cadence — deferring
+    * it keeps just-superseded files alive for in-flight readers.
+    */
+  def vacuum(fs: FileSystem, tableDir: String): Unit =
+    current(fs, tableDir).foreach { m =>
+      val live: Set[String] = m.entries.map(_.path.split('/').head).toSet
+      fs.listStatus(new Path(tableDir)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("c-") && !live.contains(n))
+          fs.delete(st.getPath, true)
+      }
+      fs.listStatus(logDir(tableDir)).map(_.getPath).foreach { p =>
+        if (versionOf(p).exists(_ < m.version) || p.getName.startsWith(".tmp-"))
+          fs.delete(p, false)
+      }
+    }
+}

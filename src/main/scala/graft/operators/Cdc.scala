@@ -340,7 +340,7 @@ object Cdc {
       .createTempDirectory("cdc_sink_q_").toString
     CdcSink.writeSnapshot(log.filter(col("offset") <= mid), tableDir, Some("part"))
     CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, Some("part"))
-    s.read.parquet(tableDir)
+    CdcSink.read(s, tableDir)
       .select(col("key"), col("offset").as("last_offset"),
         col("event_type"), col("value"))
       .orderBy("key")
@@ -362,7 +362,7 @@ object Cdc {
       .createTempDirectory("cdc_ingest_q_").toString
     CdcStream.ingestInto(s, dir, tableDir,
       queryName = s"cdc_ingest_${System.nanoTime()}")
-    s.read.parquet(tableDir)
+    CdcSink.read(s, tableDir)
       .select(col("key"), col("offset").as("last_offset"),
         col("event_type"), col("value"))
       .orderBy("key")

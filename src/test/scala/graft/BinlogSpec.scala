@@ -255,7 +255,7 @@ class BinlogSpec extends AnyFunSuite {
         get_json_object(coalesce(col("after"), col("before")), "$.col_1").as("title"))
     val delDir = Files.createTempDirectory("binlog_e2e_del_").toString
     graft.cdc.CdcSink.writeSnapshot(delEvents, delDir)
-    assert(spark.read.parquet(delDir).count() == 0,
+    assert(graft.cdc.CdcSink.read(spark, delDir).count() == 0,
       "deleted row survived the snapshot")
 
     // 30_write fixture: two INSERTs land; snapshot holds both rows
@@ -267,7 +267,7 @@ class BinlogSpec extends AnyFunSuite {
         get_json_object(col("after"), "$.col_1").as("title"))
     val insDir = Files.createTempDirectory("binlog_e2e_ins_").toString
     graft.cdc.CdcSink.writeSnapshot(insEvents, insDir)
-    val rows = spark.read.parquet(insDir).collect()
+    val rows = graft.cdc.CdcSink.read(spark, insDir).collect()
       .map(r => r.getAs[String]("key") -> r.getAs[String]("title")).toMap
     assert(rows == Map("1" -> "cdc-1", "2" -> "cdc-2"), rows.toString)
   }

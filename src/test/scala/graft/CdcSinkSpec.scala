@@ -1,17 +1,17 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.cdc.{CdcSink, Op}
+import graft.cdc.{CdcSink, Op, TxnLog}
 
 class CdcSinkSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -21,24 +21,28 @@ class CdcSinkSpec extends AnyFunSuite {
     rows.toDF("key", "op", "offset", "part", "value")
       .withColumn("source_file", lit("bin.1"))
 
+  private def fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def table(dir: String): DataFrame = CdcSink.read(spark, dir)
+
   test("writeSnapshot + merge: upsert, delete, idempotent re-merge") {
     val dir = Files.createTempDirectory("graft_sink_").toString
     CdcSink.writeSnapshot(
       changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
       dir, partitionCol = Some("part"))
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(table(dir).count() == 2)
 
     // update a, insert c (p1), delete b (p2)
     val batch = changelog(("a", "u", 3, "p1", 10.0), ("c", "c", 4, "p1", 3.0),
       ("b", "d", 5, "p2", 0.0))
     CdcSink.merge(spark, batch, dir, Some("part"))
-    val snap1 = spark.read.parquet(dir)
+    val snap1 = table(dir)
       .select("key", "value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(snap1 == Map("a" -> 10.0, "c" -> 3.0))
 
     // re-merging the same batch is a no-op (idempotent recovery)
     CdcSink.merge(spark, batch, dir, Some("part"))
-    val snap2 = spark.read.parquet(dir)
+    val snap2 = table(dir)
       .select("key", "value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(snap2 == snap1)
 
@@ -50,15 +54,17 @@ class CdcSinkSpec extends AnyFunSuite {
     CdcSink.writeSnapshot(
       changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
       dir, partitionCol = Some("part"))
-    val p2Files = new java.io.File(s"$dir/part=p2").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    def p2Files = TxnLog.current(fs, dir).get.entries
+      .filter(_.partition.contains("p2"))
+      .map(e => e.path -> new java.io.File(dir, e.path).lastModified).toMap
+    val before = p2Files
+    assert(before.nonEmpty)
 
     CdcSink.merge(spark, changelog(("a", "u", 3, "p1", 9.0)), dir, Some("part"))
 
-    val p2After = new java.io.File(s"$dir/part=p2").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
-    assert(p2After == p2Files, "untouched partition was rewritten")
-    val a = spark.read.parquet(dir).filter($"key" === "a").select("value").head.getDouble(0)
+    // the new manifest carries p2's files forward untouched
+    assert(p2Files == before, "untouched partition was rewritten")
+    val a = table(dir).filter($"key" === "a").select("value").head.getDouble(0)
     assert(a == 9.0)
   }
 
@@ -75,11 +81,13 @@ class CdcSinkSpec extends AnyFunSuite {
       .toDF("key", "op", "offset", "part", "value")
       .withColumn("source_file", lit("bin.1"))
     CdcSink.merge(spark, batch, dir, Some("part"))
-    val snap = spark.read.parquet(dir).select("key", "value").collect()
+    val snap = table(dir).select("key", "value").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(snap == Map("a" -> 9.0), snap.toString)
-    // the emptied escaped partition directory is gone
-    assert(!new java.io.File(dir, "part=p%202").exists())
+    // the emptied escaped partition has no live files in the manifest
+    val parts = TxnLog.current(fs, dir).get.entries.flatMap(_.partition).toSet
+    assert(!parts.contains("p%202"), parts.toString)
+    assert(parts.contains("__HIVE_DEFAULT_PARTITION__"), parts.toString)
   }
 
   test("commit offsets from different sources merge, not overwrite") {
@@ -107,10 +115,9 @@ class CdcSinkSpec extends AnyFunSuite {
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, None)
     CdcSink.deadLetter(changelog(("bad", "c", 2, "p1", -1.0)), dir, col("value") < 0)
       .count() // materialize the DLQ write
-    // unpartitioned merge does a static overwrite of the table dir
     CdcSink.merge(spark, changelog(("z", "c", 3, "p1", 3.0)), dir, None)
     assert(spark.read.parquet(CdcSink.dlqDir(dir)).count() == 1)
-    // explicit compaction (another static overwrite) must not touch it
+    // explicit compaction + vacuum must not touch the sibling dir
     CdcSink.compact(spark, dir, None)
     assert(spark.read.parquet(CdcSink.dlqDir(dir)).count() == 1)
     assert(CdcSink.committedOffsets(spark, dir).nonEmpty)
@@ -128,7 +135,7 @@ class CdcSinkSpec extends AnyFunSuite {
     // later batch WITHOUT the new column touches only p2 — the
     // evolved column must survive the re-read + rewrite
     CdcSink.merge(spark, changelog(("b", "u", 4, "p2", 6.0)), dir, Some("part"))
-    val snap = spark.read.option("mergeSchema", "true").parquet(dir)
+    val snap = table(dir)
     assert(snap.columns.contains("extra"))
     val a = snap.filter($"key" === "a").select("extra").head.getString(0)
     assert(a == "v1")
@@ -138,7 +145,7 @@ class CdcSinkSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_ingest_").toString
     graft.cdc.CdcStream.ingestInto(spark, "/root/testdata/sf0.001", dir,
       queryName = s"ingest_${System.nanoTime()}")
-    val viaStream = spark.read.parquet(dir)
+    val viaStream = table(dir)
       .select("key", "offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val viaBatch = SparkEntry.queries("cdc_snapshot")(spark, "/root/testdata/sf0.001")
       .select("key", "last_offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -156,26 +163,69 @@ class CdcSinkSpec extends AnyFunSuite {
     val evolved = changelog(("b", "c", 2, "p1", 2.0))
       .withColumn("extra", lit("new-col"))
     CdcSink.merge(spark, evolved, dir, None)
-    val snap = spark.read.parquet(dir)
+    val snap = table(dir)
     assert(snap.columns.contains("extra"))
     val byKey = snap.select("key", "extra").collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(byKey == Map("a" -> None, "b" -> Some("new-col")))
   }
 
-  test("every 10th merge compacts to one file and keeps metadata") {
+  test("every 10th merge compacts to one live file and vacuums") {
     val dir = Files.createTempDirectory("graft_sink_compact_").toString
     CdcSink.writeSnapshot(changelog(("k0", "c", 0, "p1", 0.0)), dir, None)
     (1 to CdcSink.CompactEvery).foreach { i =>
       CdcSink.merge(spark, changelog((s"k$i", "c", i.toLong, "p1", i.toDouble)), dir, None)
     }
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
-    assert(spark.read.parquet(dir).count() == CdcSink.CompactEvery + 1)
+    val m = TxnLog.current(fs, dir).get
+    assert(m.entries.length == 1, s"expected 1 compacted live file, got ${m.entries.length}")
+    assert(table(dir).count() == CdcSink.CompactEvery + 1)
+    // vacuum removed superseded commit dirs (only the live one stays)
+    val commitDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c-"))
+    assert(commitDirs.length == 1, commitDirs.map(_.getName).mkString(","))
     // sidecar metadata survived the compaction rewrite
     assert(CdcSink.committedOffsets(spark, dir).nonEmpty)
     assert(new java.io.File(dir, "_graft_merge_count").exists())
+  }
+
+  test("crash between data write and manifest publish loses nothing") {
+    val dir = Files.createTempDirectory("graft_sink_crash_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
+      dir, Some("part"))
+    val v1 = TxnLog.current(fs, dir).get
+    val offsetsBefore = CdcSink.committedOffsets(spark, dir)
+
+    // inject a crash after the merge writes its commit dir but before
+    // the manifest publish — the exact window a mid-rewrite kill hits
+    val batch = changelog(("a", "u", 3, "p1", 99.0), ("z", "c", 4, "p2", 7.0))
+    TxnLog.crashBeforeCommit = true
+    try intercept[RuntimeException] {
+      CdcSink.merge(spark, batch, dir, Some("part"))
+    } finally TxnLog.crashBeforeCommit = false
+
+    // the table still reads at the pre-crash version, offsets intact
+    assert(TxnLog.current(fs, dir).get.version == v1.version)
+    val snap = table(dir).select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(snap == Map("a" -> 1.0, "b" -> 2.0), snap.toString)
+    assert(CdcSink.committedOffsets(spark, dir) == offsetsBefore)
+    // the orphaned commit dir exists but is unreachable...
+    val orphans = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"c-${v1.version + 1}-"))
+    assert(orphans.nonEmpty, "expected an orphaned commit dir from the crashed merge")
+
+    // ...recovery = simply re-merge the batch (idempotent), which
+    // publishes a fresh version; vacuum then reaps the orphan
+    CdcSink.merge(spark, batch, dir, Some("part"))
+    val snap2 = table(dir).select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(snap2 == Map("a" -> 99.0, "b" -> 2.0, "z" -> 7.0), snap2.toString)
+    TxnLog.vacuum(fs, dir)
+    val liveDirs = TxnLog.current(fs, dir).get.entries.map(_.path.split('/').head).toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c-")).map(_.getName).toSet
+    assert(onDisk == liveDirs, s"vacuum left orphans: ${onDisk -- liveDirs}")
   }
 
   test("listeners: progress bookkeeping and per-event callbacks fire") {
@@ -218,12 +268,11 @@ class CdcSinkSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_sink_flat_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, None)
     CdcSink.merge(spark, changelog(("a", "d", 2, "p1", 0.0), ("z", "c", 3, "p1", 7.0)), dir, None)
-    val keys = spark.read.parquet(dir).select("key").collect().map(_.getString(0)).toSet
+    val keys = table(dir).select("key").collect().map(_.getString(0)).toSet
     assert(keys == Set("z"))
   }
 
   test("mergeWithDdl: interleaved DDL applies in offset order around data") {
-    import graft.cdc.Op
     val root = Files.createTempDirectory("graft_sink_ddlmix_").toString
     val dir = s"$root/t1"
     // offsets: insert a@1, b@2 | TRUNCATE@3 | insert z@4 | RENAME TO t9@5
@@ -237,7 +286,7 @@ class CdcSinkSpec extends AnyFunSuite {
       .withColumn("source_file", lit("bin.1"))
     val finalDir = CdcSink.mergeWithDdl(spark, batch, dir, None)
     assert(finalDir.endsWith("/t9"), finalDir)
-    val keys = spark.read.parquet(finalDir).select("key").collect().map(_.getString(0)).toSet
+    val keys = table(finalDir).select("key").collect().map(_.getString(0)).toSet
     assert(keys == Set("z"), s"truncate between inserts must drop a,b: $keys")
     // the resume point survives the truncate and the rename
     assert(CdcSink.committedOffsets(spark, finalDir) == Map("bin.1" -> 4L))
@@ -256,32 +305,32 @@ class CdcSinkSpec extends AnyFunSuite {
       .toDF("key", "op", "offset", "part", "value", "score")
       .withColumn("source_file", lit("bin.1"))
     CdcSink.merge(spark, withScore, dir, None)
-    val snap = spark.read.option("mergeSchema", "true").parquet(dir)
+    val snap = table(dir)
     assert(snap.columns.contains("score"))
     val scores = snap.select("key", "score").collect()
       .map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(scores("c").contains(42) && scores("a").isEmpty, scores.toString)
 
-    // RENAME COLUMN then DROP COLUMN rewrite in place
+    // RENAME COLUMN then DROP COLUMN rewrite as new versions
     CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 RENAME COLUMN score TO rating"), dir)
-    assert(spark.read.parquet(dir).columns.contains("rating"))
+    assert(table(dir).columns.contains("rating"))
     CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 DROP COLUMN rating"), dir)
-    assert(!spark.read.parquet(dir).columns.contains("rating"))
+    assert(!table(dir).columns.contains("rating"))
 
     // TRUNCATE clears data but the replication position survives
     val committedBefore = CdcSink.committedOffsets(spark, dir)
     assert(committedBefore.nonEmpty)
     CdcSink.applyDdl(spark, Ddl.parse("TRUNCATE TABLE t1"), dir)
-    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(table(dir).count() == 0)
     assert(CdcSink.committedOffsets(spark, dir) == committedBefore)
     // post-truncate merge repopulates (schema from the batch)
     CdcSink.merge(spark, changelog(("z", "c", 9, "p1", 7.0)), dir, None)
-    assert(spark.read.parquet(dir).count() == 1)
+    assert(table(dir).count() == 1)
 
     // RENAME TABLE moves the directory; DROP TABLE removes it
     val dir2 = CdcSink.applyDdl(spark, Ddl.parse("ALTER TABLE t1 RENAME TO `t2`"), dir)
     assert(dir2.endsWith("/t2") && !new java.io.File(dir).exists())
-    assert(spark.read.parquet(dir2).count() == 1)
+    assert(table(dir2).count() == 1)
     CdcSink.applyDdl(spark, Ddl.parse("DROP TABLE IF EXISTS t2"), dir2)
     assert(!new java.io.File(dir2).exists())
   }
