@@ -34,7 +34,8 @@ object Cdc {
     QueryDef("cdc_ingest", cdcIngest, Some(ingestSql)),
     QueryDef("cdc_listeners", cdcListeners, Some(listenersSql)),
     QueryDef("cdc_binlog_stream", binlogStream, None),
-    QueryDef("cdc_binlog_pushdown", binlogPushdown, None)
+    QueryDef("cdc_binlog_pushdown", binlogPushdown, None),
+    QueryDef("cdc_kafka_ingest", kafkaIngest, Some(kafkaIngestSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -425,6 +426,51 @@ object Cdc {
         nRows)
     }.toDF("read_columns", "pushed_filters", "n_rows")
   }
+
+  // --- cdc_kafka_ingest: Record::Kafka(partition, offset, body) -----
+  // The events table plays a 4-partition Debezium topic: the key
+  // hashes to a partition (user_id % 4 — key-stable, like Kafka's
+  // partitioner) and offsets are dense per partition (row_number).
+  // Delivery 1 ingests partitions 0-1; delivery 2 redelivers the
+  // WHOLE topic — the per-partition resume filter must drop the
+  // already-committed partitions and merge only 2-3. The final table
+  // must equal the one-shot snapshot of the topic.
+  private def kafkaIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("partition")).orderBy(col("event_id"))
+    val topic = Tables.events(s, dir)
+      .withColumn("partition", col("user_id") % 4)
+      .withColumn("topic", lit("events"))
+      .withColumn("offset", row_number().over(w).cast("long"))
+      .withColumn("key", col("user_id").cast("string"))
+      .withColumn("op", when(col("event_type") === "signup", lit("c"))
+        .when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+      .select("topic", "partition", "offset", "key", "op", "event_type", "value")
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_kafka_q_").toString
+    KafkaIngest.ingest(s, topic.filter(col("partition") < 2), tableDir)
+    KafkaIngest.ingest(s, topic, tableDir) // full redelivery + the rest
+    CdcSink.read(s, tableDir)
+      .select(col("key"), col("partition").as("kpart"),
+        col("offset").as("last_offset"), col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  private val kafkaIngestSql =
+    """WITH kafka AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key,
+      |         user_id % 4 AS kpart,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS BIGINT) AS koff,
+      |         CASE WHEN event_type = 'signup' THEN 'c'
+      |              WHEN event_type = 'error' THEN 'd'
+      |              ELSE 'u' END AS op,
+      |         event_type, "value"
+      |  FROM events)
+      |SELECT key, kpart, koff AS last_offset, event_type, "value"
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY koff DESC) AS rn
+      |      FROM kafka)
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY key""".stripMargin
 
   // --- cdc_stream_apply: Structured Streaming upsert == batch snapshot ---
   private def streamApply(s: SparkSession, dir: String): DataFrame =
