@@ -92,13 +92,27 @@ object Dedup {
     * engines); the default xxhash64 is the codegen'd production path.
     * Shuffle volume is k/r band rows per doc — linear in corpus size.
     */
+  /** Band-bucket population cap (LSH skew guard). A degenerate
+    * signature — near-empty docs, an all-identical corpus slice, a
+    * hash pileup — would otherwise make the bucket self-join
+    * quadratic in that bucket's size (C(n,2) candidate pairs from one
+    * bucket). Buckets above the cap are DROPPED: a bucket that hot is
+    * not discriminating anything (its members are either exact dupes
+    * — the exact-dedup pass's job — or a hash degeneracy), and the
+    * remaining k/r − 1 bands still give every genuine near-dup pair
+    * its chance to collide. The count rides the same (band, sig)
+    * shuffle as the join key — no extra exchange.
+    */
+  val MaxBucket = 10000
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = K,
       r: Int = R,
-      md5Hash: Boolean = false): DataFrame = {
+      md5Hash: Boolean = false,
+      maxBucket: Int = MaxBucket): DataFrame = {
     require(k % r == 0, s"k=$k must be a multiple of r=$r")
     // word 3-gram shingles
     val shingled = docs
@@ -131,8 +145,15 @@ object Dedup {
         (if (md5Hash) md5(concat_ws(",", parts.map(_.cast("string")): _*))
          else xxhash64(parts: _*)).as("sig"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    val allBands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // skew guard: drop over-populated buckets before the self-join
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+    val bands = allBands
+      .withColumn("__bn", count(lit(1)).over(wBucket))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     // bucket join → candidate pairs
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -180,7 +201,11 @@ object Dedup {
        |sigs AS (
        |  SELECT doc_id, $hashes
        |  FROM vals GROUP BY doc_id),
-       |bands AS ($bandRows)
+       |allbands AS ($bandRows),
+       |bands AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bn FROM allbands)
+       |  WHERE bn <= $MaxBucket)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -109,6 +109,15 @@ object Similarity {
     array(comps.map(lit): _*)
   }
 
+  /** LSH bucket-population cap (skew guard). A bucket holding more
+    * than this many corpus vectors means the hash family failed to
+    * localize there (degenerate/duplicated embeddings); joining it
+    * would cost |bucket| candidates per query that lands in it. The
+    * signature space is only 2^Planes buckets, so the size table is
+    * a tiny broadcast and the guard costs no corpus shuffle.
+    */
+  val MaxBucketAnn = 4096
+
   // --- LSH-bucketed approximate NN ---
   private def lshAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -117,8 +126,14 @@ object Similarity {
       signature(col("embedding"), dim).as("sig"))
     val queries = sigs.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("sig").as("q_sig"))
+    // skew guard: map-side partial agg → ≤ 2^Planes rows → broadcast
+    val keptBuckets = sigs.groupBy("sig")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= MaxBucketAnn)
+      .select("sig")
     // candidates share the exact signature bucket
-    val cands = sigs.join(broadcast(queries),
+    val cands = sigs.join(broadcast(keptBuckets), Seq("sig"))
+      .join(broadcast(queries),
         col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_vec"), col("embedding")).as("cos_sim"))

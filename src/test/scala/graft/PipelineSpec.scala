@@ -34,6 +34,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.8, s"minhash recall $recall too low")
   }
 
+  test("band-join bucket cap keeps a degenerate corpus linear") {
+    import spark.implicits._
+    // adversarial corpus: 200 IDENTICAL documents — every band bucket
+    // holds all 200 docs, so an uncapped band join would emit
+    // 4 bands × C(200,2) ≈ 80k candidate pairs from 200 rows
+    val identical = (0L until 200L)
+      .map(i => (i, "the same exact document body repeated verbatim"))
+      .toDF("doc_id", "text")
+    val capped = graft.operators.Dedup.minhashPairs(
+      identical, "doc_id", "text", maxBucket = 50)
+    assert(capped.count() == 0,
+      "over-populated buckets must be dropped, not joined")
+    // the degenerate mass is exact-duplicate territory — the exact
+    // pass (hash groupBy, linear) is what catches it
+    val kept = graft.operators.Dedup.dropExactDuplicates(identical, "doc_id", "text")
+    assert(kept.count() == 1)
+    // a mixed corpus: the degenerate slice is capped away while a
+    // genuine near-dup pair in a small bucket still surfaces
+    val nearDup = Seq(
+      (500L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (501L, "beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val mixed = identical.unionAll(nearDup)
+    val pairs = graft.operators.Dedup.minhashPairs(
+      mixed, "doc_id", "text", maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((500L, 501L)), pairs.toString)
+  }
+
   test("dedup_minhash_fast (xxhash64) recalls the planted pairs too") {
     val pairs = run("dedup_minhash_fast").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
