@@ -39,6 +39,71 @@ object BinlogGen {
     } finally out.close()
   }
 
+  /** Latin1-charset table: `gen.latin (id INT, name VARCHAR(160)
+    * CHARSET latin1)` — the TABLE_MAP carries a DEFAULT_CHARSET
+    * optional-metadata block (collation 8 = latin1_swedish_ci) and
+    * the row strings are latin1-ENCODED bytes, plus v0/v1 rows-event
+    * headers for the named-skip path. Round-trip proves the parser
+    * honors TABLE_MAP charset metadata instead of assuming UTF-8.
+    */
+  val Latin1TableId = 81L
+
+  def writeCharsetFile(path: String, names: Seq[String]): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      pos = writeEvent(out, pos, 0x13, latin1TableMapBody())
+      pos = writeEvent(out, pos, 0x1e, latin1RowsBody(names))
+      // a v1 write-rows header (payload ignored by the parser — it
+      // must surface as WRITE_ROWS_V1, not UNKNOWN)
+      pos = writeEvent(out, pos, 0x17, Array[Byte](0, 0, 0, 0, 0, 0))
+      pos = writeEvent(out, pos, 0x10, xidBody(7L))
+    } finally out.close()
+  }
+
+  private def latin1TableMapBody(): Array[Byte] = {
+    val schema = "gen".getBytes("UTF-8")
+    val table = "latin".getBytes("UTF-8")
+    // optional metadata TLV: DEFAULT_CHARSET(2), len 1, collation 8
+    val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
+      1 + 2 + 1 + 2 + 1 + 3).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, Latin1TableId)
+    b.putShort(1) // flags
+    b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
+    b.put(table.length.toByte); b.put(table); b.put(0.toByte)
+    b.put(2.toByte) // col count (lenenc, < 251)
+    b.put(0x03.toByte); b.put(0x0f.toByte) // LONG, VARCHAR
+    b.put(2.toByte) // meta block length (lenenc)
+    b.putShort(160) // VARCHAR max length u16 LE
+    b.put(0.toByte) // nullability bitmap
+    b.put(2.toByte) // TLV type: DEFAULT_CHARSET
+    b.put(1.toByte) // TLV length (lenenc)
+    b.put(8.toByte) // latin1_swedish_ci (lenenc)
+    b.array()
+  }
+
+  private def latin1RowsBody(names: Seq[String]): Array[Byte] = {
+    val rows = names.zipWithIndex.map { case (name, i) =>
+      val raw = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val r = ByteBuffer.allocate(1 + 4 + 1 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+      r.put(0.toByte) // null bitmap: none null
+      r.putInt(i + 1)
+      r.put(raw.length.toByte); r.put(raw)
+      r.array()
+    }
+    val rowBytes = rows.map(_.length).sum
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, Latin1TableId)
+    b.putShort(1) // flags
+    b.putShort(2) // extra data length (just itself)
+    b.put(2.toByte) // col count lenenc
+    b.put(0x03.toByte) // columns-present bitmap: both
+    rows.foreach(b.put)
+    b.array()
+  }
+
   /** FDE + one USER_VAR event per (name, typed value); None = SQL
     * NULL. Mirrors the reference's UserVar event surface.
     */

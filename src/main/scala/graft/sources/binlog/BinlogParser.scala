@@ -52,7 +52,8 @@ object BinlogParser {
       table: String,
       colTypes: Array[Int],
       colMeta: Array[Int],
-      nullable: Array[Boolean])
+      nullable: Array[Boolean],
+      charsets: Array[java.nio.charset.Charset] = Array.empty)
 
   val typeNames: Map[Int, String] = Map(
     0x02 -> "QUERY", 0x04 -> "ROTATE", 0x05 -> "INTVAR",
@@ -60,9 +61,41 @@ object BinlogParser {
     0x0f -> "FORMAT_DESCRIPTION", 0x10 -> "XID",
     0x11 -> "BEGIN_LOAD_QUERY", 0x12 -> "EXECUTE_LOAD_QUERY",
     0x13 -> "TABLE_MAP", 0x1b -> "HEARTBEAT", 0x1d -> "ROWS_QUERY",
+    // pre-5.6 rows events (v0 = pre-GA, v1): recognized and
+    // name-skipped — payload decode covers v2 only, like the
+    // reference (rust-cdc event/mod.rs:321-326 names them too)
+    0x14 -> "PRE_GA_WRITE_ROWS", 0x15 -> "PRE_GA_UPDATE_ROWS",
+    0x16 -> "PRE_GA_DELETE_ROWS",
+    0x17 -> "WRITE_ROWS_V1", 0x18 -> "UPDATE_ROWS_V1",
+    0x19 -> "DELETE_ROWS_V1",
     0x1e -> "WRITE_ROWS_V2", 0x1f -> "UPDATE_ROWS_V2",
     0x20 -> "DELETE_ROWS_V2", 0x21 -> "GTID",
     0x22 -> "ANONYMOUS_GTID", 0x23 -> "PREVIOUS_GTIDS")
+
+  /** MySQL collation id → Java charset, for the collations a CDC
+    * pipeline actually meets — the common subset of the reference's
+    * full table (rust-cdc `src/mysql/collation.rs`). Anything unmapped
+    * decodes as UTF-8 (MySQL 8's default).
+    */
+  private val Latin1 = StandardCharsets.ISO_8859_1
+  private val collationCharset: Map[Int, java.nio.charset.Charset] = Map(
+    5 -> Latin1, 8 -> Latin1, 15 -> Latin1, 31 -> Latin1,
+    47 -> Latin1, 48 -> Latin1, 49 -> Latin1, 94 -> Latin1, // latin1_*
+    11 -> StandardCharsets.US_ASCII, 65 -> StandardCharsets.US_ASCII, // ascii_*
+    63 -> Latin1, // binary: byte-preserving 1:1 decode
+    33 -> StandardCharsets.UTF_8, 83 -> StandardCharsets.UTF_8, // utf8mb3
+    45 -> StandardCharsets.UTF_8, 46 -> StandardCharsets.UTF_8, // utf8mb4
+    255 -> StandardCharsets.UTF_8) // utf8mb4_0900_ai_ci
+
+  /** Character-typed columns (the ones optional-metadata charset
+    * blocks describe): CHAR/VARCHAR/VAR_STRING — ENUM/SET hide under
+    * STRING but carry no charset entry.
+    */
+  private def isCharCol(colType: Int, meta: Int): Boolean = colType match {
+    case 0x0f | 0xfd => true
+    case 0xfe => val b0 = meta >> 8; b0 != 0xf7 && b0 != 0xf8
+    case _ => false
+  }
 
   /** Parse a whole binlog file. Unknown event types are surfaced as
     * UNKNOWN_0xNN rows rather than failing — a 100 TB backfill must
@@ -213,7 +246,9 @@ object BinlogParser {
       b.position(metaEnd)
       val nullBytes = new Array[Byte]((nCols + 7) / 8); b.get(nullBytes)
       val nullable = Array.tabulate(nCols)(i => ((nullBytes(i / 8) >> (i % 8)) & 1) == 1)
-      tables(tableId) = TableMapEntry(tableId, schema, table, colTypes, colMeta, nullable)
+      val charsets = readOptionalCharsets(b, colTypes, colMeta)
+      tables(tableId) = TableMapEntry(tableId, schema, table, colTypes, colMeta,
+        nullable, charsets)
       Seq(Decoded(h, "TABLE_MAP", tableId = tableId,
         schemaName = schema, tableName = table))
 
@@ -255,6 +290,46 @@ object BinlogParser {
       Seq(Decoded(h, typeNames.getOrElse(t, "UNKNOWN_0x%02x".format(t))))
   }
 
+  /** TABLE_MAP optional metadata (TLV block after the nullability
+    * bitmap, MySQL 8.0.1+): honors DEFAULT_CHARSET (type 2) and
+    * COLUMN_CHARSET (type 3) so latin1/ascii columns round-trip their
+    * bytes instead of being mis-decoded as UTF-8. Other TLVs
+    * (signedness, enum values, …) are skipped by length. Returns one
+    * charset per column (UTF-8 where unspecified).
+    */
+  private def readOptionalCharsets(
+      b: ByteBuffer,
+      colTypes: Array[Int],
+      colMeta: Array[Int]): Array[java.nio.charset.Charset] = {
+    val out = Array.fill[java.nio.charset.Charset](colTypes.length)(StandardCharsets.UTF_8)
+    val charCols = colTypes.indices.filter(i => isCharCol(colTypes(i), colMeta(i)))
+    while (b.remaining() > 0) {
+      val tlvType = u8(b)
+      val tlvLen = lenEnc(b).toInt
+      val end = b.position() + tlvLen
+      tlvType match {
+        case 2 => // DEFAULT_CHARSET: default id + (col, id) overrides
+          val default = collationCharset.get(lenEnc(b).toInt)
+          default.foreach(cs => charCols.foreach(i => out(i) = cs))
+          while (b.position() < end) {
+            val charColIdx = lenEnc(b).toInt // index among CHAR columns
+            val cs = collationCharset.get(lenEnc(b).toInt)
+            if (charColIdx < charCols.length)
+              cs.foreach(out(charCols(charColIdx)) = _)
+          }
+        case 3 => // COLUMN_CHARSET: one id per char column, in order
+          var i = 0
+          while (b.position() < end && i < charCols.length) {
+            collationCharset.get(lenEnc(b).toInt).foreach(out(charCols(i)) = _)
+            i += 1
+          }
+        case _ => () // skip by length
+      }
+      b.position(end)
+    }
+    out
+  }
+
   // --- column metadata (TABLE_MAP) ---
   private def readMeta(colType: Int, b: ByteBuffer): Int = colType match {
     case 0x04 | 0x05 => u8(b) // FLOAT / DOUBLE: pack length
@@ -284,7 +359,8 @@ object BinlogParser {
         first = false
         sb.append("\"col_").append(col).append("\":")
         if (nullBm(presentIdx)) sb.append("null")
-        else sb.append(readValueJson(b, tm.colTypes(col), tm.colMeta(col)))
+        else sb.append(readValueJson(b, tm.colTypes(col), tm.colMeta(col),
+          if (col < tm.charsets.length) tm.charsets(col) else StandardCharsets.UTF_8))
         presentIdx += 1
       }
       col += 1
@@ -293,7 +369,9 @@ object BinlogParser {
   }
 
   /** decode one value to a JSON fragment */
-  private def readValueJson(b: ByteBuffer, colType: Int, meta: Int): String = colType match {
+  private def readValueJson(
+      b: ByteBuffer, colType: Int, meta: Int,
+      charset: java.nio.charset.Charset = StandardCharsets.UTF_8): String = colType match {
     case 0x01 => b.get().toString // TINY
     case 0x02 => b.getShort.toString // SHORT
     case 0x03 => b.getInt.toString // LONG
@@ -322,9 +400,9 @@ object BinlogParser {
       val v = u8(b) | (u8(b) << 8) | (u8(b) << 16)
       val (d, m, y) = (v & 0x1f, (v >> 5) & 0x0f, v >> 9)
       "\"%04d-%02d-%02d\"".format(y, m, d)
-    case 0x0f | 0xfd => // VARCHAR / VAR_STRING
+    case 0x0f | 0xfd => // VARCHAR / VAR_STRING (charset-aware)
       val len = if (meta > 255) u16(b) else u8(b)
-      jsonString(fixedBytesString(b, len))
+      jsonString(fixedBytesString(b, len, charset))
     case 0xfe => // STRING family: real type hides in metadata byte0
       val b0 = meta >> 8
       if (b0 == 0xf7 || b0 == 0xf8) {
@@ -337,7 +415,7 @@ object BinlogParser {
       } else {
         val realMeta = stringMeta(meta)
         val len = if (realMeta > 255) u16(b) else u8(b)
-        jsonString(fixedBytesString(b, len))
+        jsonString(fixedBytesString(b, len, charset))
       }
     case 0xfc => // BLOB: meta = number of length bytes
       var len = 0L
@@ -476,9 +554,11 @@ object BinlogParser {
     new String(raw.takeWhile(_ != 0), StandardCharsets.UTF_8)
   }
 
-  private def fixedBytesString(b: ByteBuffer, n: Int): String = {
+  private def fixedBytesString(
+      b: ByteBuffer, n: Int,
+      charset: java.nio.charset.Charset = StandardCharsets.UTF_8): String = {
     val raw = new Array[Byte](n); b.get(raw)
-    new String(raw, StandardCharsets.UTF_8)
+    new String(raw, charset)
   }
 
   private def remainingString(b: ByteBuffer): String = {

@@ -221,6 +221,25 @@ class BinlogSpec extends AnyFunSuite {
     assert(uv == Seq("@greeting=hello world", "@answer=42", "@pi=3.5", "@nothing=NULL"), uv)
   }
 
+  test("latin1 charset metadata: non-ASCII bytes round-trip, v1 events named") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_latin1_")
+    val path = s"$dir/mysql-bin.000001"
+    // café/München carry latin1 bytes (0xE9, 0xFC) that are NOT valid
+    // UTF-8 sequences — a UTF-8-assuming decoder garbles them
+    graft.sources.binlog.BinlogGen.writeCharsetFile(path,
+      Seq("café", "München", "plain"))
+    val events = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val rows = events.filter(_.op == "c").map(_.after)
+    assert(rows == Seq(
+      """{"col_0":1,"col_1":"café"}""",
+      """{"col_0":2,"col_1":"München"}""",
+      """{"col_0":3,"col_1":"plain"}"""), rows.toString)
+    // pre-5.6 rows events surface by name, not UNKNOWN
+    assert(events.exists(_.typeName == "WRITE_ROWS_V1"))
+    assert(!events.exists(_.typeName.startsWith("UNKNOWN")))
+  }
+
   test("gtid + previous_gtids parse") {
     val events = parse("gtid_prev_gtid/mysql-bin.000001")
     assert(events.exists(e => e.typeName == "PREVIOUS_GTIDS"))
