@@ -364,6 +364,73 @@ object BinlogGen {
     b.array()
   }
 
+  /** Fully parametric single-table file — the property-based
+    * round-trip surface: arbitrary column types/metadata and
+    * pre-encoded row values (concatenated wire bytes per row, no
+    * null bitmap — the writer prepends an all-present, none-null
+    * image header). One TABLE_MAP + one WRITE_ROWS_V2 + XID.
+    */
+  def writeGenericFile(
+      path: String,
+      tableId: Long,
+      table: String,
+      colTypes: Array[Int],
+      metaBytes: Array[Byte],
+      rowValues: Seq[Array[Byte]]): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      pos = writeEvent(out, pos, 0x13,
+        genericTableMapBody(tableId, table, colTypes, metaBytes))
+      pos = writeEvent(out, pos, 0x1e,
+        genericRowsBody(tableId, colTypes.length, rowValues))
+      pos = writeEvent(out, pos, 0x10, xidBody(1L))
+    } finally out.close()
+  }
+
+  private def genericTableMapBody(
+      tableId: Long, table: String,
+      colTypes: Array[Int], metaBytes: Array[Byte]): Array[Byte] = {
+    val schema = "gen".getBytes("UTF-8")
+    val tbl = table.getBytes("UTF-8")
+    val nCols = colTypes.length
+    require(nCols < 251 && metaBytes.length < 251)
+    val nullLen = (nCols + 7) / 8
+    val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + tbl.length + 1 +
+      1 + nCols + 1 + metaBytes.length + nullLen).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, tableId)
+    b.putShort(1)
+    b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
+    b.put(tbl.length.toByte); b.put(tbl); b.put(0.toByte)
+    b.put(nCols.toByte)
+    colTypes.foreach(t => b.put(t.toByte))
+    b.put(metaBytes.length.toByte)
+    b.put(metaBytes)
+    b.put(new Array[Byte](nullLen)) // nothing nullable
+    b.array()
+  }
+
+  private def genericRowsBody(
+      tableId: Long, nCols: Int, rowValues: Seq[Array[Byte]]): Array[Byte] = {
+    val nullLen = (nCols + 7) / 8
+    val rowBytes = rowValues.map(_.length + nullLen).sum
+    val presentLen = (nCols + 7) / 8
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + presentLen + rowBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, tableId)
+    b.putShort(1)
+    b.putShort(2) // extra data length (just itself)
+    b.put(nCols.toByte) // col count lenenc (< 251)
+    b.put(Array.fill(presentLen)(0xff.toByte)) // all columns present
+    rowValues.foreach { v =>
+      b.put(new Array[Byte](nullLen)) // null bitmap: none null
+      b.put(v)
+    }
+    b.array()
+  }
+
   private def xidBody(xid: Long): Array[Byte] = {
     val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     b.putLong(xid)

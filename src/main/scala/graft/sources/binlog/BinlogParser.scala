@@ -440,11 +440,20 @@ object BinlogParser {
       val base = "%04d-%02d-%02d %02d:%02d:%02d".format(
         ym / 13, ym % 13, ymd & 0x1f, hms >> 12, (hms >> 6) & 0x3f, hms & 0x3f)
       "\"" + (if (frac.isEmpty) base else s"$base.$frac") + "\""
-    case 0x13 => // TIME2: 3 bytes BE + fsp fraction
-      val packed = beLong(b, 3) - 0x800000L
-      val frac = fracDigits(b, meta)
-      val base = "%02d:%02d:%02d".format(
-        (packed >> 12) & 0x3ff, (packed >> 6) & 0x3f, packed & 0x3f)
+    case 0x13 => // TIME2: sign-offset encoding over 3+fsp bytes BE.
+      // The packed hms and the fraction form ONE two's-complement
+      // number offset by 0x800000 << 8·fracBytes, so negative times
+      // (including negative fractions) decode by magnitude.
+      val fb = fspBytes(meta)
+      val signed = beLong(b, 3 + fb) - (0x800000L << (8 * fb))
+      val neg = signed < 0
+      val mag = math.abs(signed)
+      val hmsPacked = mag >> (8 * fb)
+      val fracUnits = if (fb == 0) 0L else mag & ((1L << (8 * fb)) - 1)
+      val micros = fracUnits * (fb match { case 1 => 10000L; case 2 => 100L; case _ => 1L })
+      val frac = if (meta == 0) "" else "%06d".format(micros).take(meta)
+      val base = "%s%02d:%02d:%02d".format(if (neg) "-" else "",
+        (hmsPacked >> 12) & 0x3ff, (hmsPacked >> 6) & 0x3f, hmsPacked & 0x3f)
       "\"" + (if (frac.isEmpty) base else s"$base.$frac") + "\""
     case 0xf6 => // NEWDECIMAL — public packed-BCD layout
       jsonString(decodeDecimal(b, meta >> 8, meta & 0xff))
