@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Skew.defs ++
       operators.AsOf.defs ++ operators.Ranges.defs ++ operators.Cdc.defs ++
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
-      operators.Similarity.defs ++ operators.Multimodal.defs
+      operators.Similarity.defs ++ operators.Multimodal.defs ++
+      operators.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

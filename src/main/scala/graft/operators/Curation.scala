@@ -1,0 +1,367 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation: the operations a large-scale LLM data
+  * pipeline runs between "raw corpus" and "training shards" —
+  * deterministic splits, stratified/weighted sampling, sequence
+  * packing, eval-set decontamination, vocabulary statistics and
+  * fixed-point tf-idf, and a deterministic global shuffle.
+  *
+  * Determinism contract: every sampling decision is a pure function
+  * of the row key via `hexFrac` (48 bits of md5 as an exact binary
+  * fraction), so the same corpus always produces the same splits on
+  * any engine — a reproducibility property real pipelines need
+  * (re-runs must not resample), and what makes each operator
+  * DuckDB-oracle-checkable despite "randomness".
+  *
+  * Scale notes per operator are inline; the common theme is that
+  * nothing here ever materializes an unbounded group on one node:
+  * sampling is per-row, packing windows are sharded, the only global
+  * sort is top-K (TakeOrderedAndProject).
+  */
+object Curation {
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("cur_split", splitQ, Some(splitSql)),
+    QueryDef("cur_sample_stratified", stratified, Some(stratifiedSql)),
+    QueryDef("cur_pack_sequences", pack, Some(packSql)),
+    QueryDef("cur_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("cur_domain_mix", domainMix, Some(domainMixSql)),
+    QueryDef("cur_vocab", vocab, Some(vocabSql)),
+    QueryDef("cur_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql))
+  )
+
+  // --- deterministic uniform [0,1) from a key --------------------
+  // First 12 hex digits of md5(salt || key) as a 48-bit integer,
+  // divided by 16^12. Both the integer build-up and the final
+  // division are EXACT in IEEE doubles (sums of non-overlapping
+  // binary fractions), so Spark and DuckDB agree bit-for-bit — no
+  // engine RNG, no float-summation order anywhere.
+  private val HexScale = 281474976710656.0 // 16^12 = 2^48
+
+  private def digitVal(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** Exact deterministic pseudo-uniform in [0,1) keyed on salt+key. */
+  def hexFrac(key: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    val v = (1 to 12).map { j =>
+      digitVal(substring(h, j, 1)).cast("long") * lit(1L << (4 * (12 - j)))
+    }.reduce(_ + _)
+    v.cast("double") / lit(HexScale)
+  }
+
+  /** SQL twin of [[hexFrac]], reading a precomputed md5 column `h`. */
+  private def hexFracSql(h: String): String = {
+    val terms = (1 to 12).map { j =>
+      s"CAST(CASE WHEN ascii(substr($h, $j, 1)) <= 57 THEN ascii(substr($h, $j, 1)) - 48" +
+        s" ELSE ascii(substr($h, $j, 1)) - 87 END AS BIGINT) * ${1L << (4 * (12 - j))}"
+    }.mkString("(", " + ", ")")
+    s"(CAST($terms AS DOUBLE) / $HexScale)"
+  }
+
+  // --- cur_split: train/val/test assignment ----------------------
+  // Split membership is a property of the doc key alone — adding
+  // data never reshuffles existing docs across splits (the property
+  // hash-mod splits are chosen for in practice). Per-row decision +
+  // one partial-agg rollup: no skew, no wide shuffle of payloads.
+  private def splitQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("f", hexFrac(col("doc_id"), "split:"))
+      .withColumn("split",
+        when(col("f") < 0.05, "val")
+          .when(col("f") < 0.10, "test")
+          .otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+
+  private lazy val splitSql =
+    s"""WITH d AS (
+       |  SELECT *, md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+       |), f AS (
+       |  SELECT *, ${hexFracSql("h")} AS f FROM d
+       |), sp AS (
+       |  SELECT *, CASE WHEN f < 0.05 THEN 'val'
+       |                 WHEN f < 0.10 THEN 'test'
+       |                 ELSE 'train' END AS split
+       |  FROM f
+       |)
+       |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  // --- cur_sample_stratified: equalize languages -----------------
+  // Down-sample every language to the size of the smallest one.
+  // Rates are a tiny per-lang table (broadcast); the keep decision
+  // is per-row — the corpus itself never shuffles.
+  private def stratified(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val target = counts.agg(min(col("n")).as("target"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("lang"),
+        (col("target").cast("double") / col("n").cast("double")).as("rate"))
+    d.join(broadcast(rates), "lang")
+      .filter(hexFrac(col("doc_id"), "strat:") < col("rate"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val stratifiedSql =
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+       |), r AS (
+       |  SELECT lang,
+       |         CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+       |  FROM c
+       |), d AS (
+       |  SELECT doc_id, documents.lang AS lang, rate,
+       |         md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents JOIN r ON documents.lang = r.lang
+       |)
+       |SELECT doc_id, lang FROM d
+       |WHERE ${hexFracSql("h")} < rate
+       |ORDER BY doc_id""".stripMargin
+
+  // --- cur_pack_sequences: greedy char-budget packing ------------
+  // Docs are packed into fixed-budget sequences in key order WITHIN
+  // a (lang, shard) cell — the window partition is bounded by the
+  // shard count, never "all docs of a language on one node" (the
+  // global-window formulation that dies at 100 TB). Cross-shard
+  // sequences just get independent seq_id spaces, which is what
+  // training shards want anyway.
+  private val PackBudget = 4000L
+  private val PackShards = 8
+
+  private def pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_chars) div $PackBudget"))
+      .groupBy("lang", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_packed"))
+      .orderBy("lang", "shard", "seq_id")
+  }
+
+  private lazy val packSql =
+    s"""WITH w AS (
+       |  SELECT lang, doc_id % $PackShards AS shard, n_chars,
+       |         sum(n_chars) OVER (PARTITION BY lang, doc_id % $PackShards
+       |                            ORDER BY doc_id
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents
+       |), q AS (
+       |  SELECT lang, shard, CAST((cum - n_chars) // $PackBudget AS BIGINT) AS seq_id, n_chars FROM w
+       |)
+       |SELECT lang, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_packed
+       |FROM q GROUP BY lang, shard, seq_id ORDER BY lang, shard, seq_id""".stripMargin
+
+  // --- cur_decontaminate: eval-set n-gram overlap ----------------
+  // Benchmark contamination check: flag training docs sharing any
+  // 8-gram with the (small) eval set. Grams explode partition-
+  // locally; the join shuffles only (gram, doc_id) pairs — documents
+  // themselves never move. At 100 TB the eval gram set is broadcast-
+  // sized by construction (evals are small); here AQE picks the
+  // strategy.
+  private val GramN = 8
+  /** planted "plagiarized" training docs get ids above this floor */
+  private val PlantBase = 2000000L
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // contamination universe: the synthetic corpus has no organic
+    // duplication, so plant full copies of each eval doc on the
+    // training side (the ground truth the operator must flag)
+    val planted = d.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + PlantBase).as("doc_id"), col("text"))
+    val corpus = d.unionAll(planted)
+    val toks = corpus
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= GramN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - GramN),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(GramN))))).as("gram"))
+    val isEval = col("doc_id") % 97 === 0 && col("doc_id") < PlantBase
+    val evalGrams = grams.filter(isEval).select(col("gram")).distinct()
+    grams.filter(!isEval)
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val decontaminateSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantBase AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+       |), t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus
+       |), g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(toks) - ${GramN - 1}),
+       |                i -> array_to_string(list_slice(toks, i + 1, i + $GramN), ' '))) AS gram
+       |  FROM t WHERE len(toks) >= $GramN
+       |), e AS (
+       |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0 AND doc_id < $PlantBase
+       |)
+       |SELECT g.doc_id AS doc_id,
+       |       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+       |FROM g JOIN e ON g.gram = e.gram
+       |WHERE NOT (g.doc_id % 97 = 0 AND g.doc_id < $PlantBase)
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  // --- cur_domain_mix: rebalance sources to equal char share -----
+  // Weighted mixture sampling: each source domain is down-sampled
+  // toward an equal share of the total character budget (rate capped
+  // at 1 — undersized domains keep everything). Same shape as
+  // stratified: tiny broadcast rate table, per-row keep decision.
+  private def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val per = d.groupBy("source").agg(sum(col("n_chars")).as("chars"))
+    val tot = per.agg(sum(col("chars")).as("total"), count(lit(1)).as("k"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0),
+          col("total").cast("double") / col("k").cast("double") /
+            col("chars").cast("double")).as("rate"))
+    d.join(broadcast(rates), "source")
+      .filter(hexFrac(col("doc_id"), "mix:") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  private lazy val domainMixSql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(chars) AS BIGINT) AS total, count(*) AS k FROM per
+       |), r AS (
+       |  SELECT source,
+       |         least(CAST(1.0 AS DOUBLE),
+       |               CAST(total AS DOUBLE) / CAST(k AS DOUBLE) / CAST(chars AS DOUBLE)) AS rate
+       |  FROM per, tot
+       |), d AS (
+       |  SELECT doc_id, documents.source AS source, n_chars, rate,
+       |         md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents JOIN r ON documents.source = r.source
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM d WHERE ${hexFracSql("h")} < rate
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // --- cur_vocab: corpus vocabulary statistics -------------------
+  // Token frequency + document frequency, top 100. Map-side partial
+  // aggregation absorbs token skew ("the" pre-aggregates in every
+  // partition); the global sort is TakeOrderedAndProject, not a full
+  // sort.
+  private def vocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+  }
+
+  private lazy val vocabSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+       |  FROM documents
+       |)
+       |SELECT token, CAST(count(*) AS BIGINT) AS freq,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM toks WHERE length(token) > 0
+       |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
+
+  // --- cur_tfidf: fixed-point tf-idf top terms per doc -----------
+  // idf is FIXED-POINT: (N * 1e6) div df — integer arithmetic, not
+  // ln(N/df), because transcendental libm functions are not
+  // bit-stable across engines (Java Math.log vs glibc log differ in
+  // the last ulp) and this operator is oracle-hash-checked. The
+  // ranking it induces is identical to 1/df-idf. Two shuffles:
+  // by token (df) and by doc (top-3 window) — both on small pairs,
+  // never the documents.
+  private val IdfScale = 1000000L
+  private val TfIdfTopK = 3
+
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfTab, "token").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr(s"(n * $IdfScale) div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rk"), col("token"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private lazy val tfidfSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, token FROM toks WHERE length(token) > 0
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token
+       |), df AS (
+       |  SELECT token, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token
+       |), n AS (
+       |  SELECT count(*) AS n FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id AS doc_id, tf.token AS token,
+       |         tf.tf * ((n.n * $IdfScale) // df.df) AS score
+       |  FROM tf JOIN df ON tf.token = df.token, n
+       |), ranked AS (
+       |  SELECT doc_id, token, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, token) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, rk, token, CAST(score AS BIGINT) AS score
+       |FROM ranked WHERE rk <= $TfIdfTopK ORDER BY doc_id, rk""".stripMargin
+
+  // --- cur_shuffle: deterministic global training order ----------
+  // "Shuffle the corpus" as a total order on md5(key): reproducible
+  // across runs/engines, and a plain sort-by-computed-key at scale
+  // (range-partitioned sort — no single-node window). The checked
+  // query takes the first 50 (TakeOrderedAndProject); position
+  // numbering happens on the bounded result.
+  private def shuffleQ(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy("h").limit(50)
+    first.withColumn("pos", row_number().over(Window.orderBy("h")))
+      .select(col("pos"), col("doc_id"))
+  }
+
+  private lazy val shuffleSql =
+    s"""SELECT row_number() OVER (ORDER BY h) AS pos, doc_id
+       |FROM (
+       |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents ORDER BY h LIMIT 50
+       |)""".stripMargin
+}

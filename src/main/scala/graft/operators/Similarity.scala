@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
   *  - embedding near-dup pairs bucket by LSH signature and verify
   *    with exact cosine inside each bucket.
   *
-  * Float arithmetic is engine-local, so these are rows-only checks
-  * (no DuckDB oracle) — correctness is asserted in SimilaritySpec
-  * against per-pair exact recomputation.
+  * Float arithmetic IS cross-engine checkable here: both the native
+  * CosineSimilarity expression and DuckDB's `list_reduce` fold the
+  * array left-to-right in double precision, so the IEEE results are
+  * bit-identical and the oracle can hash-match. Scores are exported
+  * as `floor(cos * 1e6)` (exact on identical doubles) rather than
+  * `round` (whose half-up rule differs between BigDecimal and libm).
+  * Only the IVF variant stays rows-only: its centroids come from
+  * cross-row float `avg`s whose summation order is engine-local.
   */
 object Similarity {
 
   lazy val defs: Seq[QueryDef] = Seq(
-    QueryDef("sim_topk_bruteforce", topk, None),
-    QueryDef("sim_lsh_ann", lshAnn, None),
+    QueryDef("sim_topk_bruteforce", topk, Some(topkOracle)),
+    QueryDef("sim_lsh_ann", lshAnn, Some(lshOracle)),
     QueryDef("sim_ivf_ann", ivfAnn, None),
-    QueryDef("dedup_embedding", embeddingDedup, None)
+    QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
 
   /** cosine(a, b): native codegen'd expression (see
@@ -70,7 +75,7 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+        floor(col("cos_sim") * lit(1e6)).as("cos_micro"))
       .orderBy("q_id", "rk")
   }
 
@@ -143,7 +148,7 @@ object Similarity {
     cands.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+        floor(col("cos_sim") * lit(1e6)).as("cos_micro"))
       .orderBy("q_id", "rk")
   }
 
@@ -210,7 +215,7 @@ object Similarity {
     cands.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+        floor(col("cos_sim") * lit(1e6)).as("cos_micro"))
       .orderBy("q_id", "rk")
   }
 
@@ -242,8 +247,108 @@ object Similarity {
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
-      .filter(col("cos_sim") > 0.995)
+        cosine(col("a.embedding"), col("b.embedding")).as("cs"))
+      .filter(col("cs") > 0.995)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cs") * lit(1e6)).as("cos_micro"))
       .orderBy("vec_a", "vec_b")
   }
+
+  // --- DuckDB oracles ---------------------------------------------
+  // The oracle mirrors the expression arithmetic EXACTLY: left-to-
+  // right double folds (DuckDB list_reduce == the expression's while
+  // loop), denom = sqrt(nx)*sqrt(ny), score exported as
+  // floor(cos*1e6) which is exact on bit-identical doubles.
+
+  private val Dim = 64
+
+  private def foldSql(elem: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $elem), (acc, x) -> acc + x)"
+
+  private def dotSql(a: String, b: String): String =
+    foldSql(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
+
+  private def cosCte(a: String, b: String): String =
+    s"""${dotSql(a, b)} AS dot,
+       |sqrt(${dotSql(a, a)}) AS na,
+       |sqrt(${dotSql(b, b)}) AS nb""".stripMargin
+
+  /** The ±1 hyperplane signature, with the plane components inlined
+    * as SQL literals (they are plan-time constants derived from
+    * md5(plane:dim) parity — same values [[planeCol]] ships).
+    */
+  private def sigSqlExpr(vec: String): String =
+    (0 until Planes).map { p =>
+      val plane = (0 until Dim).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+      val proj = foldSql(s"CAST($vec[i] AS DOUBLE) * ($plane)[i]")
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  private lazy val topkOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${cosCte("c.embedding", "q.embedding")}
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+       |), cos AS (
+       |  SELECT q_id, neighbor_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM scored
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
+       |  FROM cos
+       |)
+       |SELECT q_id, rk, neighbor_id, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  private lazy val lshOracle: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${sigSqlExpr("embedding")} AS sig
+       |  FROM embeddings
+       |), kept AS (
+       |  SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= $MaxBucketAnn
+       |), cand AS (
+       |  SELECT q.vec_id AS q_id, s.vec_id AS neighbor_id,
+       |         ${cosCte("s.embedding", "q.embedding")}
+       |  FROM sigs s
+       |  JOIN kept k ON s.sig = k.sig
+       |  JOIN sigs q ON q.vec_id < $QuerySetSize AND q.sig = s.sig AND s.vec_id <> q.vec_id
+       |), cos AS (
+       |  SELECT q_id, neighbor_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM cand
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
+       |  FROM cos
+       |)
+       |SELECT q_id, rk, neighbor_id, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  private lazy val embeddingDedupOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding, x -> x * CAST(1.001 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |), sigs AS (
+       |  SELECT vec_id, embedding, ${sigSqlExpr("embedding")} AS sig
+       |  FROM corpus
+       |), pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cosCte("a.embedding", "b.embedding")}
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |), cos AS (
+       |  SELECT vec_a, vec_b,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM pairs
+       |)
+       |SELECT vec_a, vec_b, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
+       |FROM cos WHERE cs > 0.995""".stripMargin
 }

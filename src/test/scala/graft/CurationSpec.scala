@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-corpus curation operators (SURVEY.md §2). */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val nDocs =
+    Tables.documents(spark, sf).count()
+
+  test("cur_split partitions the corpus with a ~90/5/5 ratio") {
+    val rows = run("cur_split").collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.values.sum == nDocs) // exact partition, no doc lost
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train").toDouble / nDocs > 0.8)
+  }
+
+  test("cur_split is stable: same doc set → same assignment") {
+    val a = run("cur_split").collect().toSeq
+    val b = run("cur_split").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cur_sample_stratified equalizes language sizes") {
+    val sampled = run("cur_sample_stratified").collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val full = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = full.values.min
+    sampled.foreach { case (lang, n) =>
+      assert(n <= full(lang)) // a sample, not an inflation
+      // each language lands near the smallest language's size
+      assert(math.abs(n - minN) <= math.max(5L, minN / 2),
+        s"$lang sampled $n vs target $minN")
+    }
+  }
+
+  test("cur_pack_sequences: contiguous seq ids, budget-shaped fill") {
+    val rows = run("cur_pack_sequences").collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, seqs) =>
+        val ids = seqs.map(_.getAs[Long]("seq_id")).sorted
+        assert(ids.head == 0L)
+        assert(ids.toSeq == (0L until ids.length).toSeq) // no gaps
+      }
+    // greedy property: a sequence overflows the budget by at most
+    // its boundary document (no sequence starts past the budget)
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(col("n_chars"))).collect().head.getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chars_packed") <= 4000L + maxDoc)
+    }
+  }
+
+  test("cur_decontaminate flags every planted plagiarized doc") {
+    val flagged = run("cur_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).collect()
+      .map(_.getAs[Long]("doc_id") + 2000000L)
+    // full copies share every 8-gram with their eval original
+    planted.foreach { id =>
+      assert(flagged.contains(id), s"planted copy $id not flagged")
+      assert(flagged(id) > 0)
+    }
+  }
+
+  test("cur_domain_mix caps every domain at the equal-share budget") {
+    val kept = run("cur_domain_mix").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("chars_kept")).toMap
+    val full = Tables.documents(spark, sf).groupBy("source")
+      .agg(sum("n_chars").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val share = full.values.sum / full.size
+    kept.foreach { case (src, c) =>
+      assert(c <= full(src))
+      // sampling is per-doc so the realized share wobbles; it must
+      // still be in the neighborhood of the target, not the full size
+      assert(c <= (share * 1.5).toLong + 4000,
+        s"$src kept $c vs equal share $share")
+    }
+  }
+
+  test("cur_vocab: df <= freq, descending frequency, capped at 100") {
+    val rows = run("cur_vocab").collect()
+    assert(rows.length <= 100)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.sorted.reverse.sameElements(freqs))
+    rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("freq")))
+  }
+
+  test("cur_tfidf ranks rare terms above common ones") {
+    import spark.implicits._
+    val rows = run("cur_tfidf").collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("score"))
+      assert(scores.sorted.reverse.sameElements(scores))
+    }
+    // a token appearing in every doc scores minimal idf: verify one
+    // doc's top term has df strictly below the corpus size
+    val docTerm = rows.filter(_.getAs[Int]("rk") == 1).head.getAs[String]("token")
+    val df = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"), col("doc_id"))
+      .filter(col("t") === docTerm).select("doc_id").distinct().count()
+    assert(df < nDocs)
+  }
+
+  test("cur_shuffle: a stable total order, 1..50") {
+    val a = run("cur_shuffle").collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    assert(a.map(_._1).sorted.toSeq == (1 to 50))
+    assert(a.map(_._2).distinct.length == 50)
+    val b = run("cur_shuffle").collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    assert(a.toSeq == b.toSeq) // deterministic across runs
+  }
+
+  test("hexFrac is uniform-ish and engine-independent by construction") {
+    import spark.implicits._
+    val fr = spark.range(0, 2000).toDF("id")
+      .select(operators.Curation.hexFrac(col("id"), "u:").as("f"))
+      .collect().map(_.getDouble(0))
+    assert(fr.forall(f => f >= 0.0 && f < 1.0))
+    val mean = fr.sum / fr.length
+    assert(math.abs(mean - 0.5) < 0.05, s"mean $mean")
+  }
+}

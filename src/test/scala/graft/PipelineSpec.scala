@@ -99,15 +99,15 @@ class PipelineSpec extends AnyFunSuite {
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toMap
     out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
-      // ranks are 1..k and descending in cos_sim
-      val sims = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      // ranks are 1..k and descending in cos_micro
+      val sims = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("cos_micro"))
       assert(sims.sorted.reverse.sameElements(sims))
       rows.foreach { r =>
         val (a, b) = (emb(q), emb(r.getAs[Long]("neighbor_id")))
         val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
         val exact = dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
           math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
-        assert(math.abs(r.getAs[Double]("cos_sim") - exact) < 1e-4)
+        assert(math.abs(r.getAs[Long]("cos_micro") / 1e6 - exact) < 1e-4)
       }
     }
   }
@@ -128,7 +128,7 @@ class PipelineSpec extends AnyFunSuite {
     // jittered copies are cosine≈1 with their originals
     val planted = pairs.filter(r => r.getAs[Long]("vec_b") - r.getAs[Long]("vec_a") == 1000000L)
     assert(planted.nonEmpty)
-    planted.foreach(r => assert(r.getAs[Double]("cos_sim") > 0.999))
+    planted.foreach(r => assert(r.getAs[Long]("cos_micro") > 999000L))
   }
 
   test("mm_decode plumbs binary columns through partition-local decode") {
