@@ -1,0 +1,73 @@
+package graft.mm
+
+/** Deterministic synthetic media, keyed on a doc id. The container
+  * has no media fixtures, so each doc's payload is generated
+  * procedurally — REAL encoded bytes (valid PNG/APNG/WAV/JFIF
+  * streams the codecs in this package round-trip), with content
+  * derived from a splitmix-style hash of (id, position) so every
+  * run and every engine produces identical payloads.
+  */
+object MediaGen {
+
+  /** modality assignment: 0=png, 1=jpeg, 2=wav, 3=apng */
+  def modality(id: Long): Int = (id % 4).toInt
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def image(id: Long, frame: Int = 0): Png.Image = {
+    val w = 24 + (id % 17).toInt
+    val h = 16 + (id % 13).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = mix(id * 1000003L + frame * 7919L + y * 131L + x)
+        val o = (y * w + x) * 3
+        px(o) = (v & 0xff).toByte
+        px(o + 1) = ((v >>> 8) & 0xff).toByte
+        px(o + 2) = ((v >>> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.Image(w, h, 3, px)
+  }
+
+  def animationFrameCount(id: Long): Int = 2 + (id % 6).toInt
+
+  def audio(id: Long): Wav.Audio = {
+    val n = 1600 + (id % 800).toInt
+    val period = 20 + (id % 50).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      // integer triangle wave + hash dither: deterministic, has sign
+      // structure (for ZCR) and bounded amplitude (for RMS)
+      val phase = i % period
+      val tri = if (phase < period / 2) phase else period - phase
+      val dither = (mix(id * 31 + i) % 997).toInt
+      samples(i) = ((tri * 20000 / math.max(1, period / 2)) - 10000 + dither).toShort
+      i += 1
+    }
+    Wav.Audio(8000, 1, samples)
+  }
+
+  /** The encoded payload for a doc id — what a real pipeline would
+    * read from an object-store column. */
+  def payload(id: Long): Array[Byte] = modality(id) match {
+    case 0 => Png.encode(image(id))
+    case 1 =>
+      val img = image(id)
+      Jpeg.encodeHeaderOnly(img.width, img.height, 3, id)
+    case 2 => Wav.encode(audio(id))
+    case _ =>
+      val frames = (0 until animationFrameCount(id)).map(f => image(id, f))
+      Png.encodeFrames(frames)
+  }
+}

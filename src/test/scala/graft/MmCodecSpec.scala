@@ -1,0 +1,90 @@
+package graft
+
+import graft.mm.{Jpeg, MediaGen, Png, Wav}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip specs for the clean-room media codecs backing
+  * mm_decode/mm_frames. These run no Spark — they pin down the byte
+  * formats so the operator tests can trust decode output.
+  */
+class MmCodecSpec extends AnyFunSuite {
+
+  private def img(w: Int, h: Int, ch: Int, seed: Int): Png.Image = {
+    val px = Array.tabulate(w * h * ch)(i => ((i * 31 + seed * 7) % 251).toByte)
+    Png.Image(w, h, ch, px)
+  }
+
+  test("PNG round-trips RGB pixels exactly (all five filters exercised)") {
+    // height ≥ 5 guarantees every filter type appears (row % 5)
+    val src = img(21, 9, 3, 1)
+    val decoded = Png.decode(Png.encode(src))
+    assert(decoded.width == 21 && decoded.height == 9 && decoded.channels == 3)
+    assert(decoded.frames.head.pixels.sameElements(src.pixels))
+  }
+
+  test("PNG round-trips greyscale and RGBA") {
+    for (ch <- Seq(1, 4)) {
+      val src = img(13, 7, ch, ch)
+      val d = Png.decode(Png.encode(src))
+      assert(d.channels == ch)
+      assert(d.frames.head.pixels.sameElements(src.pixels))
+    }
+  }
+
+  test("PNG decode rejects corrupted bytes (CRC check)") {
+    val bytes = Png.encode(img(8, 8, 3, 2))
+    bytes(40) = (bytes(40) ^ 0x55).toByte // flip a byte inside IHDR/IDAT
+    intercept[Exception](Png.decode(bytes))
+  }
+
+  test("APNG round-trips every frame") {
+    val frames = (0 until 4).map(f => img(10, 6, 3, f))
+    val d = Png.decode(Png.encodeFrames(frames))
+    assert(d.frames.length == 4)
+    frames.zip(d.frames).foreach { case (a, b) =>
+      assert(a.pixels.sameElements(b.pixels))
+    }
+  }
+
+  test("WAV round-trips PCM16 samples and rates") {
+    val audio = Wav.Audio(16000, 2, Array.tabulate(2048)(i => ((i * 37) % 30000 - 15000).toShort))
+    val d = Wav.decode(Wav.encode(audio))
+    assert(d.sampleRate == 16000 && d.channels == 2)
+    assert(d.samples.sameElements(audio.samples))
+  }
+
+  test("WAV features: silence has zero RMS, alternating wave crosses every step") {
+    assert(Wav.Audio(8000, 1, Array.fill(100)(0.toShort)).rms == 0.0)
+    val alt = Wav.Audio(8000, 1, Array.tabulate(100)(i => (if (i % 2 == 0) 1000 else -1000).toShort))
+    assert(alt.zeroCrossingRate == 1.0)
+  }
+
+  test("JPEG header parse recovers dimensions from generated JFIF") {
+    val bytes = Jpeg.encodeHeaderOnly(640, 480, 3, seed = 42L)
+    val m = Jpeg.parseHeader(bytes)
+    assert(m.width == 640 && m.height == 480 && m.components == 3)
+  }
+
+  test("JPEG parser rejects non-JPEG input") {
+    intercept[Exception](Jpeg.parseHeader(Array[Byte](1, 2, 3, 4)))
+    intercept[Exception](Jpeg.parseHeader(Png.encode(img(4, 4, 3, 0))))
+  }
+
+  test("MediaGen payloads decode under container sniffing for all modalities") {
+    (0L until 32L).foreach { id =>
+      val meta = operators.Multimodal.decodeMeta(id, MediaGen.payload(id))
+      MediaGen.modality(id) match {
+        case 0 => assert(meta.format == "png" && meta.n_frames == 1 && meta.width > 0)
+        case 1 => assert(meta.format == "jpeg" && meta.width > 0)
+        case 2 => assert(meta.format == "wav" && meta.sample_rate == 8000 && meta.feature > 0)
+        case _ => assert(meta.format == "apng" && meta.n_frames == MediaGen.animationFrameCount(id))
+      }
+    }
+  }
+
+  test("MediaGen is deterministic") {
+    (0L until 8L).foreach { id =>
+      assert(MediaGen.payload(id).sameElements(MediaGen.payload(id)))
+    }
+  }
+}

@@ -131,26 +131,33 @@ class PipelineSpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getAs[Long]("cos_micro") > 999000L))
   }
 
-  test("mm_decode plumbs binary columns through partition-local decode") {
+  test("mm_decode real-codec pipeline covers all four container formats") {
     val rows = run("mm_decode").collect()
-    assert(rows.map(_.getString(0)).toSet == Set("png", "wav", "mp4"))
+    assert(rows.map(_.getString(0)).toSet == Set("png", "jpeg", "wav", "apng"))
     assert(rows.map(_.getAs[Long]("n_assets")).sum ==
       Tables.documents(spark, sf).count())
+    // decoded pixel/sample content produces non-degenerate features
+    val byFmt = rows.map(r => r.getString(0) -> r.getAs[Double]("avg_feature")).toMap
+    assert(byFmt("png") > 0.3 && byFmt("png") < 0.7) // hash pixels ≈ mid-grey
+    assert(byFmt("wav") > 0.1) // triangle wave has real RMS
   }
 
-  test("mm_frames: sampled frame counts follow the stub metadata") {
+  test("mm_frames: sampled counts match the generated animations/audio") {
     import spark.implicits._
     val rows = run("mm_frames").collect()
-    assert(rows.length == 3) // three formats
-    val sampledTotal = rows.map(_.getAs[Long]("n_frames_sampled")).sum
-    // recompute expected from the stub: every 4th of n_frames per doc
-    val expected = Tables.documents(spark, sf)
-      .select($"doc_id", octet_length($"text").as("n")).as[(Long, Int)].collect()
-      .map { case (id, n) =>
-        val frames = 1 + (n % 16)
-        (frames + operators.Multimodal.SampleEvery - 1) / operators.Multimodal.SampleEvery
+    assert(rows.map(_.getAs[String]("kind")).toSet == Set("video", "audio"))
+    val byKind = rows.map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_frames_sampled")).toMap
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    val se = operators.Multimodal.SampleEvery
+    val expVideo = ids.filter(mm.MediaGen.modality(_) == 3)
+      .map(id => (mm.MediaGen.animationFrameCount(id) + se - 1) / se).sum
+    val expAudio = ids.filter(mm.MediaGen.modality(_) == 2)
+      .map { id =>
+        val nWin = mm.MediaGen.audio(id).samples.length / operators.Multimodal.AudioWindow
+        (nWin + se - 1) / se
       }.sum
-    assert(sampledTotal == expected, s"$sampledTotal vs $expected")
+    assert(byKind("video") == expVideo, s"video ${byKind("video")} vs $expVideo")
+    assert(byKind("audio") == expAudio, s"audio ${byKind("audio")} vs $expAudio")
   }
 
   test("text_langid predictions are deterministic and cover the corpus") {
