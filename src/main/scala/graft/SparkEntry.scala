@@ -11,7 +11,7 @@ object SparkEntry {
       operators.AsOf.defs ++ operators.Ranges.defs ++ operators.Cdc.defs ++
       operators.Dedup.defs ++ operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.Curation.defs
+      operators.Curation.defs ++ operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,34 +36,14 @@ object Curation {
     QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql))
   )
 
-  // --- deterministic uniform [0,1) from a key --------------------
-  // First 12 hex digits of md5(salt || key) as a 48-bit integer,
-  // divided by 16^12. Both the integer build-up and the final
-  // division are EXACT in IEEE doubles (sums of non-overlapping
-  // binary fractions), so Spark and DuckDB agree bit-for-bit — no
-  // engine RNG, no float-summation order anywhere.
-  private val HexScale = 281474976710656.0 // 16^12 = 2^48
+  // Deterministic uniform [0,1) from a key: see graft.functions
+  // .DetHash (48-bit md5 fraction — exact IEEE arithmetic on both
+  // engines, no RNG, no float-summation order anywhere).
+  def hexFrac(key: Column, salt: String): Column =
+    graft.functions.DetHash.frac(key, salt)
 
-  private def digitVal(c: Column): Column =
-    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
-
-  /** Exact deterministic pseudo-uniform in [0,1) keyed on salt+key. */
-  def hexFrac(key: Column, salt: String): Column = {
-    val h = md5(concat(lit(salt), key.cast("string")))
-    val v = (1 to 12).map { j =>
-      digitVal(substring(h, j, 1)).cast("long") * lit(1L << (4 * (12 - j)))
-    }.reduce(_ + _)
-    v.cast("double") / lit(HexScale)
-  }
-
-  /** SQL twin of [[hexFrac]], reading a precomputed md5 column `h`. */
-  private def hexFracSql(h: String): String = {
-    val terms = (1 to 12).map { j =>
-      s"CAST(CASE WHEN ascii(substr($h, $j, 1)) <= 57 THEN ascii(substr($h, $j, 1)) - 48" +
-        s" ELSE ascii(substr($h, $j, 1)) - 87 END AS BIGINT) * ${1L << (4 * (12 - j))}"
-    }.mkString("(", " + ", ")")
-    s"(CAST($terms AS DOUBLE) / $HexScale)"
-  }
+  private def hexFracSql(h: String): String =
+    graft.functions.DetHash.fracOfHexSql(h)
 
   // --- cur_split: train/val/test assignment ----------------------
   // Split membership is a property of the doc key alone — adding

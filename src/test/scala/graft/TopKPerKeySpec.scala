@@ -43,4 +43,15 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(TopKPerKey(Tables.orders(spark, sf), Seq("o_orderpriority"), "o_totalprice",
       1000000).count() == n)
   }
+
+  test("q30_kmv_sketch: estimates land within 20% of exact, via the heap plan") {
+    val rows = SparkEntry.queries("q30_kmv_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val exact = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.2,
+        s"flag ${r.getString(0)}: KMV est $est vs exact $exact")
+    }
+  }
 }
