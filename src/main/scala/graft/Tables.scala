@@ -28,4 +28,18 @@ object Tables {
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Spread a FEW-FILE scan across the cluster before per-row
+    * compute-heavy work (gram hashing, media decode, shingling).
+    * Parquet parallelism is bounded by row groups, so a small table
+    * written as one file pins the whole downstream pipeline to one
+    * task. The guard keeps this adaptive: with many input files
+    * (the 100 TB layout) the scan is already parallel and no
+    * exchange is added — this only pays one small shuffle when the
+    * input couldn't saturate the cluster anyway.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < cores) df.repartition(cores) else df
+  }
 }

@@ -157,7 +157,7 @@ object Curation {
   private val PlantBase = 2000000L
 
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val d = Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"), col("text")))
     // contamination universe: the synthetic corpus has no organic
     // duplication, so plant full copies of each eval doc on the
     // training side (the ground truth the operator must flag)
@@ -248,7 +248,7 @@ object Curation {
   // partition); the global sort is TakeOrderedAndProject, not a full
   // sort.
   private def vocab(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.parallelized(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
     toks.groupBy("token")

@@ -31,9 +31,11 @@ object Dedup {
 
   private val MutantBase = 1000000L
 
-  /** documents ∪ near-dup mutants (10% of docs, first word dropped) */
+  /** documents ∪ near-dup mutants (10% of docs, first word dropped).
+    * `parallelized`: shingling/minhashing is compute-bound and must
+    * not inherit a one-row-group scan's single task. */
   def corpus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val d = Tables.parallelized(Tables.documents(s, dir).select("doc_id", "text"))
     val mutants = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + MutantBase).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))

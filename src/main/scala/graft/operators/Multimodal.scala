@@ -59,7 +59,7 @@ object Multimodal {
     * documents keys, partition-locally. */
   private def assets(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, MediaGen.payload(id))))
   }
 

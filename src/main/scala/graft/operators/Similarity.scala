@@ -81,7 +81,7 @@ object Similarity {
 
   // --- brute-force cosine top-k (baseline / ground truth) ---
   private def topk(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
     val queries = emb.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     cosineTopK(emb, "vec_id", "embedding", queries, "q_id", "q_vec", TopK)
@@ -125,7 +125,7 @@ object Similarity {
 
   // --- LSH-bucketed approximate NN ---
   private def lshAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
     val dim = 64
     val sigs = emb.select(col("vec_id"), col("embedding"),
       signature(col("embedding"), dim).as("sig"))
@@ -197,8 +197,11 @@ object Similarity {
   }
 
   private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val centroids = trainCentroids(emb)
+    // centroid training runs several short jobs over the table — the
+    // plain scan avoids re-paying the parallelize exchange per job;
+    // the one-pass index/search pipeline below does want it
+    val centroids = trainCentroids(Tables.embeddings(s, dir))
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
     val indexed = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
     // each query probes its NProbe nearest cells
     val queries = emb.filter(col("vec_id") < QuerySetSize)
@@ -233,7 +236,7 @@ object Similarity {
 
   // --- embedding-cosine near-duplicate pairs ---
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
     val dim = 64
     // duplicate universe: jittered copies (deterministic scale) of
     // every 10th vector — near-dups the operator must find

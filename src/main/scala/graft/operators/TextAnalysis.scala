@@ -69,7 +69,7 @@ object TextAnalysis {
     length(regexp_replace(text, "[ -~]", "")).cast("double") / length(text)
 
   private def langid(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallelized(Tables.documents(s, dir))
       .withColumn("td", array_distinct(split(col("text"), "\\s+")))
       .select(col("lang").as("lang_actual"),
         langIdOfDistinctToks(col("text"), col("td")).as("lang_pred"))
@@ -194,10 +194,12 @@ object TextAnalysis {
     val d = Tables.documents(s, dir)
       .withColumn("w", array_sort(array_distinct(split(col("text"), "\\s+"))))
       .withColumn("canonical_fp", md5(concat_ws(" ", col("w"))))
-    // explode the OFFSETS and substring per row — avoids materializing
-    // the full per-doc gram array (len(text)×8 chars) before the agg
-    val rolling = d
-      .filter(length(col("text")) >= 8)
+    // explode the OFFSETS and substring per row; md5+min stay
+    // codegen'd with a map-side partial min, so the exchange carries
+    // one row per doc. `parallelized` first: the gram hashing is
+    // compute-bound and must not inherit a one-row-group scan's
+    // single task.
+    val rolling = Tables.parallelized(d.filter(length(col("text")) >= 8))
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, length(text) - 7)")).as("i"))
       .groupBy("doc_id")
@@ -218,7 +220,7 @@ object TextAnalysis {
   private val CommonMin = 5
 
   private def commonness(s: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables.documents(s, dir)
+    val bigrams = Tables.parallelized(Tables.documents(s, dir))
       .withColumn("w", split(col("text"), "\\s+"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
@@ -398,7 +400,7 @@ object TextAnalysis {
   }
 
   private def repetition(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallelized(Tables.documents(s, dir))
       .withColumn("w", split(col("text"), "\\s+"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
