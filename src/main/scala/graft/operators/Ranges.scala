@@ -111,7 +111,9 @@ object Ranges {
   private def rangeJoinQuery(s: SparkSession, dir: String): DataFrame = {
     val points = Tables.lineitem(s, dir)
       .select(col("l_shipdate").as("ship_date")).distinct()
-    val intervals = Tables.orders(s, dir).select(
+    // interval explosion + residual filter are the compute: spread
+    // the single-row-group orders scan first
+    val intervals = Tables.parallelized(Tables.orders(s, dir)).select(
       col("o_totalprice"),
       col("o_orderdate").as("w_start"),
       expr("timestampadd(DAY, CAST(o_orderkey % 30 AS INT) + 1, o_orderdate)")

@@ -303,8 +303,10 @@ object Relational {
     val r = Tables.region(s, dir)
     val n = Tables.nation(s, dir)
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
-    val l = Tables.lineitem(s, dir)
+    // the two fact sides carry the join+agg work; spread their
+    // single-row-group scans before the first exchange
+    val o = Tables.parallelized(Tables.orders(s, dir))
+    val l = Tables.parallelized(Tables.lineitem(s, dir))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
