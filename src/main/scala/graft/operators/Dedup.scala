@@ -26,7 +26,8 @@ object Dedup {
     QueryDef("dedup_minhash", minhash, Some(minhashSql)),
     QueryDef("dedup_minhash_fast", minhashFast, None),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
-    QueryDef("dedup_ngram_jaccard", jaccard, Some(jaccardSql))
+    QueryDef("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
+    QueryDef("dedup_cluster", cluster, Some(clusterSql))
   )
 
   private val MutantBase = 1000000L
@@ -179,7 +180,11 @@ object Dedup {
   private def minhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(corpus(s, dir), "doc_id", "text", md5Hash = true)
 
-  private val minhashSql = {
+  private val minhashSql = minhashPairsSqlFor(corpusSql)
+
+  /** The DuckDB twin of [[minhashPairs]] (md5 variant), over any
+    * corpus SQL producing (doc_id, text). */
+  private def minhashPairsSqlFor(corpus: String): String = {
     // nibble-decode 8 hex chars of the md5 starting at 1-based `at`
     def hexVal(at: Int): String = (0 until 8).map(k =>
       s"(instr('0123456789abcdef', substring(h, ${at + k}, 1)) - 1) * ${1L << (4 * (7 - k))}")
@@ -193,7 +198,7 @@ object Dedup {
     s"""WITH shingled AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM ($corpusSql))
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM ($corpus))
        |  WHERE len(w) >= 3),
        |vals AS (
        |  SELECT doc_id,
@@ -365,4 +370,102 @@ object Dedup {
        |         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
        |FROM g a JOIN g b ON b.doc_id = a.doc_id + $MutantBase
        |ORDER BY doc_a""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_cluster: candidate pairs → connected components →
+  // canonical representative per duplicate CLUSTER. Pair mining
+  // alone under-deduplicates transitive duplicates (A~B, B~C but A
+  // and C never bucket together); production dedup keeps ONE doc per
+  // component. Ground truth: second-order mutants form 3-chains
+  // doc — m1 (first word dropped) — m2 (second word dropped), so
+  // components must close over two hops.
+  // ---------------------------------------------------------------
+
+  /** corpus ∪ first-order ∪ second-order mutants (3-chains) */
+  private def clusterCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.parallelized(Tables.documents(s, dir).select("doc_id", "text"))
+    val t1 = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), expr("substring(text, instr(text, ' ') + 1)").as("t1"))
+    val m2 = t1.select((col("doc_id") + 2 * MutantBase).as("doc_id"),
+      expr("substring(t1, instr(t1, ' ') + 1)").as("text"))
+    corpus(s, dir).unionAll(m2)
+  }
+
+  private val clusterCorpusSql =
+    s"""$corpusSql
+       |UNION ALL
+       |SELECT doc_id + ${2 * MutantBase} AS doc_id,
+       |       substring(t1, instr(t1, ' ') + 1) AS text
+       |FROM (SELECT doc_id, substring(text, instr(text, ' ') + 1) AS t1
+       |      FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Min-label connected components over undirected candidate pairs.
+    *
+    * Label propagation: every vertex starts labeled with itself;
+    * each round takes the min of its own and its neighbors' labels;
+    * converges in O(diameter) rounds (near-dup clusters are
+    * star/chain shaped — diameter is small by construction). Each
+    * round is one shuffle of (vertex, label) pairs — edges and
+    * labels, never documents. The driver loop is bounded by maxIter
+    * and stops at the first fixpoint (an isEmpty probe per round).
+    * At 100 TB-scale graphs with long paths, swap the round body for
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce") — same join shape,
+    * O(log n) rounds; plain propagation is the right trade for
+    * near-dup graphs whose diameter is 2-3.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
+      .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
+      .persist()
+    var labels = sym.select(col("v")).distinct()
+      .withColumn("label", col("v")).persist()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val viaNeighbors = sym
+        .join(labels.select(col("v").as("n"), col("label")), "n")
+        .groupBy("v").agg(min(col("label")).as("nlabel"))
+      // carry the previous label alongside so the convergence probe
+      // is a filter on the SAME cached frame, not another join
+      val next = labels.join(viaNeighbors, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .persist()
+      done = next.filter(col("label") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next.select("v", "label")
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  private def cluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(clusterCorpus(s, dir), "doc_id", "text", md5Hash = true)
+    connectedComponents(pairs)
+      .select(col("v").as("doc_id"), col("label").as("component"),
+        (col("v") === col("label")).as("is_canonical"))
+      .orderBy("component", "doc_id")
+  }
+
+  // Oracle: the same pair mining, then min-label reachability as a
+  // recursive CTE (component id = min vertex id reachable).
+  private lazy val clusterSql =
+    s"""WITH RECURSIVE
+       |pairs AS (${minhashPairsSqlFor(clusterCorpusSql)}),
+       |sym AS (
+       |  SELECT doc_a AS v, doc_b AS n FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS v, doc_a AS n FROM pairs
+       |),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+       |  UNION
+       |  SELECT sym.v, reach.r FROM sym JOIN reach ON reach.v = sym.n
+       |)
+       |SELECT v AS doc_id, MIN(r) AS component,
+       |       (v = MIN(r)) AS is_canonical
+       |FROM reach GROUP BY v ORDER BY component, doc_id""".stripMargin
 }

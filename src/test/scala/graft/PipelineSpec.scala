@@ -131,6 +131,29 @@ class PipelineSpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getAs[Long]("cos_micro") > 999000L))
   }
 
+  test("dedup_cluster closes 3-chains transitively with one canonical each") {
+    val rows = run("dedup_cluster").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[Boolean]("is_canonical")))
+    assert(rows.nonEmpty)
+    // exactly one canonical per component, and it IS the component id
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      val canon = members.filter(_._3)
+      assert(canon.length == 1, s"component $comp canonicals: ${canon.length}")
+      assert(canon.head._1 == comp)
+    }
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    // transitive closure: wherever a full 3-chain (doc, m1, m2) was
+    // mined, all three must share a component — m2 only ever bands
+    // with m1, so this is the two-hop property pair mining lacks
+    val chains = byDoc.keySet.filter(id =>
+      byDoc.contains(id + 1000000L) && byDoc.contains(id + 2000000L))
+    assert(chains.nonEmpty, "no full 3-chains mined")
+    chains.foreach { id =>
+      assert(byDoc(id) == byDoc(id + 1000000L) && byDoc(id) == byDoc(id + 2000000L),
+        s"chain at $id split across components")
+    }
+  }
+
   test("mm_decode real-codec pipeline covers all four container formats") {
     val rows = run("mm_decode").collect()
     assert(rows.map(_.getString(0)).toSet == Set("png", "jpeg", "wav", "apng"))
