@@ -33,6 +33,7 @@ object Similarity {
     QueryDef("sim_topk_bruteforce", topk, Some(topkOracle)),
     QueryDef("sim_lsh_ann", lshAnn, Some(lshOracle)),
     QueryDef("sim_ivf_ann", ivfAnn, None),
+    QueryDef("sim_quantized", quantized, Some(quantizedOracle)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
 
@@ -233,6 +234,71 @@ object Similarity {
     transform(slice(reverse(array_sort(scored)), 1, NProbe),
       s => -s.getField("negid"))
   }
+
+  // --- int8 scalar quantization + integer-dot retrieval -----------
+  // The memory-bound scale path: unit-normalize each vector, snap
+  // every component to a 255-step integer grid (int8 range), rank
+  // neighbors by the INTEGER dot product (≈ cosine × 127²). 4× less
+  // vector memory/bandwidth at search time, and — because the
+  // quantized components and their dot products are exact small
+  // integers — the whole retrieval is integer arithmetic with a
+  // bit-exact DuckDB oracle (no FP ranking anywhere). Components are
+  // STORED as floats holding integer values so the codegen'd native
+  // DotProduct expression does the scoring (products ≤ 64·127² stay
+  // exact in doubles).
+  private val QBits = 127.0
+
+  /** unit-normalize then quantize to the int8 grid; zero vectors
+    * quantize to zero */
+  def quantizeUnit(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val s = when(norm === 0.0, lit(0.0)).otherwise(lit(QBits) / norm)
+    transform(vec, x => floor(x.cast("double") * s + lit(0.5)).cast("float"))
+  }
+
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+      .select(col("vec_id"), quantizeUnit(col("embedding")).as("qvec"))
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"))
+    val scored = emb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.dot_product(col("q_qvec"), col("qvec"))
+          .cast("long").as("qdot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("qdot"))
+      .orderBy("q_id", "rk")
+  }
+
+  // SQL twin of [[quantizeUnit]]: quantize once per vector in a CTE,
+  // then rank by the exact-integer dot of quantized components.
+  private lazy val quantizedOracle: String =
+    s"""WITH norms AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${Dim + 1}),
+       |           i -> floor(CAST(embedding[i] AS DOUBLE) *
+       |                (CASE WHEN nrm = 0 THEN 0.0 ELSE $QBits / nrm END) + 0.5)) AS q
+       |  FROM norms
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                i -> c.q[i] * q.q[i]), (acc, x) -> acc + x) AS BIGINT) AS qdot
+       |  FROM qv c JOIN qv q ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, qdot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, rk, neighbor_id, qdot
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // --- embedding-cosine near-duplicate pairs ---
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {

@@ -122,6 +122,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall (expected ≥0.3 at nProbe=4/16)")
   }
 
+  test("sim_quantized: int8 retrieval recalls the exact top-k") {
+    val exact = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val quant = run("sim_quantized").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(quant.nonEmpty)
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall (unit-sphere 255-step grid)")
+  }
+
   test("dedup_embedding finds the planted jittered near-dups") {
     val pairs = run("dedup_embedding").collect()
     assert(pairs.nonEmpty)
