@@ -139,6 +139,46 @@ object CdcStream {
       .drop("op", "deleted")
   }
 
+  /** At-least-once → exactly-once: streaming duplicate suppression
+    * via the stateful dropDuplicates operator. The source simulates
+    * redelivery (every event arrives twice, via two source instances
+    * of the same changelog); state keyed on event_id drops the
+    * second delivery ACROSS micro-batches. Bounded replay keeps
+    * exact state; an unbounded deployment adds
+    * `withWatermark(ts, horizon)` so ids older than the redelivery
+    * horizon age out of the store (state ∝ horizon, not history —
+    * the 100 TB requirement). RocksDB store as in
+    * [[applyAvailableNow]].
+    */
+  def streamingDedup(
+      s: SparkSession,
+      dir: String,
+      queryName: String = "cdc_stream_dedup",
+      statePartitions: Option[Int] = None): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def src() = s.readStream.schema(Tables0.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val deduped = src().unionAll(src()).dropDuplicates("event_id")
+    withStatePartitions(s, statePartitions) {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_dedup_ckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(queryName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Run `body` (start a stream + await it) with
     * `spark.sql.shuffle.partitions` temporarily overridden. The
     * override pins the stateful operator's state-store partition

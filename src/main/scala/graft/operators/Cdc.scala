@@ -30,6 +30,7 @@ object Cdc {
     QueryDef("cdc_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("cdc_stream_apply", streamApply, Some(snapshotSqlStream)),
     QueryDef("cdc_stream_window", streamWindow, Some(streamWindowSql)),
+    QueryDef("cdc_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("cdc_sink", cdcSink, Some(sinkSql)),
     QueryDef("cdc_ingest", cdcIngest, Some(ingestSql)),
     QueryDef("cdc_listeners", cdcListeners, Some(listenersSql)),
@@ -491,6 +492,17 @@ object Cdc {
       .select(date_trunc("second", col("day")).as("day"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
+
+  // --- cdc_stream_dedup: at-least-once → exactly-once -------------
+  // Every event is delivered twice; the stateful dropDuplicates
+  // must land exactly on the single-delivery batch counts.
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    CdcStream.streamingDedup(s, dir,
+      s"cdc_stream_dedup_${System.nanoTime()}", statePartitions = Some(8))
+
+  private val streamDedupSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val streamWindowSql =
     """SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
