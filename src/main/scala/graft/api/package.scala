@@ -147,5 +147,84 @@ package object api {
         queries: DataFrame,
         k: Int): DataFrame =
       Similarity.cosineTopK(df, idCol, embCol, queries, "q_id", "q_vec", k)
+
+    /** Unit-normalize + int8-grid quantize an embedding column —
+      * the 4×-smaller search-time representation whose integer dot
+      * products rank ≈ cosine (see sim_quantized).
+      */
+    def withQuantizedEmbedding(
+        embCol: String, outCol: String = "qvec"): DataFrame =
+      df.withColumn(outCol, Similarity.quantizeUnit(col(embCol)))
+
+    // --- curation ---------------------------------------------------
+
+    /** Deterministic train/val/test assignment keyed on `idCol`:
+      * stable under corpus growth (adding docs never reshuffles
+      * existing assignments), reproducible across runs and engines.
+      */
+    def withSplitAssignment(
+        idCol: String,
+        valFrac: Double = 0.05,
+        testFrac: Double = 0.05,
+        outCol: String = "split"): DataFrame = {
+      val f = functions.DetHash.frac(col(idCol), "split:")
+      df.withColumn(outCol,
+        when(f < valFrac, "val")
+          .when(f < valFrac + testFrac, "test")
+          .otherwise("train"))
+    }
+
+    /** Keep each row with probability `rateCol` (a per-row/per-group
+      * rate column), deterministically keyed on `idCol` — the
+      * primitive behind stratified and domain-mix sampling.
+      */
+    def sampleDeterministic(idCol: String, rateCol: Column): DataFrame =
+      df.filter(functions.DetHash.frac(col(idCol), "sample:") < rateCol)
+
+    /** Greedy fixed-budget sequence packing in `idCol` order within
+      * (groupCols, shard) cells; adds `seq_id`. Window partitions are
+      * bounded by the shard count — no single-node global window.
+      */
+    def packSequences(
+        idCol: String,
+        weightCol: String,
+        budget: Long,
+        groupCols: Seq[String] = Nil,
+        shards: Int = 32): DataFrame = {
+      val withShard = df.withColumn("__shard", col(idCol) % shards)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((groupCols :+ "__shard").map(col): _*).orderBy(idCol)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      withShard.withColumn("__cum", sum(col(weightCol)).over(w))
+        .withColumn("seq_id", expr(s"(__cum - $weightCol) div $budget"))
+        .drop("__cum")
+    }
+
+    /** Connected components over a candidate-pair frame
+      * (doc_a, doc_b): returns (v, label) with label = min id of the
+      * component — duplicate clusters from pairwise candidates.
+      */
+    def connectedComponents(maxIter: Int = 8): DataFrame =
+      Dedup.connectedComponents(df, maxIter)
+
+    /** Flag rows sharing any `n`-gram of `textCol` with `evalSet`'s
+      * text — benchmark decontamination. Returns (idCol,
+      * n_shared_grams) for contaminated rows only.
+      */
+    def contaminatedBy(
+        evalSet: DataFrame, idCol: String, textCol: String,
+        n: Int = 8): DataFrame = {
+      def grams(t: DataFrame, keep: Seq[Column]): DataFrame = t
+        .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
+        .filter(size(col("__toks")) >= n)
+        .select(keep :+ explode(transform(
+          sequence(lit(0), size(col("__toks")) - n),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"): _*)
+      grams(df, Seq(col(idCol)))
+        .join(grams(evalSet, Nil).select("gram").distinct(), "gram")
+        .groupBy(idCol)
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    }
   }
 }

@@ -418,8 +418,10 @@ object Dedup {
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
       .persist()
-    var labels = sym.select(col("v")).distinct()
-      .withColumn("label", col("v")).persist()
+    // warm start = round 1 fused into init: label(v) = min(v, min
+    // neighbor), one aggregate instead of a join+agg+probe cycle
+    var labels = sym.groupBy("v").agg(min(col("n")).as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("label")).persist()
     var i = 0
     var done = false
     while (i < maxIter && !done) {

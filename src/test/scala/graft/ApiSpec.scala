@@ -138,6 +138,68 @@ class ApiSpec extends AnyFunSuite {
     assert(got == Set(4L, 5L, 1L), got.toString)
   }
 
+  test("withSplitAssignment partitions deterministically at requested rates") {
+    val docs = spark.range(0, 5000).toDF("id")
+    val split = docs.withSplitAssignment("id").collect()
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(split.values.sum == 5000)
+    assert(split("train") > 4000 && split("val") > 100 && split("test") > 100)
+    // stability: re-running yields the identical assignment
+    val again = docs.withSplitAssignment("id").collect()
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(split == again)
+  }
+
+  test("sampleDeterministic keeps ~rate and is idempotent") {
+    val rows = spark.range(0, 2000).toDF("id")
+    val kept = rows.sampleDeterministic("id", lit(0.25))
+    val n = kept.count()
+    assert(n > 350 && n < 650, s"kept $n of 2000 at rate 0.25")
+    // deterministic: sampling the sample with the same key changes nothing
+    assert(kept.sampleDeterministic("id", lit(0.25)).count() == n)
+  }
+
+  test("packSequences: cumulative weights respect the budget per cell") {
+    val rows = (1L to 100L).map(i => (i, 10L)).toDF("id", "w")
+    val packed = rows.packSequences("id", "w", budget = 35L, shards = 4).collect()
+    packed.groupBy(r => (r.getAs[Long]("__shard"), r.getAs[Long]("seq_id")))
+      .foreach { case (_, members) =>
+        // each doc weighs 10, budget 35 → at most 4 docs per sequence
+        assert(members.length <= 4)
+      }
+  }
+
+  test("connectedComponents closes transitive chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = pairs.connectedComponents().collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("contaminatedBy flags docs sharing an 8-gram with the eval set") {
+    val evalSet = Seq((1L, "a b c d e f g h unique tail")).toDF("id", "text")
+    val train = Seq(
+      (100L, "x a b c d e f g h y"), // contains the 8-gram a..h
+      (101L, "totally different words that never overlap at all ok")
+    ).toDF("id", "text")
+    val flagged = train.contaminatedBy(evalSet, "id", "text").collect()
+    assert(flagged.map(_.getAs[Long]("id")).toSeq == Seq(100L))
+    assert(flagged.head.getAs[Long]("n_shared_grams") >= 1L)
+  }
+
+  test("withQuantizedEmbedding produces exact int8-grid floats") {
+    val df = Seq((1L, Seq(0.6f, 0.8f, 0.0f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("id", "emb")
+    val q = df.withQuantizedEmbedding("emb").collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[Float]]("qvec")).toMap
+    // unit vector (0.6, 0.8, 0) → (76.7, 101.6..) → floor(x+.5)
+    assert(q(1L) == Seq(76f, 102f, 0f))
+    assert(q(2L) == Seq(0f, 0f, 0f)) // zero vector guard
+    q.values.flatten.foreach(v => assert(v == v.floor && v.abs <= 127f))
+  }
+
   test("cosineTopK ranks the aligned vector first") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f, 0.0f)),
