@@ -446,7 +446,12 @@ object Relational {
   // --- q24: exact interpolated percentiles (same linear-interp
   // definition in Spark `percentile` and DuckDB `quantile_cont`) ---
   // one percentile aggregate with an array of fractions — a single
-  // value buffer per group instead of three copies of the data
+  // value buffer per group instead of three copies of the data.
+  // SCALE NOTE: exact percentile is ObjectHashAggregate buffering
+  // every value per group — memory ∝ group size. This is the
+  // exact-SMALL-GROUP variant (3 groups here); at 100 TB group
+  // cardinality, use the sketch path (q27 percentile_approx, fixed
+  // memory) and treat this as the validation oracle.
   private def q24(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
