@@ -142,7 +142,14 @@ object TxnLog {
     val dest = new Path(tableDir, dirName)
     partitionCol match {
       case Some(p) =>
+        // cluster rows by their target partition before the write:
+        // otherwise every upstream task emits a file into every
+        // partition dir it holds rows for (shuffle-width × partitions
+        // small files per commit). One task per partition value →
+        // one file; a skewed-hot partition at scale would add
+        // spark.sql.files.maxRecordsPerFile to split it.
         df.withColumn(PartDirCol, col(p))
+          .repartition(col(PartDirCol))
           .write.partitionBy(PartDirCol).parquet(dest.toString)
       case None =>
         df.write.parquet(dest.toString)
