@@ -419,9 +419,14 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
       .persist()
     // warm start = round 1 fused into init: label(v) = min(v, min
-    // neighbor), one aggregate instead of a join+agg+probe cycle
-    var labels = sym.groupBy("v").agg(min(col("n")).as("mn"))
+    // neighbor), one aggregate instead of a join+agg+probe cycle.
+    // `cached` tracks the PERSISTED frame backing the current labels:
+    // unpersist must target the frame that was persisted — calling it
+    // on a projection of it is a silent no-op (cache keying is by
+    // plan), which would leak one cache entry per round.
+    var cached = sym.groupBy("v").agg(min(col("n")).as("mn"))
       .select(col("v"), least(col("v"), col("mn")).as("label")).persist()
+    var labels = cached
     var i = 0
     var done = false
     while (i < maxIter && !done) {
@@ -436,11 +441,14 @@ object Dedup {
           col("label").as("prev"))
         .persist()
       done = next.filter(col("label") < col("prev")).isEmpty
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select("v", "label")
       i += 1
     }
     sym.unpersist()
+    // the final round's cache backs the result (vertex-count sized);
+    // it lives until the session drops it or the caller re-persists
     labels
   }
 
