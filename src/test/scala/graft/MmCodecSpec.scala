@@ -65,6 +65,14 @@ class MmCodecSpec extends AnyFunSuite {
     assert(m.width == 640 && m.height == 480 && m.components == 3)
   }
 
+  test("JPEG parser tolerates fill bytes before markers") {
+    val bytes = Jpeg.encodeHeaderOnly(320, 200, 3, seed = 7L)
+    // legal padding: inject 0xff fill bytes before the APP0 marker
+    val padded = bytes.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ bytes.drop(2)
+    val m = Jpeg.parseHeader(padded)
+    assert(m.width == 320 && m.height == 200)
+  }
+
   test("JPEG parser rejects non-JPEG input") {
     intercept[Exception](Jpeg.parseHeader(Array[Byte](1, 2, 3, 4)))
     intercept[Exception](Jpeg.parseHeader(Png.encode(img(4, 4, 3, 0))))
