@@ -129,6 +129,26 @@ class CurationSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq) // deterministic across runs
   }
 
+  test("plan shapes: eval grams broadcast; packing windows stay sharded") {
+    val decon = run("cur_decontaminate")
+    val dplan = decon.queryExecution.executedPlan.toString
+    // the eval-set gram side must BROADCAST — a shuffled join here
+    // would move the full training gram stream by gram key
+    assert(dplan.contains("BroadcastHashJoin"), dplan)
+    val pack = run("cur_pack_sequences")
+    val pplan = pack.queryExecution.executedPlan.toString
+    // the packing window partitions on (lang, shard) — never a
+    // single-partition global window
+    assert(pplan.contains("shard"), pplan)
+    assert(!pplan.contains("SinglePartition"), pplan)
+  }
+
+  test("q30 plans through the bounded-heap TopKPerKey, not a sort") {
+    val plan = SparkEntry.queries("q30_kmv_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), plan)
+  }
+
   test("hexFrac is uniform-ish and engine-independent by construction") {
     import spark.implicits._
     val fr = spark.range(0, 2000).toDF("id")
