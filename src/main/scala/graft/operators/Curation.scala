@@ -28,6 +28,7 @@ object Curation {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("cur_split", splitQ, Some(splitSql)),
     QueryDef("cur_sample_stratified", stratified, Some(stratifiedSql)),
+    QueryDef("cur_sample_exact_k", exactK, Some(exactKSql)),
     QueryDef("cur_pack_sequences", pack, Some(packSql)),
     QueryDef("cur_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("cur_domain_mix", domainMix, Some(domainMixSql)),
@@ -108,6 +109,39 @@ object Curation {
        |SELECT doc_id, lang FROM d
        |WHERE ${hexFracSql("h")} < rate
        |ORDER BY doc_id""".stripMargin
+
+  // --- cur_sample_exact_k: exactly k per group, reproducibly -----
+  // Rate-based sampling (above) only hits a target size in
+  // expectation; eval-set construction wants EXACTLY k rows per
+  // group, stable across runs. Rank rows by their deterministic
+  // hash fraction and keep the k smallest per group — via the
+  // TopKPerKey bounded-heap plan (one keyed exchange, O(n log k),
+  // no per-group sort), the same scale shape as the KMV sketch.
+  private val ExactK = 20
+
+  private def exactK(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.DetHash.frac(col("doc_id"), "res:").as("u"))
+      .withColumn("negu", -col("u")) // TopKPerKey orders desc
+    graft.plans.TopKPerKey(d, Seq("lang"), "negu", ExactK)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  private lazy val exactKSql =
+    s"""WITH u AS (
+       |  SELECT doc_id, lang, md5('res:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, lang, ${hexFracSql("h")} AS u FROM u
+       |), r AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+       |  FROM f
+       |)
+       |SELECT lang, doc_id FROM r WHERE rn <= $ExactK
+       |ORDER BY lang, doc_id""".stripMargin
 
   // --- cur_pack_sequences: greedy char-budget packing ------------
   // Docs are packed into fixed-budget sequences in key order WITHIN

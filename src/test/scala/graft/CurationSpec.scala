@@ -50,6 +50,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("cur_sample_exact_k: exactly k per language, stable, via the heap plan") {
+    val df = run("cur_sample_exact_k")
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey ["))
+    val rows = df.collect()
+    val full = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, full(lang)), s"$lang: ${rs.length}")
+    }
+    assert(rows.toSeq == run("cur_sample_exact_k").collect().toSeq)
+  }
+
   test("cur_pack_sequences: contiguous seq ids, budget-shaped fill") {
     val rows = run("cur_pack_sequences").collect()
     rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
