@@ -176,7 +176,13 @@ object Similarity {
       val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("x"))
+        // exact-decimal sum → double division: float avg over a
+        // distributed merge is order-dependent, which would make the
+        // trained centroids (and thus IVF assignments) vary run to
+        // run; the decimal sum is exact and order-free
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("x"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("dims"))
         .select(col("cell"), expr("transform(dims, d -> cast(d.x as float))").as("centroid"))
         .collect()
