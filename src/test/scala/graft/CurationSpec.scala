@@ -142,6 +142,12 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("plan shapes: eval grams broadcast; packing windows stay sharded") {
+    // suites share the JVM session; BucketingSpec disables auto
+    // broadcast for its SMJ assertions — pin the default here
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (10 * 1024 * 1024).toString)
+    try {
     val decon = run("cur_decontaminate")
     val dplan = decon.queryExecution.executedPlan.toString
     // the eval-set gram side must BROADCAST — a shuffled join here
@@ -153,6 +159,7 @@ class CurationSpec extends AnyFunSuite {
     // single-partition global window
     assert(pplan.contains("shard"), pplan)
     assert(!pplan.contains("SinglePartition"), pplan)
+    } finally spark.conf.set(key, prev)
   }
 
   test("q30 plans through the bounded-heap TopKPerKey, not a sort") {
