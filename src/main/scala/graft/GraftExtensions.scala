@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CompressRatio, CosineSimilarity, DotProduct}
 
 /** Session extension point: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("compress_ratio"),
+      new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CompressRatio(exprs.head)))
   }
 }

@@ -15,11 +15,16 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpr(a), toExpr(b)))
 
+  def compress_ratio(text: Column): Column =
+    toColumn(CompressRatio(toExpr(text)))
+
   /** Register graft functions on an existing session (temp scope). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compress_ratio", exprs => CompressRatio(exprs.head), "scala_udf")
   }
 }

@@ -20,8 +20,34 @@ object TextAnalysis {
     QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
-    QueryDef("text_token_budget", tokenBudget, Some(tokenBudgetSql))
+    QueryDef("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    QueryDef("text_compress", compress, None)
   )
+
+  // ---------------------------------------------------------------
+  // text_compress: deflate-compressibility quality signal (native
+  // codegen'd CompressRatio expression — see its scaladoc). No
+  // DuckDB oracle (no zlib there); planted ground truth instead:
+  // each doc also scores a boilerplate variant (its first 8 words
+  // repeated to the same length), which MUST compress much harder.
+  // Shuffle-free per-row signal + one small rollup.
+  // ---------------------------------------------------------------
+  private def compress(s: SparkSession, dir: String): DataFrame = {
+    val repeated = expr(
+      "substring(repeat(concat_ws(' ', slice(split(text, '\\\\s+'), 1, 8), ' '), " +
+        "1 + length(text) / 20), 1, length(text))")
+    Tables.parallelized(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.compress_ratio(col("text")).as("prose_ratio"),
+        graft.functions.compress_ratio(repeated).as("boiler_ratio"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("prose_ratio")), 4).as("avg_prose_ratio"),
+        round(avg(col("boiler_ratio")), 4).as("avg_boiler_ratio"),
+        sum(when(col("boiler_ratio") < col("prose_ratio"), 1L).otherwise(0L))
+          .as("n_boiler_more_compressible"))
+      .orderBy("lang")
+  }
 
   // ---------------------------------------------------------------
   // text_langid: stopword-ratio n-gram heuristic. Scores per

@@ -71,4 +71,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ext.sql("SELECT dot_product(array(1.0f), array(2.0f))").collect()
       .head.getDouble(0) == 2.0)
   }
+
+  test("compress_ratio: codegen == interpreted, orders quality correctly") {
+    import spark.implicits._
+    graft.functions.register(spark)
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going with varied words"
+    val boiler = "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"
+    val rows = Seq(("p", prose), ("b", boiler), ("e", "")).toDF("k", "t")
+      .selectExpr("k", "compress_ratio(t) AS r").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // codegen path (selectExpr above) agrees with direct interpreted eval
+    assert(math.abs(rows("p") -
+      graft.functions.CompressRatio.ratio(
+        org.apache.spark.unsafe.types.UTF8String.fromString(prose))) < 1e-12)
+    assert(rows("b") < rows("p"), s"boilerplate ${rows("b")} !< prose ${rows("p")}")
+    assert(rows("e") == 1.0) // empty-string convention
+    assert(rows.values.forall(r => r > 0.0 && r < 2.0))
+  }
 }

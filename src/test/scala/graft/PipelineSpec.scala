@@ -193,6 +193,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(byKind("audio") == expAudio, s"audio ${byKind("audio")} vs $expAudio")
   }
 
+  test("text_compress: boilerplate compresses harder than prose") {
+    val rows = run("text_compress").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_boiler_ratio") < r.getAs[Double]("avg_prose_ratio"))
+      // ≥95%: a handful of very short docs have degenerate variants
+      assert(r.getAs[Long]("n_boiler_more_compressible").toDouble >=
+        0.95 * r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("text_langid predictions are deterministic and cover the corpus") {
     val n = run("text_langid").collect().map(_.getAs[Long]("n")).sum
     assert(n == Tables.documents(spark, sf).count())
