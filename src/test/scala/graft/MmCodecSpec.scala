@@ -90,6 +90,47 @@ class MmCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: PNG round-trips arbitrary images (all sizes, channels, bytes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 24)
+      ch <- Gen.oneOf(1, 3, 4)
+      seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield (w, h, ch, seed)
+    val prop = forAll(gen) { case (w, h, ch, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val d = Png.decode(Png.encode(Png.Image(w, h, ch, px)))
+      d.width == w && d.height == h && d.channels == ch &&
+        d.frames.head.pixels.sameElements(px)
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: WAV round-trips arbitrary PCM16 streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.oneOf(1, 2)
+      n <- Gen.choose(0, 4096)
+      seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield (rate, ch, n - n % ch, seed)
+    val prop = forAll(gen) { case (rate, ch, n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val d = Wav.decode(Wav.encode(Wav.Audio(rate, ch, samples)))
+      d.sampleRate == rate && d.channels == ch && d.samples.sameElements(samples)
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("MediaGen is deterministic") {
     (0L until 8L).foreach { id =>
       assert(MediaGen.payload(id).sameElements(MediaGen.payload(id)))
