@@ -47,7 +47,10 @@ object Bench {
         // noop sink evaluates every column (count() would let Catalyst
         // prune the projections being measured)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a failed query would otherwise masquerade as a fast one
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     // 3-decimal rounding keeps the whole JSON line well inside the
