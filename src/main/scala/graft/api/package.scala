@@ -197,7 +197,8 @@ package object api {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       withShard.withColumn("__cum", sum(col(weightCol)).over(w))
-        .withColumn("seq_id", expr(s"(__cum - $weightCol) div $budget"))
+        .withColumn("seq_id",
+          floor((col("__cum") - col(weightCol)) / lit(budget)).cast("long"))
         .drop("__cum")
     }
 

@@ -124,6 +124,9 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         graft.functions.DetHash.frac(col("doc_id"), "res:").as("u"))
       .withColumn("negu", -col("u")) // TopKPerKey orders desc
+    // heap order is the 48-bit fraction alone; a boundary tie would
+    // need two keys sharing all 48 hash bits (P ≈ n²/2^49 — absent
+    // by construction on corpus-sized groups)
     graft.plans.TopKPerKey(d, Seq("lang"), "negu", ExactK)
       .select(col("lang"), col("doc_id"))
       .orderBy("lang", "doc_id")
