@@ -52,6 +52,7 @@ object Relational {
     QueryDef("q26_json", q26, Some(q26Sql)),
     QueryDef("q27_approx_sketch", q27, None),
     QueryDef("q28_correlated_subquery", q28, Some(q28Sql)),
+    QueryDef("q31_rolling_window", q31, Some(q31Sql)),
     QueryDef("topk_per_key", topkPerKey, Some(topkPerKeySql))
   )
 
@@ -442,6 +443,37 @@ object Relational {
       | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
       | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- q31: time-based RANGE window frame (trailing 7-day rolling
+  // sum per customer) --- the value-range frame q8's ROW frames
+  // don't cover: peers at the same date aggregate identically in
+  // both engines, and the day-integer frame bound avoids
+  // interval-type quirks. Decimal-exact sum; shuffle = one keyed
+  // exchange on the window partition key.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow) // trailing 7 days inclusive
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") % 10 === 0) // bounded output, many rows/cust
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("d"),
+        col("o_totalprice"))
+      .withColumn("rolling_7d", asDouble(sum(dec(col("o_totalprice"))).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("d"), col("rolling_7d"))
+      .orderBy("o_custkey", "d", "o_orderkey")
+  }
+
+  private val q31Sql =
+    """SELECT o_custkey, o_orderkey, d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY d
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d,
+      |        o_totalprice
+      |      FROM orders WHERE o_custkey % 10 = 0)
+      |ORDER BY o_custkey, d, o_orderkey""".stripMargin
 
   // --- q24: exact interpolated percentiles (same linear-interp
   // definition in Spark `percentile` and DuckDB `quantile_cont`) ---
