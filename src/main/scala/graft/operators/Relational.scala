@@ -53,6 +53,7 @@ object Relational {
     QueryDef("q27_approx_sketch", q27, None),
     QueryDef("q28_correlated_subquery", q28, Some(q28Sql)),
     QueryDef("q31_rolling_window", q31, Some(q31Sql)),
+    QueryDef("q32_unpivot", q32, Some(q32Sql)),
     QueryDef("topk_per_key", topkPerKey, Some(topkPerKeySql))
   )
 
@@ -474,6 +475,30 @@ object Relational {
       |        o_totalprice
       |      FROM orders WHERE o_custkey % 10 = 0)
       |ORDER BY o_custkey, d, o_orderkey""".stripMargin
+
+  // --- q32: unpivot (melt) — the inverse of q23's pivot. Wide
+  // per-status columns stack back to (flag, status, value) rows;
+  // the oracle is the plain GROUP BY the round trip must recover,
+  // so pivot ∘ unpivot == groupBy is checked end-to-end.
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(dsum(col("l_quantity")))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("F"), col("O"), col("P")),
+        "l_linestatus", "sum_qty")
+      .filter(col("sum_qty").isNotNull) // absent (flag,status) combos
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q32Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_linestatus IN ('F', 'O', 'P')
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // --- q24: exact interpolated percentiles (same linear-interp
   // definition in Spark `percentile` and DuckDB `quantile_cont`) ---
