@@ -86,7 +86,14 @@ object Bench {
     all.zipWithIndex.foreach { case (p, i) =>
       println(s"""pass${i}_queries ${toJson(p)}""")
     }
-    println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","queries":${toJson(best)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"sf":"$sfDir"}""")
+    // the min-of-N per-query map goes on its OWN line: at 87 queries it
+    // is ~2.4 KB, and in rounds 1 and 4 a final line that long outgrew
+    // the driver's stdout tail window and the whole round lost its
+    // bench number ("parsed": null)
+    println(s"""best_queries ${toJson(best)}""")
+    // FINAL stdout line = totals only (~120 bytes) so it parses under
+    // any tail window; "queries" points at the line above
+    println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"nq":${best.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator: replicate an existing testdata SF directory
+  * `factor`× with key-shifted copies, preserving schema, value
+  * distributions, skew shape, AND foreign-key consistency (each
+  * replica shifts every scaled-table key by the same stride, so
+  * lineitem→orders→customer joins keep their fan-out; region/nation
+  * stay fixed like real TPC-H dimensions). Produces the sf1-class
+  * perf extrapolation point the 100×-scale claims need — correctness
+  * stays gated on the driver's own sf0.01 data.
+  *
+  * Usage: SPARK_GRAFT_SRC=/root/testdata/sf0.1 \
+  *        SPARK_GRAFT_DEST=bench-data/sf1 \
+  *        SPARK_GRAFT_FACTOR=10  runMain graft.GenScale
+  */
+object GenScale {
+
+  /** Key stride between replicas: far above any base-table key and
+    * the +1e6/+2e6 mutant-id offsets the dedup corpora add, and far
+    * below 2^53 so double-exact key arithmetic still holds.
+    */
+  val Stride = 10000000L
+
+  /** Columns to shift per table — the PK/FK families of tables that
+    * scale with SF. Dimension FKs (nationkey/regionkey) never shift.
+    */
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "region" -> Nil,
+    "nation" -> Nil)
+
+  /** Output files per scaled table: enough for 32-way parallel scans
+    * (the driver writes one row group per table, which serializes the
+    * scan — measured in round 4; don't reproduce that here).
+    */
+  private val filesFor: Map[String, Int] =
+    Map("lineitem" -> 32, "orders" -> 16, "events" -> 16).withDefaultValue(4)
+
+  def scaleTable(df: DataFrame, table: String, factor: Int): DataFrame = {
+    val shifts = shiftCols.getOrElse(table, Nil)
+    if (shifts.isEmpty) df
+    else
+      (0 until factor).map { r =>
+        shifts.foldLeft(df)((d, c) =>
+          d.withColumn(c, (col(c) + lit(r * Stride)).cast("long")))
+      }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val dest = sys.env.getOrElse("SPARK_GRAFT_DEST", "bench-data/sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      // events.ts is TIMESTAMP(NANOS); read as long (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.foreach { t =>
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val out = scaleTable(in, t, factor)
+      // match the driver's layout: <dest>/<table>.parquet is a DIR of
+      // part files here (spark.read.parquet handles both)
+      out.repartition(filesFor(t))
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[genscale] $t -> ${spark.read.parquet(s"$dest/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}

@@ -182,8 +182,11 @@ package object api {
       df.filter(functions.DetHash.frac(col(idCol), "sample:") < rateCol)
 
     /** Greedy fixed-budget sequence packing in `idCol` order within
-      * (groupCols, shard) cells; adds `seq_id`. Window partitions are
-      * bounded by the shard count — no single-node global window.
+      * (groupCols, shard) cells; adds `seq_id` AND `__shard` (= idCol
+      * % shards). `__shard` is part of the contract, not an
+      * implementation leak: seq_id spaces are independent PER SHARD,
+      * so a consumer needs (groupCols, __shard, seq_id) — not seq_id
+      * alone — to identify a packed sequence.
       */
     def packSequences(
         idCol: String,
@@ -205,9 +208,13 @@ package object api {
     /** Connected components over a candidate-pair frame
       * (doc_a, doc_b): returns (v, label) with label = min id of the
       * component — duplicate clusters from pairwise candidates.
+      * If no fixpoint is reached within `maxIter` rounds the labels
+      * are partial: warns by default, throws with
+      * `failOnNonConvergence`.
       */
-    def connectedComponents(maxIter: Int = 8): DataFrame =
-      Dedup.connectedComponents(df, maxIter)
+    def connectedComponents(maxIter: Int = 8,
+        failOnNonConvergence: Boolean = false): DataFrame =
+      Dedup.connectedComponents(df, maxIter, failOnNonConvergence)
 
     /** Flag rows sharing any `n`-gram of `textCol` with `evalSet`'s
       * text — benchmark decontamination. Returns (idCol,

@@ -65,10 +65,16 @@ object KafkaIngest {
       partitionCol: Option[String] = None): Long = {
     val withSrc =
       if (records.columns.contains("source_file")) records else withSource(records)
-    val f = fresh(withSrc, CdcSink.committedOffsets(spark, tableDir))
-    val n = f.count()
-    if (n > 0) CdcSink.merge(spark, f, tableDir, partitionCol)
-    n
+    // persist the filtered delivery: both the count and the merge are
+    // actions, and without the cache each would re-run the fresh
+    // filter AND the upstream decode — the whole delivery would be
+    // evaluated twice per batch
+    val f = fresh(withSrc, CdcSink.committedOffsets(spark, tableDir)).persist()
+    try {
+      val n = f.count()
+      if (n > 0) CdcSink.merge(spark, f, tableDir, partitionCol)
+      n
+    } finally f.unpersist()
   }
 
   /** Continuous ingest: every micro-batch is one delivery through

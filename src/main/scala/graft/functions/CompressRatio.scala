@@ -42,18 +42,25 @@ case class CompressRatio(child: Expression)
 }
 
 object CompressRatio {
+  // one Deflater per executor thread, reset() between rows: allocating
+  // (and ending) a native zlib stream per row was the dominant cost on
+  // this hot path. The native buffer lives until the thread dies —
+  // bounded by the executor's task-thread count, not by row count.
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true))
+
   /** static entry for both interpreted eval and generated code */
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](256)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](256)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }

@@ -220,6 +220,7 @@ object Cdc {
     // 32 rotated files at the same total volume matches a real
     // deployment's log rotation AND a 32-core box
     val rowsPerFile = dir match {
+      case d if d.endsWith("sf1") => 625000 // 20M row-events total
       case d if d.endsWith("0.1") => 62500
       case d if d.endsWith("0.01") => 6250
       case _ => 625

@@ -124,10 +124,14 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         graft.functions.DetHash.frac(col("doc_id"), "res:").as("u"))
       .withColumn("negu", -col("u")) // TopKPerKey orders desc
-    // heap order is the 48-bit fraction alone; a boundary tie would
-    // need two keys sharing all 48 hash bits (P ≈ n²/2^49 — absent
-    // by construction on corpus-sized groups)
-    graft.plans.TopKPerKey(d, Seq("lang"), "negu", ExactK)
+      // doc_id breaks 48-bit-fraction ties (oracle orders by (u,
+      // doc_id)): at 1e9-row groups the expected number of boundary
+      // hash collisions exceeds 1, and an untied heap would keep
+      // whichever colliding row its partition iterated first. negated
+      // → ascending under the operator's descending order; exact in a
+      // double for ids < 2^53.
+      .withColumn("negid", -col("doc_id").cast("double"))
+    graft.plans.TopKPerKey(d, Seq("lang"), "negu", ExactK, tiebreakCol = Some("negid"))
       .select(col("lang"), col("doc_id"))
       .orderBy("lang", "doc_id")
   }

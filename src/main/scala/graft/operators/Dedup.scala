@@ -413,8 +413,21 @@ object Dedup {
     * "Connected Components in MapReduce") — same join shape,
     * O(log n) rounds; plain propagation is the right trade for
     * near-dup graphs whose diameter is 2-3.
+    *
+    * If maxIter rounds pass without a fixpoint the labels are NOT
+    * final components (a chain longer than maxIter is still
+    * converging): with `failOnNonConvergence` the call throws;
+    * otherwise it logs a warning to stderr and returns the partial
+    * labels (each still an upper bound on the true min label).
+    *
+    * The returned frame is backed by the final round's persisted
+    * cache (vertex-count sized — (v, label, prev) triples only, never
+    * documents); it lives until the session evicts it or the caller
+    * unpersists, which keeps the result cheap to reuse downstream.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 8,
+      failOnNonConvergence: Boolean = false): DataFrame = {
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
       .persist()
@@ -427,6 +440,7 @@ object Dedup {
     var cached = sym.groupBy("v").agg(min(col("n")).as("mn"))
       .select(col("v"), least(col("v"), col("mn")).as("label")).persist()
     var labels = cached
+    val spark = pairs.sparkSession
     var i = 0
     var done = false
     while (i < maxIter && !done) {
@@ -435,18 +449,38 @@ object Dedup {
         .groupBy("v").agg(min(col("label")).as("nlabel"))
       // carry the previous label alongside so the convergence probe
       // is a filter on the SAME cached frame, not another join
-      val next = labels.join(viaNeighbors, Seq("v"), "left")
+      val computed = labels.join(viaNeighbors, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
-        .persist()
-      done = next.filter(col("label") < col("prev")).isEmpty
+      // TRUNCATE THE LOGICAL LINEAGE each round: `labels` appears
+      // twice in `computed` (neighbor join + carry), so building
+      // round i's plan on round i-1's PLAN doubles the tree per round
+      // — analysis/cache-normalization cost goes exponential in the
+      // round count (measured: maxIter=16 never finishes planning).
+      // Rebasing on the materialized RDD keeps every round's plan
+      // O(1): a flat scan + one join + one agg.
+      val next = spark.createDataFrame(computed.rdd, computed.schema).persist()
+      // count(), not isEmpty: isEmpty stops at the first changed
+      // partition, leaving `next`'s cache PARTIALLY built — after the
+      // previous round is unpersisted, the unbuilt partitions would
+      // recompute through the whole round chain. The full scan both
+      // answers the probe and finishes materializing the cache while
+      // its input is still resident.
+      done = next.filter(col("label") < col("prev")).count() == 0L
       cached.unpersist()
       cached = next
       labels = next.select("v", "label")
       i += 1
     }
     sym.unpersist()
+    if (!done) {
+      val msg = s"connectedComponents: no fixpoint after $maxIter rounds — " +
+        "labels are partial (graph diameter exceeds maxIter); raise maxIter " +
+        "or switch to star-contraction for long-path graphs"
+      if (failOnNonConvergence) { cached.unpersist(); throw new IllegalStateException(msg) }
+      System.err.println(s"[graft] WARN $msg")
+    }
     // the final round's cache backs the result (vertex-count sized);
     // it lives until the session drops it or the caller re-persists
     labels

@@ -307,9 +307,39 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // --- embedding-cosine near-duplicate pairs ---
+
+  /** Near-duplicate (id_a, id_b, cos_micro) pairs by LSH-signature
+    * blocking + exact cosine verification. Library-surface form of
+    * dedup_embedding. Signature buckets holding more than `maxBucket`
+    * vectors are dropped before the self-join — the same skew guard
+    * as [[MaxBucketAnn]] in lshAnn: a degenerate bucket (all-identical
+    * embeddings, zero vectors) would make the self-join quadratic in
+    * the bucket size. The ≤2^Planes-row size table is a broadcast, so
+    * the cap costs no corpus shuffle. Degenerate mass is exact-dup
+    * territory: catch it with a hash groupBy on the raw vector bytes,
+    * not a pairwise join.
+    */
+  def embeddingDedupPairs(
+      corpus: DataFrame, idCol: String, embCol: String, dim: Int,
+      threshold: Double, maxBucket: Int = MaxBucketAnn): DataFrame = {
+    val sigs = corpus.select(col(idCol), col(embCol),
+      signature(col(embCol), dim).as("sig"))
+    val keptBuckets = sigs.groupBy("sig")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("sig")
+    val capped = sigs.join(broadcast(keptBuckets), Seq("sig"))
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+        cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("cs"))
+      .filter(col("cs") > threshold)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cs") * lit(1e6)).as("cos_micro"))
+  }
+
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallelized(Tables.embeddings(s, dir))
-    val dim = 64
     // duplicate universe: jittered copies (deterministic scale) of
     // every 10th vector — near-dups the operator must find
     val mutants = emb.filter(col("vec_id") % 10 === 0)
@@ -317,15 +347,7 @@ object Similarity {
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
         col("label"))
     val corpus = emb.unionAll(mutants)
-    val sigs = corpus.select(col("vec_id"), col("embedding"),
-      signature(col("embedding"), dim).as("sig"))
-    val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cs"))
-      .filter(col("cs") > 0.995)
-      .select(col("vec_a"), col("vec_b"),
-        floor(col("cs") * lit(1e6)).as("cos_micro"))
+    embeddingDedupPairs(corpus, "vec_id", "embedding", dim = 64, threshold = 0.995)
       .orderBy("vec_a", "vec_b")
   }
 
@@ -412,9 +434,13 @@ object Similarity {
        |  SELECT vec_id + 1000000 AS vec_id,
        |         list_transform(embedding, x -> x * CAST(1.001 AS FLOAT)) AS embedding
        |  FROM embeddings WHERE vec_id % 10 = 0
-       |), sigs AS (
+       |), allsigs AS (
        |  SELECT vec_id, embedding, ${sigSqlExpr("embedding")} AS sig
        |  FROM corpus
+       |), kept AS (
+       |  SELECT sig FROM allsigs GROUP BY sig HAVING count(*) <= $MaxBucketAnn
+       |), sigs AS (
+       |  SELECT s.* FROM allsigs s JOIN kept k ON s.sig = k.sig
        |), pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         ${cosCte("a.embedding", "b.embedding")}

@@ -19,6 +19,12 @@ import org.apache.spark.sql.execution.SparkStrategy
   * bounded K-element heap per key instead: O(n log K), constant
   * memory per key, no sort buffer spills.
   *
+  * The order is a LEXICOGRAPHIC sequence of double columns, all
+  * compared descending: a caller whose primary value can collide at
+  * scale supplies a unique second column (e.g. the row id) so the
+  * selection is totally ordered — without it, which of two order-
+  * equal boundary rows survives depends on partition iteration order.
+  *
   * Full custom-operator route (SURVEY §3 preference (c)): logical
   * node → planner strategy → physical node whose
   * `requiredChildDistribution` lets Spark insert the one keyed
@@ -31,7 +37,7 @@ object TopKPerKey {
   final case class TopKPerKeyNode(
       child: LogicalPlan,
       keys: Seq[Expression],
-      order: SortOrder,
+      orders: Seq[SortOrder],
       k: Int) extends UnaryNode {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -40,8 +46,8 @@ object TopKPerKey {
 
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerKeyNode(child, keys, order, k) =>
-        TopKPerKeyExec(planLater(child), keys, order, k) :: Nil
+      case TopKPerKeyNode(child, keys, orders, k) =>
+        TopKPerKeyExec(planLater(child), keys, orders, k) :: Nil
       case _ => Nil
     }
   }
@@ -50,20 +56,26 @@ object TopKPerKey {
     e.injectPlannerStrategy(_ => TopKStrategy)
 
   /** Column-API entry: top `k` rows per `keyCols` by the double
-    * column `orderCol`, descending.
+    * column `orderCol` (descending), with an optional second double
+    * column breaking order ties (also descending — negate for
+    * ascending). Tiebreak values must be exact in a double (long ids
+    * below 2^53 are).
     */
-  def apply(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int): DataFrame = {
+  def apply(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int,
+      tiebreakCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val lp = org.apache.spark.sql.graftbridge.analyzedPlan(df)
     val keyExprs = keyCols.map(c => lp.output.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"no column $c")))
-    val ordExpr = lp.output.find(_.name == orderCol).getOrElse(
-      throw new IllegalArgumentException(s"no column $orderCol"))
-    require(ordExpr.dataType == org.apache.spark.sql.types.DoubleType,
-      s"orderCol must be double, got ${ordExpr.dataType}")
-    val node = TopKPerKeyNode(lp, keyExprs,
-      SortOrder(ordExpr, org.apache.spark.sql.catalyst.expressions.Descending), k)
+    val ordExprs = (orderCol +: tiebreakCol.toSeq).map { c =>
+      val e = lp.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c"))
+      require(e.dataType == org.apache.spark.sql.types.DoubleType,
+        s"order column $c must be double, got ${e.dataType}")
+      SortOrder(e, org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    val node = TopKPerKeyNode(lp, keyExprs, ordExprs, k)
     org.apache.spark.sql.graftbridge.ofRows(spark, node)
   }
 
@@ -81,7 +93,7 @@ object TopKPerKey {
 final case class TopKPerKeyExec(
     child: SparkPlan,
     keys: Seq[Expression],
-    order: SortOrder,
+    orders: Seq[SortOrder],
     k: Int) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -93,41 +105,55 @@ final case class TopKPerKeyExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
-    val ordExpr = order.child
+    val ordExprs = orders.map(_.child)
     val kLocal = k
-    val descending = order.direction == org.apache.spark.sql.catalyst.expressions.Descending
+    val signs = orders.map(o =>
+      if (o.direction == org.apache.spark.sql.catalyst.expressions.Descending) 1 else -1).toArray
     child.execute().mapPartitions({ it =>
       // generated projections must be instantiated on the executor
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordProj = UnsafeProjection.create(Seq(ordExpr), childOutput)
+      val ordProj = UnsafeProjection.create(ordExprs, childOutput)
       val k = kLocal
-      val sign = if (descending) 1 else -1
+      val nOrd = ordExprs.length
       // bounded heap per key: O(n log K) time, O(#keys × K) memory
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Double, InternalRow)]]()
-      val cmp = new java.util.Comparator[(Double, InternalRow)] {
-        override def compare(a: (Double, InternalRow), b: (Double, InternalRow)): Int =
-          sign * java.lang.Double.compare(a._1, b._1) // heap root = next eviction
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Array[Double], InternalRow)]]()
+      val cmp = new java.util.Comparator[(Array[Double], InternalRow)] {
+        override def compare(a: (Array[Double], InternalRow), b: (Array[Double], InternalRow)): Int = {
+          var i = 0
+          while (i < nOrd) { // heap root = next eviction
+            val c = signs(i) * java.lang.Double.compare(a._1(i), b._1(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
       }
       it.foreach { row =>
         val ordRow = ordProj(row)
-        if (!ordRow.isNullAt(0)) { // null order values are excluded
-        val key = keyProj(row).copy()
-        val ord = ordRow.getDouble(0)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
-          heaps.put(key, heap)
-        }
-        if (heap.size < k) heap.add((ord, row.copy()))
-        else if (cmp.compare((ord, null), heap.peek()) > 0) {
-          heap.poll(); heap.add((ord, row.copy()))
-        }
+        // rows with ANY null order value are excluded (no total order)
+        var anyNull = false
+        var j = 0
+        while (j < nOrd) { if (ordRow.isNullAt(j)) anyNull = true; j += 1 }
+        if (!anyNull) {
+          val key = keyProj(row).copy()
+          val ord = new Array[Double](nOrd)
+          j = 0
+          while (j < nOrd) { ord(j) = ordRow.getDouble(j); j += 1 }
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[(Array[Double], InternalRow)](k + 1, cmp)
+            heaps.put(key, heap)
+          }
+          if (heap.size < k) heap.add((ord, row.copy()))
+          else if (cmp.compare((ord, null), heap.peek()) > 0) {
+            heap.poll(); heap.add((ord, row.copy()))
+          }
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
       heaps.forEach { (_, heap) =>
         // emit in descending order per key
-        val arr = new Array[(Double, InternalRow)](heap.size)
+        val arr = new Array[(Array[Double], InternalRow)](heap.size)
         var i = arr.length - 1
         while (heap.size > 0) { arr(i) = heap.poll(); i -= 1 }
         arr.foreach(t => out += t._2)

@@ -54,8 +54,10 @@ object BinlogGen {
       out.write(BinlogParser.Magic)
       var pos = 4L
       pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13, latin1TableMapBody())
-      pos = writeEvent(out, pos, 0x1e, latin1RowsBody(names))
+      pos = writeEvent(out, pos, 0x13,
+        charsetTableMapBody(Latin1TableId, "latin", 8))
+      pos = writeEvent(out, pos, 0x1e, charsetRowsBody(Latin1TableId, names,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
       // a v1 write-rows header (payload ignored by the parser — it
       // must surface as WRITE_ROWS_V1, not UNKNOWN)
       pos = writeEvent(out, pos, 0x17, Array[Byte](0, 0, 0, 0, 0, 0))
@@ -63,13 +65,44 @@ object BinlogGen {
     } finally out.close()
   }
 
-  private def latin1TableMapBody(): Array[Byte] = {
+  /** CJK/UTF-family charset tables: `gen.gbk` (collation 28 =
+    * gbk_chinese_ci, multibyte) and `gen.utf16` (collation 54 =
+    * utf16_general_ci, fixed-width big-endian) — round-trip proof
+    * that the parser's collation table covers the reference's
+    * non-latin families (rust-cdc `src/mysql/collation.rs`), where
+    * decoding as UTF-8 would produce mojibake.
+    */
+  val GbkTableId = 82L
+  val Utf16TableId = 83L
+
+  def writeCjkCharsetFile(
+      path: String, gbkNames: Seq[String], utf16Names: Seq[String]): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      pos = writeEvent(out, pos, 0x13, charsetTableMapBody(GbkTableId, "gbk", 28))
+      pos = writeEvent(out, pos, 0x1e, charsetRowsBody(GbkTableId, gbkNames,
+        java.nio.charset.Charset.forName("GBK")))
+      pos = writeEvent(out, pos, 0x13, charsetTableMapBody(Utf16TableId, "utf16", 54))
+      pos = writeEvent(out, pos, 0x1e, charsetRowsBody(Utf16TableId, utf16Names,
+        java.nio.charset.StandardCharsets.UTF_16BE))
+      pos = writeEvent(out, pos, 0x10, xidBody(9L))
+    } finally out.close()
+  }
+
+  /** TABLE_MAP for `gen.<table> (id INT, name VARCHAR(160))` whose
+    * DEFAULT_CHARSET optional-metadata TLV carries `collationId`. */
+  private def charsetTableMapBody(
+      tableId: Long, tableName: String, collationId: Int): Array[Byte] = {
+    require(collationId < 251, "lenenc single-byte collation only")
     val schema = "gen".getBytes("UTF-8")
-    val table = "latin".getBytes("UTF-8")
-    // optional metadata TLV: DEFAULT_CHARSET(2), len 1, collation 8
+    val table = tableName.getBytes("UTF-8")
+    // optional metadata TLV: DEFAULT_CHARSET(2), len 1, collation id
     val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
       1 + 2 + 1 + 2 + 1 + 3).order(ByteOrder.LITTLE_ENDIAN)
-    putU48(b, Latin1TableId)
+    putU48(b, tableId)
     b.putShort(1) // flags
     b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
     b.put(table.length.toByte); b.put(table); b.put(0.toByte)
@@ -80,13 +113,15 @@ object BinlogGen {
     b.put(0.toByte) // nullability bitmap
     b.put(2.toByte) // TLV type: DEFAULT_CHARSET
     b.put(1.toByte) // TLV length (lenenc)
-    b.put(8.toByte) // latin1_swedish_ci (lenenc)
+    b.put(collationId.toByte) // default collation (lenenc)
     b.array()
   }
 
-  private def latin1RowsBody(names: Seq[String]): Array[Byte] = {
+  private def charsetRowsBody(
+      tableId: Long, names: Seq[String],
+      charset: java.nio.charset.Charset): Array[Byte] = {
     val rows = names.zipWithIndex.map { case (name, i) =>
-      val raw = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val raw = name.getBytes(charset)
       val r = ByteBuffer.allocate(1 + 4 + 1 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
       r.put(0.toByte) // null bitmap: none null
       r.putInt(i + 1)
@@ -95,7 +130,7 @@ object BinlogGen {
     }
     val rowBytes = rows.map(_.length).sum
     val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
-    putU48(b, Latin1TableId)
+    putU48(b, tableId)
     b.putShort(1) // flags
     b.putShort(2) // extra data length (just itself)
     b.put(2.toByte) // col count lenenc

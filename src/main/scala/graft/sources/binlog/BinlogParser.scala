@@ -72,20 +72,73 @@ object BinlogParser {
     0x20 -> "DELETE_ROWS_V2", 0x21 -> "GTID",
     0x22 -> "ANONYMOUS_GTID", 0x23 -> "PREVIOUS_GTIDS")
 
-  /** MySQL collation id → Java charset, for the collations a CDC
-    * pipeline actually meets — the common subset of the reference's
-    * full table (rust-cdc `src/mysql/collation.rs`). Anything unmapped
-    * decodes as UTF-8 (MySQL 8's default).
+  /** MySQL collation id → Java charset, covering the reference's
+    * full table (rust-cdc `src/mysql/collation.rs`) by charset
+    * family: single-byte western/cyrillic/greek, the CJK multibyte
+    * families (gbk/gb2312/gb18030/big5/sjis/cp932/ujis/eucjpms/
+    * euckr/tis620), and the UTF families including fixed-width
+    * ucs2/utf16/utf16le/utf32. Ids are public MySQL constants
+    * (`SHOW COLLATION`); each family lists its named collations plus
+    * the Unicode-collation id block MySQL reserves for it. A charset
+    * the running JVM lacks just drops out of the map (→ warned
+    * fallback, below).
     */
-  private val Latin1 = StandardCharsets.ISO_8859_1
-  private val collationCharset: Map[Int, java.nio.charset.Charset] = Map(
-    5 -> Latin1, 8 -> Latin1, 15 -> Latin1, 31 -> Latin1,
-    47 -> Latin1, 48 -> Latin1, 49 -> Latin1, 94 -> Latin1, // latin1_*
-    11 -> StandardCharsets.US_ASCII, 65 -> StandardCharsets.US_ASCII, // ascii_*
-    63 -> Latin1, // binary: byte-preserving 1:1 decode
-    33 -> StandardCharsets.UTF_8, 83 -> StandardCharsets.UTF_8, // utf8mb3
-    45 -> StandardCharsets.UTF_8, 46 -> StandardCharsets.UTF_8, // utf8mb4
-    255 -> StandardCharsets.UTF_8) // utf8mb4_0900_ai_ci
+  private def namedCharset(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name))
+    catch { case _: Exception => None }
+  private val collationCharset: Map[Int, java.nio.charset.Charset] = {
+    val families: Seq[(Seq[Int], String)] = Seq(
+      // single-byte
+      (Seq(5, 8, 15, 31, 47, 48, 49, 94), "ISO-8859-1"),   // latin1_*
+      (Seq(63), "ISO-8859-1"),                             // binary: byte-preserving 1:1
+      (Seq(11, 65), "US-ASCII"),                           // ascii_*
+      (Seq(2, 9, 21, 27, 77), "ISO-8859-2"),               // latin2_*
+      (Seq(25, 70), "ISO-8859-7"),                         // greek_*
+      (Seq(16, 71), "ISO-8859-8"),                         // hebrew_*
+      (Seq(30, 78), "ISO-8859-9"),                         // latin5_*
+      (Seq(41, 42, 79), "ISO-8859-13"),                    // latin7_*
+      (Seq(7, 74), "KOI8-R"), (Seq(22, 75), "KOI8-U"),
+      (Seq(4, 80), "IBM850"), (Seq(40, 81), "IBM852"),     // cp850/cp852
+      (Seq(36, 68), "IBM866"),                             // cp866
+      (Seq(26, 34, 44, 66, 99), "windows-1250"),
+      (Seq(14, 23, 50, 51, 52), "windows-1251"),
+      (Seq(57, 67), "windows-1256"),
+      (Seq(29, 58, 59), "windows-1257"),
+      (Seq(18, 89), "TIS-620"),                            // tis620 (thai)
+      // CJK multibyte
+      (Seq(28, 87), "GBK"),
+      (Seq(24, 86), "GB2312"),
+      (Seq(248, 249, 250), "GB18030"),
+      (Seq(1, 84), "Big5"),
+      (Seq(13, 88), "Shift_JIS"),                          // sjis
+      (Seq(95, 96), "windows-31j"),                        // cp932
+      (Seq(12, 91, 97, 98), "EUC-JP"),                     // ujis + eucjpms
+      (Seq(19, 85), "EUC-KR"),                             // euckr
+      // UTF families (MySQL ucs2/utf16/utf32 are big-endian)
+      (Seq(35, 90, 159) ++ (128 to 151), "UTF-16BE"),      // ucs2_*
+      (Seq(54, 55) ++ (101 to 124), "UTF-16BE"),           // utf16_*
+      (Seq(56, 62), "UTF-16LE"),                           // utf16le_*
+      (Seq(60, 61) ++ (160 to 183), "UTF-32BE"),           // utf32_*
+      (Seq(33, 76, 83, 223) ++ (192 to 215), "UTF-8"),     // utf8mb3_*
+      (Seq(45, 46) ++ (224 to 247) ++ (255 to 323), "UTF-8")) // utf8mb4_* incl. 0900/as_ci blocks
+    families.flatMap { case (ids, name) =>
+      namedCharset(name).toSeq.flatMap(cs => ids.map(_ -> cs))
+    }.toMap
+  }
+
+  /** Collation ids seen but not in the table — warned ONCE per id
+    * (not per row/file) before falling back to UTF-8; a gbk or ucs2
+    * column must never silently round-trip to mojibake.
+    */
+  private val warnedCollations =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private def lookupCollation(id: Int): Option[java.nio.charset.Charset] = {
+    val r = collationCharset.get(id)
+    if (r.isEmpty && warnedCollations.add(id))
+      System.err.println(s"[graft] WARN binlog: unmapped collation id $id — " +
+        "decoding as UTF-8 (may be mojibake); extend BinlogParser.collationCharset")
+    r
+  }
 
   /** Character-typed columns (the ones optional-metadata charset
     * blocks describe): CHAR/VARCHAR/VAR_STRING — ENUM/SET hide under
@@ -309,18 +362,18 @@ object BinlogParser {
       val end = b.position() + tlvLen
       tlvType match {
         case 2 => // DEFAULT_CHARSET: default id + (col, id) overrides
-          val default = collationCharset.get(lenEnc(b).toInt)
+          val default = lookupCollation(lenEnc(b).toInt)
           default.foreach(cs => charCols.foreach(i => out(i) = cs))
           while (b.position() < end) {
             val charColIdx = lenEnc(b).toInt // index among CHAR columns
-            val cs = collationCharset.get(lenEnc(b).toInt)
+            val cs = lookupCollation(lenEnc(b).toInt)
             if (charColIdx < charCols.length)
               cs.foreach(out(charCols(charColIdx)) = _)
           }
         case 3 => // COLUMN_CHARSET: one id per char column, in order
           var i = 0
           while (b.position() < end && i < charCols.length) {
-            collationCharset.get(lenEnc(b).toInt).foreach(out(charCols(i)) = _)
+            lookupCollation(lenEnc(b).toInt).foreach(out(charCols(i)) = _)
             i += 1
           }
         case _ => () // skip by length

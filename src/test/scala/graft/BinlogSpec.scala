@@ -240,6 +240,24 @@ class BinlogSpec extends AnyFunSuite {
     assert(!events.exists(_.typeName.startsWith("UNKNOWN")))
   }
 
+  test("gbk + utf16 charset metadata: CJK and fixed-width columns round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cjk_")
+    val path = s"$dir/mysql-bin.000001"
+    // GBK bytes for 数据库 (0xCA/0xFD/0xBE/0xDD/0xBF/0xE2) are not
+    // valid UTF-8; UTF-16BE has NUL high bytes that a UTF-8 decode
+    // would splice through — both mojibake without the collation map
+    val gbkNames = Seq("数据库", "变更数据", "ascii too")
+    val utf16Names = Seq("résumé", "データ", "plain")
+    graft.sources.binlog.BinlogGen.writeCjkCharsetFile(path, gbkNames, utf16Names)
+    val events = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val byTable = events.filter(_.op == "c").groupBy(_.tableName)
+    assert(byTable("gbk").map(_.after) == gbkNames.zipWithIndex.map {
+      case (n, i) => s"""{"col_0":${i + 1},"col_1":"$n"}""" }, byTable("gbk").toString)
+    assert(byTable("utf16").map(_.after) == utf16Names.zipWithIndex.map {
+      case (n, i) => s"""{"col_0":${i + 1},"col_1":"$n"}""" }, byTable("utf16").toString)
+  }
+
   test("gtid + previous_gtids parse") {
     val events = parse("gtid_prev_gtid/mysql-bin.000001")
     assert(events.exists(e => e.typeName == "PREVIOUS_GTIDS"))

@@ -141,6 +141,51 @@ class PipelineSpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getAs[Long]("cos_micro") > 999000L))
   }
 
+  test("embedding dedup bucket cap keeps an all-identical corpus linear") {
+    import spark.implicits._
+    // adversarial corpus: 300 IDENTICAL embeddings — one signature
+    // bucket holds all 300, so an uncapped self-join would emit
+    // C(300,2) ≈ 45k candidate pairs from 300 rows
+    val vec = Array.tabulate(64)(i => (0.1f * (i % 7 + 1)))
+    val identical = (0L until 300L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val capped = graft.operators.Similarity.embeddingDedupPairs(
+      identical, "vec_id", "embedding", dim = 64, threshold = 0.995, maxBucket = 100)
+    assert(capped.count() == 0,
+      "over-populated signature buckets must be dropped, not self-joined")
+    // a genuine near-dup pair in a small bucket still surfaces
+    val jitter = vec.map(_ * 1.001f)
+    val other = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val small = Seq((900L, vec), (901L, jitter), (950L, other))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.embeddingDedupPairs(
+      small, "vec_id", "embedding", dim = 64, threshold = 0.995, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((900L, 901L)), pairs.toString)
+  }
+
+  test("connectedComponents surfaces non-convergence on a long chain") {
+    import spark.implicits._
+    // a 12-vertex path graph has diameter 11: maxIter=2 cannot reach
+    // the fixpoint, and the declared behavior is warn-and-return
+    // partial labels (each an upper bound), or throw when strict
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val partial = graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // upper bound property holds even unconverged, but the far end
+    // cannot have reached label 0 in 2 rounds
+    assert(partial.values.forall(_ >= 0L))
+    assert(partial(11L) > 0L, "a 2-round propagation cannot close diameter 11")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain, maxIter = 2,
+        failOnNonConvergence = true).collect()
+    }
+    // enough rounds → exact components, converged, no warning path
+    val full = graft.operators.Dedup.connectedComponents(chain, maxIter = 16,
+      failOnNonConvergence = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == Set(0L))
+  }
+
   test("dedup_cluster closes 3-chains transitively with one canonical each") {
     val rows = run("dedup_cluster").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[Boolean]("is_canonical")))
