@@ -229,6 +229,61 @@ object CdcStream {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: each 'click' joined to the same
+    * user's 'purchase' events landing within [click, click+30min] —
+    * the streaming enrichment/attribution shape (two live changelogs
+    * correlated on key + event-time range). Both sides carry
+    * watermarks, and the join condition is time-BOUNDED in both
+    * directions, so Spark can size the join state to the watermark
+    * delay + interval and evict — state ∝ traffic inside the horizon,
+    * not history, which is what keeps this runnable against unbounded
+    * 100 TB streams. Matched pairs land in the sink; the per-day
+    * aggregation runs in batch over it (the oracle is the identical
+    * batch self-join).
+    */
+  def streamStreamJoin(
+      s: SparkSession,
+      dir: String,
+      queryName: String = "cdc_stream_join",
+      statePartitions: Option[Int] = None): DataFrame = {
+    import graft.QueryDef._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def src() = Changelog.canonicalize(
+      s.readStream.schema(Tables0.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("key"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("key").as("p_key"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val pairs = clicks.join(purchases,
+      col("key") === col("p_key") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    withStatePartitions(s, statePartitions) {
+      val q = pairs.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_ssj_ckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(queryName)
+      .groupBy(date_trunc("day", col("click_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("key")).as("n_users"),
+        dsum(col("purchase_value")).as("attributed_value"))
+      .orderBy("day")
+  }
+
   /** Watermarked event-time windowed aggregation over the changelog —
     * the streaming-analytics face of the engine (counts/values per
     * day per event type).

@@ -77,10 +77,50 @@ object TxnLog {
       if (versions.isEmpty) None
       else {
         val (v, p) = versions.maxBy(_._1)
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        Some(parseManifest(v, txt))
+        Some(readManifestFile(fs, p, v))
       }
+    }
+  }
+
+  private def readManifestFile(fs: FileSystem, p: Path, v: Long): Manifest = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseManifest(v, txt)
+  }
+
+  /** All committed versions, ascending. */
+  def versions(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val d = logDir(tableDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath).flatMap(versionOf).sorted.toSeq
+  }
+
+  /** Manifest at a specific historical version (time travel), if it
+    * is still retained. [[vacuum]] reclaims superseded manifests at
+    * the compaction cadence, so the travel horizon = commits since
+    * the last compaction — the same horizon the reference's
+    * checkpoint-every-10-commits delta log keeps cheap to reach.
+    */
+  def manifestAt(fs: FileSystem, tableDir: String, version: Long): Option[Manifest] = {
+    val p = new Path(logDir(tableDir), f"$version%020d.json")
+    if (!fs.exists(p)) None else Some(readManifestFile(fs, p, version))
+  }
+
+  /** Read the table AS OF `version`. Throws if the version was never
+    * committed or has been vacuumed — time travel must not silently
+    * fall back to a different state of the data.
+    */
+  def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestAt(fs, tableDir, version) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"txnlog: version $version of $tableDir is not readable " +
+            s"(never committed, or vacuumed; retained: ${versions(fs, tableDir).mkString(",")})")
+      case Some(m) if m.entries.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      case Some(m) =>
+        readEntries(spark, tableDir, m.entries)
     }
   }
 

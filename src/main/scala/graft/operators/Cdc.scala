@@ -36,7 +36,9 @@ object Cdc {
     QueryDef("cdc_listeners", cdcListeners, Some(listenersSql)),
     QueryDef("cdc_binlog_stream", binlogStream, None),
     QueryDef("cdc_binlog_pushdown", binlogPushdown, None),
-    QueryDef("cdc_kafka_ingest", kafkaIngest, Some(kafkaIngestSql))
+    QueryDef("cdc_kafka_ingest", kafkaIngest, Some(kafkaIngestSql)),
+    QueryDef("cdc_stream_join", streamJoin, Some(streamJoinSql)),
+    QueryDef("cdc_time_travel", timeTravel, Some(timeTravelSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -485,6 +487,59 @@ object Cdc {
 
   /** The streaming fold must land exactly on the batch snapshot. */
   private val snapshotSqlStream = snapshotSql
+
+  // --- cdc_stream_join: stream-stream interval join ---------------
+  // Two live changelogs correlated on (user, event-time range): each
+  // click joined to the same user's purchases within 30 minutes. The
+  // oracle is the identical batch self-join — the streaming interval
+  // join (watermarks both sides, time-bounded condition, evictable
+  // state) must land exactly on it.
+  private def streamJoin(s: SparkSession, dir: String): DataFrame =
+    CdcStream.streamStreamJoin(s, dir,
+      s"cdc_stream_join_${System.nanoTime()}", statePartitions = Some(8))
+
+  private val streamJoinSql =
+    """SELECT CAST(DATE_TRUNC('day', c.ts) AS TIMESTAMP) AS day,
+      |       COUNT(*) AS n_pairs,
+      |       COUNT(DISTINCT c.user_id) AS n_users,
+      |       CAST(SUM(CAST(p."value" AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // --- cdc_time_travel: versioned reads from the txn log ----------
+  // The reference's delta log retains historical versions between
+  // checkpoints (src/delta/mod.rs:262-285); the TxnLog analog keeps
+  // every manifest until vacuum, so a reader can pin a version.
+  // Bootstrap (changelog prefix) commits v1, the merge commits v2;
+  // reading AS OF v1 must equal the prefix-bounded snapshot — the
+  // oracle replays the changelog with the same offset cutoff.
+  private def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("key"), col("op"), col("offset"), col("event_type"), col("value"))
+    val mid = log.agg(max("offset")).head.getLong(0) / 2
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_tt_q_").toString
+    CdcSink.writeSnapshot(log.filter(col("offset") <= mid), tableDir, None)
+    CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, None)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bootstrapVersion = TxnLog.versions(fs, tableDir).head
+    TxnLog.readVersion(s, tableDir, bootstrapVersion)
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  private val timeTravelSql =
+    s"""SELECT key, "offset" AS last_offset, event_type, "value"
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |      FROM ($changelogSql)
+       |      WHERE "offset" <= (SELECT max(event_id) // 2 FROM events))
+       |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY key""".stripMargin
 
   // --- cdc_stream_window: watermarked windowed agg ---
   private def streamWindow(s: SparkSession, dir: String): DataFrame =

@@ -24,7 +24,8 @@ object Multimodal {
 
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_decode", decodePipeline, None),
-    QueryDef("mm_frames", framePipeline, None)
+    QueryDef("mm_frames", framePipeline, None),
+    QueryDef("mm_resize", resizePipeline, None)
   )
 
   /** Typed metadata for one decoded asset. */
@@ -148,6 +149,45 @@ object Multimodal {
         } else Iterator.empty
       }
     }
+  }
+
+  /** One resized thumbnail's stats: the decode → RESIZE →
+    * feature-extract stage of a media ingest pipeline. */
+  final case class Thumb(
+      doc_id: Long,
+      format: String,
+      thumb_lum: Double, // mean luminance of the 8×8 thumbnail
+      lum_drift: Double) // |thumb mean − full-res mean| (resample error)
+
+  val ThumbDim = 8
+
+  /** mm_resize: image assets → bilinear 8×8 thumbnail (real resample
+    * of real decoded pixels, partition-local) → per-format stats.
+    * `lum_drift` doubles as a built-in correctness signal: bilinear
+    * resampling approximately preserves mean luminance, so a large
+    * average drift means the resampler (not the corpus) changed.
+    */
+  private def resizePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thumbs: Dataset[Thumb] = assets(s, dir).mapPartitions(_.flatMap {
+      case (id, bytes) =>
+        if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
+          val d = graft.mm.Png.decode(bytes)
+          val full = d.frames.head
+          val small = graft.mm.Resize.bilinear(full, ThumbDim, ThumbDim)
+          val fmt = if (d.frames.length > 1) "apng" else "png"
+          Iterator.single(Thumb(id, fmt, small.meanLuminance,
+            math.abs(small.meanLuminance - full.meanLuminance)))
+        } else Iterator.empty // audio/jpeg-header assets have no pixels to resize
+    })
+    thumbs.toDF()
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        round(avg(col("thumb_lum")), 4).as("avg_thumb_lum"),
+        round(avg(col("lum_drift")), 4).as("avg_lum_drift"),
+        round(max(col("lum_drift")), 4).as("max_lum_drift"))
+      .orderBy("format")
   }
 
   /** mm_frames: multi-frame assets → sampled frames/windows →

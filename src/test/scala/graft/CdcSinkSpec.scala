@@ -334,4 +334,30 @@ class CdcSinkSpec extends AnyFunSuite {
     CdcSink.applyDdl(spark, Ddl.parse("DROP TABLE IF EXISTS t2"), dir2)
     assert(!new java.io.File(dir2).exists())
   }
+
+  test("time travel: readVersion pins historical table states") {
+    val dir = Files.createTempDirectory("graft_tt_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)), dir, None)
+    CdcSink.merge(spark,
+      changelog(("a", "u", 3, "p1", 10.0), ("b", "d", 4, "p2", 0.0)), dir, None)
+    val vs = TxnLog.versions(fs, dir)
+    assert(vs.length == 2 && vs == vs.sorted)
+
+    def snap(df: DataFrame): Map[String, Double] =
+      df.select("key", "value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // AS OF the bootstrap: pre-merge state
+    assert(snap(TxnLog.readVersion(spark, dir, vs.head)) == Map("a" -> 1.0, "b" -> 2.0))
+    // AS OF the merge == current
+    assert(snap(TxnLog.readVersion(spark, dir, vs.last)) == Map("a" -> 10.0))
+    assert(snap(table(dir)) == Map("a" -> 10.0))
+    // unknown versions fail loudly, never silently fall back
+    intercept[IllegalArgumentException](TxnLog.readVersion(spark, dir, 99L))
+
+    // compaction vacuums superseded manifests: the travel horizon is
+    // commits-since-compaction, and a vacuumed version fails loudly
+    CdcSink.compact(spark, dir, None)
+    intercept[IllegalArgumentException](TxnLog.readVersion(spark, dir, vs.head))
+    assert(snap(table(dir)) == Map("a" -> 10.0))
+  }
 }

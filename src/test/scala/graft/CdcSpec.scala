@@ -211,4 +211,30 @@ class CdcSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(txt == Map("a" -> "1-3:5:7-8", "b" -> "10"))
   }
+
+  test("stream-stream interval join lands exactly on the batch self-join") {
+    import org.apache.spark.sql.functions._
+    import graft.QueryDef._
+    val got = CdcStream.streamStreamJoin(spark, sf,
+      s"ssj_spec_${System.nanoTime()}", statePartitions = Some(4))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val log = Changelog.fromEvents(spark, sf)
+      .select(col("key"), col("ts"), col("event_type"), col("value"))
+    val c = log.filter(col("event_type") === "click")
+      .select(col("key"), col("ts").as("cts"))
+    val p = log.filter(col("event_type") === "purchase")
+      .select(col("key").as("pk"), col("ts").as("pts"), col("value"))
+    val want = c.join(p,
+        col("key") === col("pk") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(date_trunc("day", col("cts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("key")).as("n_users"),
+        dsum(col("value")).as("attributed_value"))
+      .orderBy("day")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
 }

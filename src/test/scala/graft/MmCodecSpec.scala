@@ -136,4 +136,63 @@ class MmCodecSpec extends AnyFunSuite {
       assert(MediaGen.payload(id).sameElements(MediaGen.payload(id)))
     }
   }
+
+  test("resize: same-geometry resample is the identity") {
+    val src = img(17, 11, 3, 5)
+    val out = graft.mm.Resize.bilinear(src, 17, 11)
+    assert(out.pixels.sameElements(src.pixels))
+  }
+
+  test("resize: constant images stay constant at any geometry") {
+    for ((w, h) <- Seq((1, 1), (3, 9), (40, 7), (64, 64))) {
+      val const = Png.Image(23, 13, 1, Array.fill(23 * 13)(137.toByte))
+      val out = graft.mm.Resize.bilinear(const, w, h)
+      assert(out.width == w && out.height == h)
+      assert(out.pixels.forall(p => (p & 0xff) == 137))
+    }
+  }
+
+  test("resize: 2x downsample of a 2x2 block grid averages each block") {
+    // 4×2 image of two 2×2-ish column pairs: [0,0,200,200] per row →
+    // 2×1 output = the two column-pair means (half-pixel centers land
+    // exactly between the paired columns)
+    val px = Array[Byte](0, 0, 200.toByte, 200.toByte, 0, 0, 200.toByte, 200.toByte)
+    val out = graft.mm.Resize.bilinear(Png.Image(4, 2, 1, px), 2, 1)
+    assert(out.pixels.map(_ & 0xff).toSeq == Seq(0, 200))
+  }
+
+  test("property: resize output is convex-bounded and channel-independent") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      w <- Gen.choose(1, 48); h <- Gen.choose(1, 32)
+      ow <- Gen.choose(1, 16); oh <- Gen.choose(1, 16)
+      seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield (w, h, ow, oh, seed)
+    val prop = forAll(gen) { case (w, h, ow, oh, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = Png.Image(w, h, 3, Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+      val out = graft.mm.Resize.bilinear(rgb, ow, oh)
+      // every interpolated value is a convex combination of source
+      // pixels → bounded by the per-channel source min/max (catches
+      // shifted/out-of-range index math)
+      val bounded = (0 until 3).forall { c =>
+        val srcC = rgb.pixels.indices.collect { case i if i % 3 == c => rgb.pixels(i) & 0xff }
+        val outC = out.pixels.indices.collect { case i if i % 3 == c => out.pixels(i) & 0xff }
+        outC.forall(v => v >= srcC.min && v <= srcC.max)
+      }
+      // channels never mix: resizing the interleaved image equals
+      // resizing each channel plane separately
+      val independent = (0 until 3).forall { c =>
+        val plane = Png.Image(w, h, 1,
+          Array.tabulate(w * h)(i => rgb.pixels(i * 3 + c)))
+        val planeOut = graft.mm.Resize.bilinear(plane, ow, oh)
+        planeOut.pixels.indices.forall(i => planeOut.pixels(i) == out.pixels(i * 3 + c))
+      }
+      bounded && independent
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
