@@ -24,6 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object CdcStream {
 
+  /** The events changelog as a file stream, handling BOTH testdata
+    * layouts: the driver writes `<dir>/events.parquet` as a single
+    * FILE (stream the parent dir with a leaf-name glob — a file path
+    * cannot be a stream basePath), while scale-up dirs (GenScale)
+    * write it as a DIRECTORY of part files — the production shape —
+    * which streams directly. The old glob-only form silently read
+    * ZERO rows from the directory layout (pathGlobFilter matches
+    * leaf names, and the leaves there are part-*.parquet).
+    */
+  private[cdc] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rs = s.readStream.schema(Tables0.eventsSchema)
+    if (fs.getFileStatus(p).isDirectory) rs.parquet(p.toString)
+    else rs.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** One canonical changelog row, typed for the state function. */
   final case class Change(
       key: String,
@@ -108,9 +125,7 @@ object CdcStream {
     // bounded at 100 TB key cardinality (off-heap, spillable).
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = s.readStream.schema(Tables0.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(s, dir)
     val changes: Dataset[Change] = Changelog.canonicalize(stream)
       .select(col("key"), col("op"), col("offset"), col("ts"),
         col("event_type"), col("value"))
@@ -158,9 +173,7 @@ object CdcStream {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    def src() = s.readStream.schema(Tables0.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src() = eventsStream(s, dir)
     val deduped = src().unionAll(src()).dropDuplicates("event_id")
     withStatePartitions(s, statePartitions) {
       val q = deduped.writeStream
@@ -214,9 +227,7 @@ object CdcStream {
       queryName: String = "cdc_ingest"): Unit = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Changelog.canonicalize(
-      s.readStream.schema(Tables0.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      eventsStream(s, dir))
     val q = stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation",
@@ -251,9 +262,7 @@ object CdcStream {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     def src() = Changelog.canonicalize(
-      s.readStream.schema(Tables0.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      eventsStream(s, dir))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("key"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -296,9 +305,7 @@ object CdcStream {
     import graft.QueryDef._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Changelog.canonicalize(
-      s.readStream.schema(Tables0.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      eventsStream(s, dir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))

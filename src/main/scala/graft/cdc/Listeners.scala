@@ -69,8 +69,7 @@ object Listeners {
       val acc = s.sparkContext.longAccumulator(qn)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val keys = Changelog.canonicalize(
-        s.readStream.schema(Tables0.eventsSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        CdcStream.eventsStream(s, dir))
         .select(col("key")).as[String]
       val q = foreachEvent[String](keys, _ => acc.add(1))
         .queryName(qn)

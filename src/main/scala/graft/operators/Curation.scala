@@ -325,8 +325,12 @@ object Curation {
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfTab = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // df rides tf: tf's rows are already DISTINCT (doc_id, token), so
+    // counting them per token IS the document frequency — and because
+    // the tf subtree is identical on both join branches, the physical
+    // plan reuses its exchange (one tokenize pass, one shuffle)
+    // instead of tokenizing the corpus a second time for a distinct.
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfTab, "token").crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr(s"(n * $IdfScale) div df"))
