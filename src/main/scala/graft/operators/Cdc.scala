@@ -38,7 +38,8 @@ object Cdc {
     QueryDef("cdc_binlog_pushdown", binlogPushdown, None),
     QueryDef("cdc_kafka_ingest", kafkaIngest, Some(kafkaIngestSql)),
     QueryDef("cdc_stream_join", streamJoin, Some(streamJoinSql)),
-    QueryDef("cdc_time_travel", timeTravel, Some(timeTravelSql))
+    QueryDef("cdc_time_travel", timeTravel, Some(timeTravelSql)),
+    QueryDef("cdc_schema_evolution", schemaEvolution, Some(schemaEvolutionSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -538,6 +539,44 @@ object Cdc {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
        |      FROM ($changelogSql)
        |      WHERE "offset" <= (SELECT max(event_id) // 2 FROM events))
+       |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY key""".stripMargin
+
+  // --- cdc_schema_evolution: ALTER TABLE ADD COLUMN mid-stream ----
+  // The reference's DDL branch propagates schema changes into the
+  // delta table between data batches. Here: bootstrap commits the
+  // NARROW schema (no props), an ALTER TABLE ADD COLUMN lands (lazy —
+  // no 100 TB rewrite; applyDdl records nothing, the schema evolves
+  // on the next merge via unionByName(allowMissingColumns) and
+  // mergeSchema reads), then the post-DDL half of the changelog
+  // merges WITH props. Partitioned table, so untouched partitions
+  // keep old-footer files — the mergeSchema read path is what
+  // reconciles them. Keys last written pre-DDL must read props=NULL.
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("key"), col("op"), col("offset"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("part", pmod(col("key").cast("long"), lit(8)))
+    val mid = log.agg(max("offset")).head.getLong(0) / 2
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_evo_q_").toString
+    CdcSink.writeSnapshot(
+      log.filter(col("offset") <= mid).drop("props"), tableDir, Some("part"))
+    CdcSink.applyDdl(s,
+      Ddl.parse("ALTER TABLE snap ADD COLUMN props VARCHAR"), tableDir, Some("part"))
+    CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, Some("part"))
+    CdcSink.read(s, tableDir)
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("key")
+  }
+
+  private val schemaEvolutionSql =
+    s"""SELECT key, "offset" AS last_offset, event_type, "value",
+       |       CASE WHEN "offset" > (SELECT max(event_id) // 2 FROM events)
+       |            THEN props END AS props
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |      FROM ($changelogSql))
        |WHERE rn = 1 AND op <> 'd'
        |ORDER BY key""".stripMargin
 

@@ -25,7 +25,8 @@ object Multimodal {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_decode", decodePipeline, None),
     QueryDef("mm_frames", framePipeline, None),
-    QueryDef("mm_resize", resizePipeline, None)
+    QueryDef("mm_resize", resizePipeline, None),
+    QueryDef("mm_resample", resamplePipeline, None)
   )
 
   /** Typed metadata for one decoded asset. */
@@ -188,6 +189,50 @@ object Multimodal {
         round(avg(col("lum_drift")), 4).as("avg_lum_drift"),
         round(max(col("lum_drift")), 4).as("max_lum_drift"))
       .orderBy("format")
+  }
+
+  /** One resampled clip's stats: the decode → RATE-CONVERT →
+    * feature-extract stage of an audio ingest pipeline. */
+  final case class Clip(
+      doc_id: Long,
+      orig_rate: Int,
+      out_frames: Long,
+      out_rms: Double,
+      rms_drift: Double) // |rms(out) − rms(in)| (resample error signal)
+
+  // 11025 Hz: a NON-INTEGER ratio from the corpus's 8 kHz sources, so
+  // the conversion exercises true fractional interpolation (an
+  // integer ratio would reduce to sample picking).
+  val TargetRate = 11025
+
+  /** mm_resample: audio assets → linear rate conversion to a uniform
+    * 11.025 kHz (real interpolation of real decoded PCM16,
+    * partition-local) → per-source-rate stats. `rms_drift` is the
+    * built-in correctness signal: linear resampling approximately
+    * preserves RMS energy on band-limited signals, so a jump in the
+    * average drift means the resampler changed, not the corpus.
+    */
+  private def resamplePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clips: Dataset[Clip] = assets(s, dir).mapPartitions(_.flatMap {
+      case (id, bytes) =>
+        if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F') {
+          val a = graft.mm.Wav.decode(bytes)
+          val out = graft.mm.Resample.linear(a, TargetRate)
+          Iterator.single(Clip(id, a.sampleRate, out.nFrames.toLong,
+            out.rms, math.abs(out.rms - a.rms)))
+        } else Iterator.empty // image assets carry no PCM to resample
+    })
+    clips.toDF()
+      .groupBy("orig_rate")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("out_frames")).as("sum_out_frames"),
+        round(avg(col("out_rms")), 2).as("avg_out_rms"),
+        round(avg(col("rms_drift")), 2).as("avg_rms_drift"),
+        round(max(col("rms_drift")), 2).as("max_rms_drift"))
+      .orderBy("orig_rate")
   }
 
   /** mm_frames: multi-frame assets → sampled frames/windows →

@@ -54,6 +54,7 @@ object Relational {
     QueryDef("q28_correlated_subquery", q28, Some(q28Sql)),
     QueryDef("q31_rolling_window", q31, Some(q31Sql)),
     QueryDef("q32_unpivot", q32, Some(q32Sql)),
+    QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("topk_per_key", topkPerKey, Some(topkPerKeySql))
   )
 
@@ -259,6 +260,32 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
       .filter(col("n_orders") > 5)
       .orderBy("o_custkey")
+
+  // --- q33: GROUPING SETS (disjoint grouping, beyond rollup/cube) --
+  // Per-returnflag totals, per-linestatus totals, and the grand
+  // total in ONE pass — the shape ROLLUP/CUBE cannot express (they
+  // only nest/cross). One Expand + one aggregation exchange: the
+  // same single-shuffle plan at any SF. grouping_id() disambiguates
+  // the set a row belongs to (DuckDB's GROUPING(...) bitmask has the
+  // same argument-order bit convention).
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q33Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | GROUPING(l_returnflag, l_linestatus) AS gid,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   private val q12Sql =
     """SELECT o_custkey, COUNT(*) AS n_orders,

@@ -212,6 +212,24 @@ class CdcSpec extends AnyFunSuite {
     assert(txt == Map("a" -> "1-3:5:7-8", "b" -> "10"))
   }
 
+  test("streaming sources read BOTH testdata layouts (flat file and part-dir)") {
+    // Regression: pathGlobFilter("events.parquet") on the parent dir
+    // silently streams ZERO rows when events.parquet is a DIRECTORY
+    // of part files (the GenScale / production layout) — found at sf1
+    // when cdc_stream_dedup "ran" in 0.15s. eventsStream must
+    // dispatch on the actual layout and read the same rows either way.
+    import org.apache.spark.sql.functions._
+    val dirLayout = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.parquet(s"$dirLayout/events.parquet")
+    val flat = CdcStream.streamingDedup(spark, sf, s"lay_flat_${System.nanoTime()}")
+    val parts = CdcStream.streamingDedup(spark, dirLayout, s"lay_dir_${System.nanoTime()}")
+    val nFlat = flat.count()
+    assert(nFlat > 0)
+    assert(parts.count() == nFlat)
+  }
+
   test("stream-stream interval join lands exactly on the batch self-join") {
     import org.apache.spark.sql.functions._
     import graft.QueryDef._

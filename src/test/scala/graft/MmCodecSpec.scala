@@ -161,6 +161,66 @@ class MmCodecSpec extends AnyFunSuite {
     assert(out.pixels.map(_ & 0xff).toSeq == Seq(0, 200))
   }
 
+  test("resample: same-rate conversion is the identity") {
+    val a = Wav.Audio(16000, 2, Array.tabulate(3200)(i => (i * 7 % 2000 - 1000).toShort))
+    val out = graft.mm.Resample.linear(a, 16000)
+    assert(out.sampleRate == 16000 && out.samples.sameElements(a.samples))
+  }
+
+  test("resample: constant signals stay constant at any rate") {
+    for (rate <- Seq(4000, 8000, 11025, 44100)) {
+      val a = Wav.Audio(16000, 1, Array.fill(1600)(777.toShort))
+      val out = graft.mm.Resample.linear(a, rate)
+      assert(out.sampleRate == rate)
+      assert(math.abs(out.nFrames - 1600.0 * rate / 16000) <= 1)
+      assert(out.samples.forall(_ == 777))
+    }
+  }
+
+  test("resample: linear ramps land on the same ramp (interp is exact on affine signals)") {
+    // in: ramp s[i] = 4i at 16 kHz; out at 8 kHz must be s'[j] = 8j
+    val a = Wav.Audio(16000, 1, Array.tabulate(1000)(i => (4 * i).toShort))
+    val out = graft.mm.Resample.linear(a, 8000)
+    out.samples.zipWithIndex.foreach { case (s, j) =>
+      assert(math.abs(s - 8 * j) <= 1, s"frame $j: $s vs ${8 * j}")
+    }
+    // and upsampled 2×: s'[j] = 2j, interpolated midpoints exact
+    val up = graft.mm.Resample.linear(a, 32000)
+    up.samples.zipWithIndex.take(1990).foreach { case (s, j) =>
+      assert(math.abs(s - 2 * j) <= 1, s"frame $j: $s vs ${2 * j}")
+    }
+  }
+
+  test("property: resample is convex-bounded and channel-independent") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(1, 400); inRate <- Gen.choose(1000, 48000)
+      outRate <- Gen.choose(1000, 48000); seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield (n, inRate, outRate, seed)
+    val prop = forAll(gen) { case (n, inRate, outRate, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val st = Wav.Audio(inRate, 2,
+        Array.fill(n * 2)((rnd.nextInt(65536) - 32768).toShort))
+      val out = graft.mm.Resample.linear(st, outRate)
+      val bounded = (0 until 2).forall { c =>
+        val inC = st.samples.indices.collect { case i if i % 2 == c => st.samples(i).toInt }
+        val outC = out.samples.indices.collect { case i if i % 2 == c => out.samples(i).toInt }
+        outC.forall(v => v >= inC.min - 1 && v <= inC.max + 1) // ±1 rounding
+      }
+      val independent = (0 until 2).forall { c =>
+        val mono = Wav.Audio(inRate, 1,
+          Array.tabulate(n)(i => st.samples(i * 2 + c)))
+        val monoOut = graft.mm.Resample.linear(mono, outRate)
+        monoOut.samples.indices.forall(i => monoOut.samples(i) == out.samples(i * 2 + c))
+      }
+      bounded && independent
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: resize output is convex-bounded and channel-independent") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
