@@ -27,6 +27,7 @@ object Dedup {
     QueryDef("dedup_minhash_fast", minhashFast, None),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
+    QueryDef("dedup_containment", containment, Some(containmentSql)),
     QueryDef("dedup_cluster", cluster, Some(clusterSql))
   )
 
@@ -366,6 +367,67 @@ object Dedup {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       len(a.g) AS n_a, len(b.g) AS n_b,
        |       len(list_intersect(a.g, b.g)) AS n_common,
+       |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+       |FROM g a JOIN g b ON b.doc_id = a.doc_id + $MutantBase
+       |ORDER BY doc_a""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_containment: asymmetric sub-document containment.
+  // C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| — detects a SMALL
+  // document embedded inside a LARGER one (quoted passages,
+  // boilerplate-wrapped copies, licence headers) where symmetric
+  // Jaccard stays low because the wrapper inflates the union. The
+  // mutant universe here is WRAPPED copies (original text sandwiched
+  // in boilerplate): containment(orig→wrapped) hits exactly 1.0
+  // (every original 2-gram survives contiguously) while the jaccard
+  // column, computed alongside for contrast, stays < 1. Same linear
+  // plan shape as dedup_ngram_jaccard: modulus prefilter before any
+  // gram work, pair-equijoin, set ops per pair.
+  // ---------------------------------------------------------------
+  private val WrapPrefix = "begin quoted passage "
+  private val WrapSuffix = " end quoted passage attribution line"
+
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallelized(Tables.documents(s, dir).select("doc_id", "text"))
+      .filter(col("doc_id") % 10 === 0)
+    val wrapped = base.select((col("doc_id") + MutantBase).as("doc_id"),
+      concat(lit(WrapPrefix), col("text"), lit(WrapSuffix)).as("text"))
+    val g = base.unionAll(wrapped)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), grams(col("w")).as("g"))
+    val a = g.as("a"); val b = g.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + MutantBase)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(col("a.g")).as("n_a"), size(col("b.g")).as("n_b"),
+        size(array_intersect(col("a.g"), col("b.g"))).as("n_common"))
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .orderBy("doc_a")
+  }
+
+  private val containmentSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |), u AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $MutantBase AS doc_id,
+       |         '$WrapPrefix' || text || '$WrapSuffix' AS text
+       |  FROM base
+       |), g AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM u)
+       |  WHERE len(w) >= 2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       len(a.g) AS n_a, len(b.g) AS n_b,
+       |       len(list_intersect(a.g, b.g)) AS n_common,
+       |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) AS containment,
        |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        |         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
        |FROM g a JOIN g b ON b.doc_id = a.doc_id + $MutantBase

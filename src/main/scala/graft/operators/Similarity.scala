@@ -34,6 +34,7 @@ object Similarity {
     QueryDef("sim_lsh_ann", lshAnn, Some(lshOracle)),
     QueryDef("sim_ivf_ann", ivfAnn, None),
     QueryDef("sim_quantized", quantized, Some(quantizedOracle)),
+    QueryDef("sim_rerank", rerank, Some(rerankOracle)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
 
@@ -304,6 +305,86 @@ object Similarity {
        |  FROM scored
        |)
        |SELECT q_id, rk, neighbor_id, qdot
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  // --- two-stage retrieval: quantized filter → exact rerank -------
+  // The production retrieval shape at 100 TB: a CHEAP first pass
+  // (int8 integer dot, 4× less memory bandwidth) scans the corpus and
+  // keeps a candidate pool per query; the EXPENSIVE exact cosine then
+  // touches only |queries| × pool vectors — full precision cost is
+  // decoupled from corpus size. Both stages are deterministic
+  // (integer stage-1 scores, bit-identical double stage-2 folds), so
+  // the final ranking is fully oracle-checkable.
+  private val RerankPool = 20
+
+  private def rerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+    val qemb = emb.select(col("vec_id"), col("embedding"),
+      quantizeUnit(col("embedding")).as("qvec"))
+    val queries = qemb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("qvec").as("q_qvec"))
+    // stage 1: integer dot product over the quantized corpus
+    val scored = qemb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_vec"),
+        col("vec_id").as("neighbor_id"), col("embedding"),
+        graft.functions.dot_product(col("q_qvec"), col("qvec"))
+          .cast("long").as("qdot"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val pool = scored.withColumn("prk", row_number().over(w1))
+      .filter(col("prk") <= RerankPool)
+    // stage 2: exact full-precision cosine on the pool only
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pool
+      .withColumn("cos_sim", cosine(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("neighbor_id"),
+        floor(col("cos_sim") * lit(1e6)).as("cos_micro"))
+      .orderBy("q_id", "rk")
+  }
+
+  // Oracle: quantized CTE → integer-dot pool of RerankPool → exact
+  // double cosine rerank, mirroring both stages' tiebreaks.
+  private lazy val rerankOracle: String =
+    s"""WITH norms AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(range(1, ${Dim + 1}),
+       |           i -> floor(CAST(embedding[i] AS DOUBLE) *
+       |                (CASE WHEN nrm = 0 THEN 0.0 ELSE $QBits / nrm END) + 0.5)) AS q
+       |  FROM norms
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         q.embedding AS q_emb, c.embedding AS c_emb,
+       |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                i -> c.q[i] * q.q[i]), (acc, x) -> acc + x) AS BIGINT) AS qdot
+       |  FROM qv c JOIN qv q ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+       |), pool AS (
+       |  SELECT * FROM (
+       |    SELECT q_id, neighbor_id, q_emb, c_emb,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS prk
+       |    FROM scored)
+       |  WHERE prk <= $RerankPool
+       |), exact AS (
+       |  SELECT q_id, neighbor_id, ${cosCte("c_emb", "q_emb")}
+       |  FROM pool
+       |), cos AS (
+       |  SELECT q_id, neighbor_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM exact
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cs,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
+       |  FROM cos
+       |)
+       |SELECT q_id, rk, neighbor_id, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // --- embedding-cosine near-duplicate pairs ---
