@@ -86,6 +86,19 @@ package object api {
         md5Hash: Boolean = false): DataFrame =
       Dedup.minhashPairs(df, idCol, textCol, k, r, md5Hash)
 
+    /** Exact n-gram overlap verify for candidate pairs (doc_a,
+      * doc_b): containment both directions + Jaccard per pair. The
+      * confirm stage after [[minhashCandidatePairs]] proposes —
+      * containment catches sub-document duplication (quotes,
+      * boilerplate wrapping) that symmetric Jaccard under-scores.
+      */
+    def ngramOverlapScores(
+        pairs: DataFrame,
+        idCol: String,
+        textCol: String,
+        n: Int = 2): DataFrame =
+      Dedup.ngramOverlapScores(df, pairs, idCol, textCol, n)
+
     // --- text analysis ----------------------------------------------
 
     /** Append token counts, char count, ratio features, quality score
@@ -155,6 +168,20 @@ package object api {
     def withQuantizedEmbedding(
         embCol: String, outCol: String = "qvec"): DataFrame =
       df.withColumn(outCol, Similarity.quantizeUnit(col(embCol)))
+
+    /** Two-stage retrieval: int8 integer-dot corpus scan keeps a
+      * `pool`-sized candidate set per query, exact double cosine
+      * reranks the pool only — full-precision cost decoupled from
+      * corpus size. `queries` carries (q_id, q_vec) like
+      * [[cosineTopK]].
+      */
+    def quantizedRerankTopK(
+        idCol: String,
+        embCol: String,
+        queries: DataFrame,
+        pool: Int,
+        k: Int): DataFrame =
+      Similarity.quantizedRerankTopK(df, idCol, embCol, queries, "q_id", "q_vec", pool, k)
 
     // --- curation ---------------------------------------------------
 

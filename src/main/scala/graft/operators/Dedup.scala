@@ -385,6 +385,41 @@ object Dedup {
   // plan shape as dedup_ngram_jaccard: modulus prefilter before any
   // gram work, pair-equijoin, set ops per pair.
   // ---------------------------------------------------------------
+  /** Exact n-gram overlap scores (containment both ways + Jaccard)
+    * for given candidate pairs — the VERIFY stage after LSH candidate
+    * mining: `minhashPairs` proposes, this confirms. Gram sets are
+    * built once per document (distinct word n-grams) and joined to
+    * the pair list; the pair list is the post-LSH small side, so the
+    * shuffle is pairs + one gram array per involved doc, never the
+    * corpus crossed with itself.
+    */
+  def ngramOverlapScores(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val gramExpr = array_distinct(expr(
+      s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', " +
+        (0 until n).map(j => s"w[i+${j - 1}]").mkString(", ") + "))"))
+    val g = docs
+      .withColumn("w", split(col(textCol), "\\s+"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol).as("__gid"), gramExpr.as("g"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(g.select(col("__gid").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(g.select(col("__gid").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ga")).as("n_a"), size(col("gb")).as("n_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("n_common"))
+      .withColumn("containment_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("n_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+  }
+
   private val WrapPrefix = "begin quoted passage "
   private val WrapSuffix = " end quoted passage attribution line"
 

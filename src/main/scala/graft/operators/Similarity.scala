@@ -317,35 +317,52 @@ object Similarity {
   // the final ranking is fully oracle-checkable.
   private val RerankPool = 20
 
-  private def rerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.parallelized(Tables.embeddings(s, dir))
-    val qemb = emb.select(col("vec_id"), col("embedding"),
-      quantizeUnit(col("embedding")).as("qvec"))
-    val queries = qemb.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("qvec").as("q_qvec"))
+  /** Parametric two-stage retrieval — library-surface form of
+    * sim_rerank. Stage 1 quantizes both sides and scans the corpus
+    * with the integer dot product (queries broadcast; the corpus
+    * never shuffles), keeping a `pool`-sized candidate set per
+    * query; stage 2 computes exact double cosine only on the pool.
+    * Query columns (qIdCol, qVecCol) must not collide with corpus
+    * names.
+    */
+  def quantizedRerankTopK(
+      corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      pool: Int, k: Int): DataFrame = {
+    val qemb = corpus.select(col(idCol), col(embCol),
+      quantizeUnit(col(embCol)).as("__qvec"))
+    val qside = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
+      quantizeUnit(col(qVecCol)).as("__q_qvec"))
     // stage 1: integer dot product over the quantized corpus
-    val scored = qemb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+    val scored = qemb.join(broadcast(qside), col("q_id") =!= col(idCol))
       .select(col("q_id"), col("q_vec"),
-        col("vec_id").as("neighbor_id"), col("embedding"),
-        graft.functions.dot_product(col("q_qvec"), col("qvec"))
+        col(idCol).as("neighbor_id"), col(embCol),
+        graft.functions.dot_product(col("__q_qvec"), col("__qvec"))
           .cast("long").as("qdot"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("qdot").desc, col("neighbor_id"))
-    val pool = scored.withColumn("prk", row_number().over(w1))
-      .filter(col("prk") <= RerankPool)
+    val pooled = scored.withColumn("prk", row_number().over(w1))
+      .filter(col("prk") <= pool)
     // stage 2: exact full-precision cosine on the pool only
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    pool
-      .withColumn("cos_sim", cosine(col("q_vec"), col("embedding")))
+    pooled
+      .withColumn("cos_sim", cosine(col("q_vec"), col(embCol)))
       .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("neighbor_id"),
         floor(col("cos_sim") * lit(1e6)).as("cos_micro"))
       .orderBy("q_id", "rk")
+  }
+
+  private def rerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qv_id"), col("embedding").as("qv_vec"))
+    quantizedRerankTopK(emb, "vec_id", "embedding",
+      queries, "qv_id", "qv_vec", RerankPool, TopK)
   }
 
   // Oracle: quantized CTE → integer-dot pool of RerankPool → exact

@@ -188,6 +188,38 @@ class ApiSpec extends AnyFunSuite {
     assert(flagged.head.getAs[Long]("n_shared_grams") >= 1L)
   }
 
+  test("ngramOverlapScores: containment catches wrapped copies Jaccard under-scores") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "header boilerplate alpha beta gamma delta epsilon zeta footer legal"),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val scores = docs.ngramOverlapScores(pairs, "id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("containment_a"), r.getAs[Double]("jaccard"))).toMap
+    val (c12, j12) = scores((1L, 2L))
+    assert(c12 == 1.0)  // doc 1 fully contained in its wrapped copy
+    assert(j12 < 0.6)   // while Jaccard reads it as barely-similar
+    val (c13, j13) = scores((1L, 3L))
+    assert(c13 == 0.0 && j13 == 0.0)
+  }
+
+  test("quantizedRerankTopK agrees with exact brute-force on the final ranking") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("id", "emb")
+    val queries = corpus.filter($"id" < 2)
+      .select($"id".as("q_id"), $"emb".as("q_vec"))
+    // pool = corpus: stage 2 sees everything, so the result MUST
+    // equal exact brute-force — isolates the rerank plumbing
+    val reranked = corpus.quantizedRerankTopK("id", "emb", queries, pool = 60, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val exact = corpus.cosineTopK("id", "emb", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(reranked.toSeq == exact.toSeq)
+  }
+
   test("withQuantizedEmbedding produces exact int8-grid floats") {
     val df = Seq((1L, Seq(0.6f, 0.8f, 0.0f)), (2L, Seq(0f, 0f, 0f)))
       .toDF("id", "emb")
