@@ -78,6 +78,7 @@ object Listeners {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      CdcStream.releaseStreamResources(s)
       // accumulator values land with task completion (synchronous by
       // awaitTermination); listener events ride the async bus — wait
       // (bounded) until the driver plane catches up to the executors

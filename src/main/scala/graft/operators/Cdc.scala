@@ -392,6 +392,7 @@ object Cdc {
   // MicroBatchStream (rows-only: the oracle cannot read binlog).
   private def binlogStream(s: SparkSession, dir: String): DataFrame = {
     val qn = s"cdc_binlog_stream_${System.nanoTime()}"
+    CdcStream.dropStaleSinks(s, qn)
     val q = s.readStream.format("binlog")
       .load("/root/reference/tests/events/*/*")
       .writeStream.format("memory").queryName(qn)
@@ -399,6 +400,7 @@ object Cdc {
         java.nio.file.Files.createTempDirectory("binlog_stream_ckpt_").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+    CdcStream.releaseStreamResources(s)
     s.table(qn)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), countDistinct(col("file")).as("n_files"))
