@@ -39,7 +39,8 @@ object Cdc {
     QueryDef("cdc_kafka_ingest", kafkaIngest, Some(kafkaIngestSql)),
     QueryDef("cdc_stream_join", streamJoin, Some(streamJoinSql)),
     QueryDef("cdc_time_travel", timeTravel, Some(timeTravelSql)),
-    QueryDef("cdc_schema_evolution", schemaEvolution, Some(schemaEvolutionSql))
+    QueryDef("cdc_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    QueryDef("cdc_compaction", compaction, Some(compactionSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -543,6 +544,33 @@ object Cdc {
        |      WHERE "offset" <= (SELECT max(event_id) // 2 FROM events))
        |WHERE rn = 1 AND op <> 'd'
        |ORDER BY key""".stripMargin
+
+  // --- cdc_compaction: small-file compaction + manifest vacuum ----
+  // Incremental merges accrete small files and superseded manifests
+  // (the reference checkpoints its delta log every 10 commits for
+  // the same reason). compact() rewrites the live version into one
+  // file per partition value and vacuum() reclaims everything
+  // unreferenced. The content contract — compaction changes LAYOUT,
+  // never DATA — is exactly what the oracle checks: the post-compact
+  // read must still equal the plain latest-per-key fold. File-count
+  // and manifest-retention effects are asserted in CdcSinkSpec.
+  private def compaction(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("key"), col("op"), col("offset"), col("event_type"), col("value"))
+      .withColumn("part", pmod(col("key").cast("long"), lit(8)))
+    val mid = log.agg(max("offset")).head.getLong(0) / 2
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_compact_q_").toString
+    CdcSink.writeSnapshot(log.filter(col("offset") <= mid), tableDir, Some("part"))
+    CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, Some("part"))
+    CdcSink.compact(s, tableDir, Some("part"))
+    CdcSink.read(s, tableDir)
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  private val compactionSql = sinkSql
 
   // --- cdc_schema_evolution: ALTER TABLE ADD COLUMN mid-stream ----
   // The reference's DDL branch propagates schema changes into the
