@@ -21,13 +21,25 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left.dataType, right.dataType).forall {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, " +
+      s"$prettyName requires two array<float|double> arguments, " +
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  /** Element accessor for interpreted eval, per side's element type. */
+  protected def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case _ => (a, i) => a.getFloat(i).toDouble
+  }
+
+  /** Java element-access snippet for codegen, per side's element type. */
+  protected def getterCode(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case _ => s"(double) $arr.getFloat($i)"
   }
 }
 
@@ -40,6 +52,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -47,8 +62,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = getL(x, i)
+      val yv = getR(y, i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -70,8 +85,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = ${getterCode(left.dataType, a, i)};
+         |  double $yv = ${getterCode(right.dataType, b, i)};
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -90,6 +105,9 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_product"
 
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -97,7 +115,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      dot += getL(x, i) * getR(y, i)
       i += 1
     }
     dot
@@ -112,7 +130,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += ${getterCode(left.dataType, a, i)} * ${getterCode(right.dataType, b, i)};
          |}
          |${ev.value} = $dot;
        """.stripMargin

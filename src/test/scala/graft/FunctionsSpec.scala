@@ -46,6 +46,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty.head.getDouble(0) == 0.0)
   }
 
+  test("cosine_sim / dot_product accept array<double> and mixed widths") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0f, 2.0f, 3.0f))
+    ).toDF("d", "f")
+    // codegen path: double×float mixed, double×double, float×float all agree
+    val r = df.select(
+      graft.functions.dot_product($"d", $"f").as("mixed"),
+      graft.functions.dot_product($"d", $"d").as("dd"),
+      graft.functions.dot_product($"f", $"f").as("ff"),
+      graft.functions.cosine_sim($"d", $"d").as("cd")).collect().head
+    assert(r.getDouble(0) == 14.0 && r.getDouble(1) == 14.0 && r.getDouble(2) == 14.0)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // interpreted path agrees with codegen
+    val expr = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 0.0)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(0.0, 1.0)))
+    assert(expr.eval(null).asInstanceOf[Double] == 0.0)
+    // non-numeric arrays still rejected at analysis
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array("x"), Array("y"))).toDF("a", "b")
+        .select(graft.functions.dot_product($"a", $"b")).collect()
+    }
+    assert(bad.getMessage.contains("array<float|double>"))
+  }
+
   test("expressions stay inside WholeStageCodegen") {
     val emb = Tables.embeddings(spark, sf)
     val plan = emb.select(graft.functions.cosine_sim(col("embedding"), col("embedding")))
