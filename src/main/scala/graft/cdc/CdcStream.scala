@@ -37,7 +37,11 @@ object CdcStream {
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rs = s.readStream.schema(Tables0.eventsSchema)
-    if (fs.getFileStatus(p).isDirectory) rs.parquet(p.toString)
+    // A not-yet-existing events.parquet (watching a landing dir before
+    // the first producer write) falls through to the glob form, which
+    // starts an empty stream that picks files up as they land —
+    // probing with exists() rather than getFileStatus() (throws).
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) rs.parquet(p.toString)
     else rs.option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
@@ -50,12 +54,15 @@ object CdcStream {
     * rows until GC pressure degrades unrelated work (measured: the
     * 95-query bench's steady passes ran 2.7× slower than cold before
     * this cleanup). Only views matching `<base>_<digits>` are
-    * touched.
+    * touched, and never one backing a still-ACTIVE query — two
+    * concurrent runs with nanoTime-suffixed names must not drop each
+    * other's live sink mid-stream.
     */
   private[graft] def dropStaleSinks(s: SparkSession, queryName: String): Unit = {
     val base = queryName.replaceAll("_\\d+$", "")
+    val live = s.streams.active.flatMap(q => Option(q.name)).toSet
     s.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name != queryName &&
+      .filter(t => t.isTemporary && t.name != queryName && !live(t.name) &&
         t.name.matches(java.util.regex.Pattern.quote(base) + "_\\d+"))
       .foreach(t => s.catalog.dropTempView(t.name))
   }
@@ -246,10 +253,20 @@ object CdcStream {
     * (the stream-stream join's two-sided state is the big one).
     * `StateStore.stop()` unloads all providers; the next stateful
     * query lazily restarts the maintenance machinery.
+    *
+    * Both calls are JVM-global, so they only run when NO streaming
+    * query is active in this session: `StateStore.stop()` would
+    * unload a concurrently running query's providers mid-batch
+    * (forcing reload/retries), and `resetTerminated()` would clear
+    * another thread's awaitAnyTermination bookkeeping. A session
+    * with a long-lived [[ingestInto]] running alongside batch-style
+    * runs simply skips the cleanup until it goes quiet.
     */
   private[graft] def releaseStreamResources(s: SparkSession): Unit = {
-    s.streams.resetTerminated()
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    if (s.streams.active.isEmpty) {
+      s.streams.resetTerminated()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
   }
 
   /** Continuous ingest into a [[CdcSink]] snapshot table — the full
@@ -294,6 +311,15 @@ object CdcStream {
     * memory sink) is the wrong shape; the per-day aggregation runs in
     * batch over the sunk files (the oracle is the identical batch
     * self-join).
+    *
+    * Oracle caveat: "lands exactly on the batch self-join" holds when
+    * the availableNow replay is a single micro-batch (the default —
+    * no maxFilesPerTrigger). A multi-batch replay over files unsorted
+    * in event time advances the watermark between batches and can
+    * evict join state a later batch's older rows would have matched —
+    * correct streaming semantics, but a superset-minus-late-rows of
+    * the batch join. Size the watermark to the source's out-of-order
+    * horizon in a live deployment.
     */
   def streamStreamJoin(
       s: SparkSession,
@@ -333,7 +359,11 @@ object CdcStream {
       q.awaitTermination()
     }
     releaseStreamResources(s)
-    s.read.parquet(sinkDir)
+    // Explicit schema: a pair-less corpus commits ZERO data files and
+    // schema inference would throw; with the stream's own schema the
+    // read yields an empty frame and the aggregation returns 0 rows,
+    // matching the batch oracle.
+    s.read.schema(pairs.schema).parquet(sinkDir)
       .groupBy(date_trunc("day", col("click_ts")).as("day"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("key")).as("n_users"),
