@@ -392,6 +392,13 @@ object Dedup {
     * the pair list; the pair list is the post-LSH small side, so the
     * shuffle is pairs + one gram array per involved doc, never the
     * corpus crossed with itself.
+    *
+    * Every input pair produces exactly one output row: a doc with
+    * fewer than n tokens (empty gram set) or an id absent from `docs`
+    * scores 0.0 — a caller iterating verify verdicts must see the
+    * pair REJECTED, not silently unproposed (the failure mode of an
+    * inner join here: short-doc duplicates would pass through LSH
+    * unverified).
     */
   def ngramOverlapScores(
       docs: DataFrame,
@@ -403,48 +410,51 @@ object Dedup {
     val gramExpr = array_distinct(expr(
       s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', " +
         (0 until n).map(j => s"w[i+${j - 1}]").mkString(", ") + "))"))
+    val emptyGrams = array().cast("array<string>")
     val g = docs
       .withColumn("w", split(col(textCol), "\\s+"))
-      .filter(size(col("w")) >= n)
-      .select(col(idCol).as("__gid"), gramExpr.as("g"))
+      .select(col(idCol).as("__gid"),
+        // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so the
+        // transform would emit junk grams for sub-n-token docs
+        when(size(col("w")) >= n, gramExpr).otherwise(emptyGrams).as("g"))
+    def score(num: Column, denom: Column): Column =
+      when(denom === 0, 0.0).otherwise(num.cast("double") / denom)
     pairs.select(col("doc_a"), col("doc_b"))
-      .join(g.select(col("__gid").as("doc_a"), col("g").as("ga")), "doc_a")
-      .join(g.select(col("__gid").as("doc_b"), col("g").as("gb")), "doc_b")
+      .join(g.select(col("__gid").as("doc_a"), col("g").as("ga")), Seq("doc_a"), "left")
+      .join(g.select(col("__gid").as("doc_b"), col("g").as("gb")), Seq("doc_b"), "left")
+      .withColumn("ga", coalesce(col("ga"), emptyGrams))
+      .withColumn("gb", coalesce(col("gb"), emptyGrams))
       .select(col("doc_a"), col("doc_b"),
         size(col("ga")).as("n_a"), size(col("gb")).as("n_b"),
         size(array_intersect(col("ga"), col("gb"))).as("n_common"))
-      .withColumn("containment_a", col("n_common").cast("double") / col("n_a"))
-      .withColumn("containment_b", col("n_common").cast("double") / col("n_b"))
+      .withColumn("containment_a", score(col("n_common"), col("n_a")))
+      .withColumn("containment_b", score(col("n_common"), col("n_b")))
       .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")))
+        score(col("n_common"), col("n_a") + col("n_b") - col("n_common")))
   }
 
   private val WrapPrefix = "begin quoted passage "
   private val WrapSuffix = " end quoted passage attribution line"
 
+  // The query is ngramOverlapScores applied to (orig, wrapped) pairs —
+  // one scoring implementation for the library fn and the query.
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.parallelized(Tables.documents(s, dir).select("doc_id", "text"))
       .filter(col("doc_id") % 10 === 0)
     val wrapped = base.select((col("doc_id") + MutantBase).as("doc_id"),
       concat(lit(WrapPrefix), col("text"), lit(WrapSuffix)).as("text"))
-    val g = base.unionAll(wrapped)
-      .withColumn("w", split(col("text"), "\\s+"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), grams(col("w")).as("g"))
-    val a = g.as("a"); val b = g.as("b")
-    a.join(b, col("b.doc_id") === col("a.doc_id") + MutantBase)
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(col("a.g")).as("n_a"), size(col("b.g")).as("n_b"),
-        size(array_intersect(col("a.g"), col("b.g"))).as("n_common"))
-      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")))
+    val pairs = base.select(col("doc_id").as("doc_a"),
+      (col("doc_id") + MutantBase).as("doc_b"))
+    ngramOverlapScores(base.unionAll(wrapped), pairs, "doc_id", "text", n = 2)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("containment_a").as("containment"), col("jaccard"))
       .orderBy("doc_a")
   }
 
+  // Mirrors ngramOverlapScores' pair-preserving semantics: every
+  // (orig, wrapped) pair scores, a sub-2-token doc contributing an
+  // empty gram set (DuckDB's range(1, 1) is already empty — no guard
+  // needed) and 0.0 for any 0-denominator score.
   private val containmentSql =
     s"""WITH base AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -458,14 +468,19 @@ object Dedup {
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
        |           i -> w[i] || ' ' || w[i+1])) AS g
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM u)
-       |  WHERE len(w) >= 2)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |), p AS (
+       |  SELECT doc_id AS doc_a, doc_id + $MutantBase AS doc_b FROM base)
+       |SELECT p.doc_a, p.doc_b,
        |       len(a.g) AS n_a, len(b.g) AS n_b,
        |       len(list_intersect(a.g, b.g)) AS n_common,
-       |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) AS containment,
-       |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-       |         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-       |FROM g a JOIN g b ON b.doc_id = a.doc_id + $MutantBase
+       |       CASE WHEN len(a.g) = 0 THEN 0.0
+       |            ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+       |       END AS containment,
+       |       CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0 THEN 0.0
+       |            ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+       |       END AS jaccard
+       |FROM p JOIN g a ON a.doc_id = p.doc_a JOIN g b ON b.doc_id = p.doc_b
        |ORDER BY doc_a""".stripMargin
 
   // ---------------------------------------------------------------

@@ -328,6 +328,16 @@ object Similarity {
     * query; stage 2 computes exact double cosine only on the pool.
     * Query columns (qIdCol, qVecCol) must not collide with corpus
     * names.
+    *
+    * Shuffle shape: the stage-1 rows carry both full-precision
+    * vectors (q_vec + the corpus embedding), but the `rk <= pool`
+    * predicate over the rank window plans a WindowGroupLimit, whose
+    * PARTIAL mode prunes each map partition to its top-`pool` rows
+    * per query BEFORE the q_id exchange — so the shuffle moves at
+    * most partitions × pool × |queries| vector-bearing rows, bounded
+    * and independent of corpus size. (Without that pruning this
+    * would shuffle the whole corpus per query and the vectors would
+    * have to be re-joined after pooling instead.)
     */
   def quantizedRerankTopK(
       corpus: DataFrame, idCol: String, embCol: String,

@@ -205,6 +205,24 @@ class ApiSpec extends AnyFunSuite {
     assert(c13 == 0.0 && j13 == 0.0)
   }
 
+  test("ngramOverlapScores scores every input pair — short docs and unknown ids reject as 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "word"), // single token: no 2-gram
+      (3L, "alpha beta gamma delta epsilon")
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 99L)).toDF("doc_a", "doc_b")
+    val rows = docs.ngramOverlapScores(pairs, "id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(rows.size == 3, "every proposed pair must get a verdict row")
+    assert(rows((1L, 2L)) == ((0.0, 0.0, 0.0))) // short doc → rejected, not dropped
+    assert(rows((1L, 99L)) == ((0.0, 0.0, 0.0))) // id absent from docs → rejected
+    val (c13, _, j13) = rows((1L, 3L))
+    assert(c13 == 1.0 && j13 == 0.75) // 3 common 2-grams of 4 total grams in doc 3
+  }
+
   test("quantizedRerankTopK agrees with exact brute-force on the final ranking") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 60L).map(i =>
@@ -218,6 +236,14 @@ class ApiSpec extends AnyFunSuite {
     val exact = corpus.cosineTopK("id", "emb", queries, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(reranked.toSeq == exact.toSeq)
+    // the scale contract documented on quantizedRerankTopK: the
+    // stage-1 pool window must plan a partial WindowGroupLimit so the
+    // vector-bearing rows are pruned to top-pool per map partition
+    // BEFORE the q_id exchange (shuffle bounded, not corpus-sized)
+    val plan = corpus.quantizedRerankTopK("id", "emb", queries, pool = 60, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
   }
 
   test("withQuantizedEmbedding produces exact int8-grid floats") {
