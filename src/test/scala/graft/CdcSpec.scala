@@ -230,6 +230,46 @@ class CdcSpec extends AnyFunSuite {
     assert(parts.count() == nFlat)
   }
 
+  test("streaming cleanup is scoped: active queries survive, stale views drop") {
+    import org.apache.spark.sql.functions._
+    // a stale prior-run sink view (matches <base>_<digits>, no query behind it)
+    spark.range(3).createOrReplaceTempView("guardq_111")
+    // a LIVE query with a matching name — must never be dropped
+    val live = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+      .writeStream.format("memory").queryName("guardq_222").start()
+    try {
+      CdcStream.dropStaleSinks(spark, s"guardq_${System.nanoTime()}")
+      val names = spark.catalog.listTables().collect().map(_.name).toSet
+      assert(!names.contains("guardq_111"), "stale view should be dropped")
+      assert(names.contains("guardq_222"), "active query's sink must survive")
+      // JVM-global cleanup must no-op while a query is active
+      CdcStream.releaseStreamResources(spark)
+      assert(live.isActive, "releaseStreamResources must not touch active queries")
+    } finally {
+      live.stop()
+      spark.catalog.dropTempView("guardq_222")
+    }
+  }
+
+  test("not-yet-existing events.parquet starts an empty stream, not an error") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    val out = CdcStream.streamingDedup(spark, emptyDir, s"empty_${System.nanoTime()}")
+    assert(out.count() == 0)
+  }
+
+  test("pair-less corpus yields an empty attribution, not a schema error") {
+    import org.apache.spark.sql.functions._
+    // clicks only: the interval join can never match, the parquet sink
+    // commits zero data files, and the read must not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft_clicks_").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "click")
+      .write.parquet(s"$dir/events.parquet")
+    val got = CdcStream.streamStreamJoin(spark, dir, s"ssj_empty_${System.nanoTime()}")
+    assert(got.count() == 0)
+  }
+
   test("stream-stream interval join lands exactly on the batch self-join") {
     import org.apache.spark.sql.functions._
     import graft.QueryDef._
