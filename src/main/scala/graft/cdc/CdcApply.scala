@@ -68,6 +68,55 @@ object CdcApply {
       .withColumn("after_value", valueCol)
   }
 
+  /** Incremental view maintenance — merge ONE changelog batch into a
+    * maintained `groupBy(group).agg(count, sum(value))` without
+    * recomputing the base. This is the capability that makes a CDC
+    * feed worth having over nightly recompute: refresh work is
+    * ∝ |batch| + |touched keys|, never ∝ |base table|.
+    *
+    * Inputs: `maintained` is the stored aggregate (groupCol, n_rows,
+    * total — total kept DECIMAL-exact so merges never drift);
+    * `baseState` is the stored live-row table the aggregate was
+    * computed from (keyCols ++ groupCol, valueCol — at scale a
+    * key-bucketed table, so the retract semi-join below co-locates);
+    * `batch` is the new changelog slice.
+    *
+    * Delta algebra (reference upsert semantics, `src/delta/mod.rs:
+    * 124-155`: update = remove(before) + add(after), delete =
+    * remove, last write per key wins): within one batch a key's
+    * intermediate states telescope away, so only two terms survive —
+    * RETRACT the key's stored live row (if any), ADD its post-batch
+    * live row (if its last op isn't a delete). Group migration
+    * (an update that moves a key between groups) falls out for free:
+    * the retract hits the old group, the add hits the new one.
+    */
+  def incrementalAgg(
+      maintained: DataFrame,
+      baseState: DataFrame,
+      batch: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      keyCols: Seq[String] = Seq("key"),
+      offsetCol: String = "offset",
+      opCol: String = "op"): DataFrame = {
+    import graft.QueryDef.dec
+    val touched = batch.select(keyCols.map(col): _*).distinct()
+    val retract = baseState.join(touched, keyCols, "left_semi")
+      .select(col(groupCol).as("__g"), lit(-1L).as("__dn"),
+        (dec(col(valueCol)) * -1).as("__dt"))
+    val add = snapshot(batch, keyCols, offsetCol, opCol)
+      .select(col(groupCol).as("__g"), lit(1L).as("__dn"),
+        dec(col(valueCol)).as("__dt"))
+    maintained
+      .select(col(groupCol).as("__g"), col("n_rows").as("__dn"),
+        col("total").as("__dt"))
+      .unionAll(retract).unionAll(add)
+      .groupBy(col("__g"))
+      .agg(sum(col("__dn")).as("n_rows"), sum(col("__dt")).as("total"))
+      .filter(col("n_rows") > 0) // a group whose last live row left drops out
+      .select(col("__g").as(groupCol), col("n_rows"), col("total"))
+  }
+
   /** LogCommitter semantics (reference `snapshot/mod.rs:60-80`):
     * commits are monotone per source; re-committing an already
     * committed position is a no-op. Relationally: the number of

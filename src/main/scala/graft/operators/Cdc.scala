@@ -40,7 +40,8 @@ object Cdc {
     QueryDef("cdc_stream_join", streamJoin, Some(streamJoinSql)),
     QueryDef("cdc_time_travel", timeTravel, Some(timeTravelSql)),
     QueryDef("cdc_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
-    QueryDef("cdc_compaction", compaction, Some(compactionSql))
+    QueryDef("cdc_compaction", compaction, Some(compactionSql)),
+    QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -571,6 +572,42 @@ object Cdc {
   }
 
   private val compactionSql = sinkSql
+
+  // --- cdc_incremental_agg: delta-maintained aggregate view -------
+  // Incremental view maintenance — the payoff of ingesting a
+  // changelog instead of nightly recompute. The maintained view is
+  // groupBy(event_type).agg(count, sum(value)) over LIVE rows; the
+  // last 20% of the changelog then arrives as a batch and is merged
+  // as deltas (retract each touched key's stored row, add its
+  // post-batch row — CdcApply.incrementalAgg). Refresh work is
+  // ∝ |batch| + |touched keys|; the base is never re-aggregated and
+  // at scale the retract is a key-equijoin against the bucketed
+  // state table. The ORACLE is the full recompute over the complete
+  // changelog — the hash match proves the delta path lands
+  // bit-exactly on recompute (DECIMAL-exact merge, no drift).
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+    val bound = log.agg(expr("max(`offset`) * 4 div 5")).head.getLong(0)
+    val base = log.filter(col("offset") <= bound)
+    val batch = log.filter(col("offset") > bound)
+    val baseState = CdcApply.snapshot(base)
+    val maintained = baseState.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("value"))).as("total"))
+    CdcApply.incrementalAgg(maintained, baseState, batch, "event_type", "value")
+      .select(col("event_type"), col("n_rows"),
+        asDouble(col("total")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val incrementalAggSql =
+    s"""WITH log AS ($changelogSql),
+       |last AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |  FROM log)
+       |SELECT event_type, COUNT(*) AS n_rows,
+       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM last WHERE rn = 1 AND op <> 'd'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- cdc_schema_evolution: ALTER TABLE ADD COLUMN mid-stream ----
   // The reference's DDL branch propagates schema changes into the

@@ -270,6 +270,59 @@ class CdcSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("incrementalAgg: delta merge equals recompute across every transition kind") {
+    import org.apache.spark.sql.functions._
+    import graft.QueryDef._
+    import spark.implicits._
+    // base: k1 live in A, k2 live in A, k3 live in B, k5 DELETED
+    val base = Seq(
+      ("k1", "c", 1L, "A", 10.0),
+      ("k2", "c", 2L, "A", 5.0),
+      ("k3", "c", 3L, "B", 7.0),
+      ("k5", "c", 4L, "B", 2.0),
+      ("k5", "d", 5L, "B", 0.0)
+    ).toDF("key", "op", "offset", "grp", "value")
+    // batch: group migration (k2 A→B), delete (k3), new key (k4),
+    // in-place update (k1), resurrect after base-delete (k5),
+    // telescoping intermediate states (k4 updated twice)
+    val batch = Seq(
+      ("k2", "u", 6L, "B", 6.0),
+      ("k3", "d", 7L, "B", 0.0),
+      ("k4", "c", 8L, "A", 1.0),
+      ("k4", "u", 9L, "A", 9.0),
+      ("k1", "u", 10L, "A", 11.0),
+      ("k5", "u", 11L, "B", 3.0)
+    ).toDF("key", "op", "offset", "grp", "value")
+    val baseState = CdcApply.snapshot(base)
+    val maintained = baseState.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("value"))).as("total"))
+    val got = CdcApply.incrementalAgg(maintained, baseState, batch, "grp", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    // final live: k1=(A,11), k2=(B,6), k4=(A,9), k5=(B,3); k3 gone
+    assert(got == Map("A" -> ((2L, 20.0)), "B" -> ((2L, 9.0))))
+    // and the delta path equals the full recompute
+    val recompute = CdcApply.snapshot(base.unionAll(batch))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("value"))).as("total"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got == recompute)
+  }
+
+  test("incrementalAgg drops a group whose last live row left") {
+    import org.apache.spark.sql.functions._
+    import graft.QueryDef._
+    import spark.implicits._
+    val base = Seq(("k1", "c", 1L, "A", 4.0)).toDF("key", "op", "offset", "grp", "value")
+    val batch = Seq(("k1", "d", 2L, "A", 0.0)).toDF("key", "op", "offset", "grp", "value")
+    val baseState = CdcApply.snapshot(base)
+    val maintained = baseState.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("value"))).as("total"))
+    val out = CdcApply.incrementalAgg(maintained, baseState, batch, "grp", "value")
+    assert(out.count() == 0)
+  }
+
   test("stream-stream interval join lands exactly on the batch self-join") {
     import org.apache.spark.sql.functions._
     import graft.QueryDef._
