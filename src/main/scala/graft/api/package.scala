@@ -183,6 +183,19 @@ package object api {
         k: Int): DataFrame =
       Similarity.quantizedRerankTopK(df, idCol, embCol, queries, "q_id", "q_vec", pool, k)
 
+    /** kNN classification: majority label over each query's k
+      * cosine-nearest corpus rows (ties → smaller label) — the
+      * embedding-quality eval. `queries` carries (q_id, q_vec) like
+      * [[cosineTopK]].
+      */
+    def knnClassifyTopK(
+        idCol: String,
+        embCol: String,
+        labelCol: String,
+        queries: DataFrame,
+        k: Int): DataFrame =
+      Similarity.knnClassifyTopK(df, idCol, embCol, labelCol, queries, "q_id", "q_vec", k)
+
     // --- curation ---------------------------------------------------
 
     /** Deterministic train/val/test assignment keyed on `idCol`:

@@ -35,6 +35,7 @@ object Similarity {
     QueryDef("sim_ivf_ann", ivfAnn, None),
     QueryDef("sim_quantized", quantized, Some(quantizedOracle)),
     QueryDef("sim_rerank", rerank, Some(rerankOracle)),
+    QueryDef("sim_knn_classify", knnClassify, Some(knnOracle)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
 
@@ -88,6 +89,76 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     cosineTopK(emb, "vec_id", "embedding", queries, "q_id", "q_vec", TopK)
   }
+
+  // --- kNN label classification: the embedding-quality eval --------
+  // Predict each query vector's label by majority vote over its k
+  // nearest neighbors (excluding itself) and compare to its own label
+  // — the standard check that an embedding space separates classes
+  // before it is trusted for retrieval/dedup. Rides cosineTopK (the
+  // corpus never shuffles; partial window prune bounds the exchange),
+  // then the vote is a k×|queries|-row aggregate — driver-free and
+  // corpus-size-independent. Ties break on the smaller label id, so
+  // the whole pipeline is deterministic and fully oracled.
+  /** Parametric kNN classification — library-surface form of
+    * sim_knn_classify. Returns (q_id, predicted_label, n_votes): the
+    * majority label over each query's k cosine-nearest corpus rows
+    * (ties → the smaller label). Deterministic end to end.
+    */
+  def knnClassifyTopK(
+      corpus: DataFrame, idCol: String, embCol: String, labelCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val nn = cosineTopK(corpus, idCol, embCol, queries, qIdCol, qVecCol, k)
+    val votes = nn
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol)), "neighbor_id")
+      .groupBy(col("q_id"), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_votes").desc, col(labelCol))
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("q_id"), col(labelCol).as("predicted_label"), col("n_votes"))
+  }
+
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    knnClassifyTopK(emb, "vec_id", "embedding", "label",
+        queries, "q_id", "q_vec", TopK)
+      .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("predicted_label"), col("n_votes"),
+        (col("predicted_label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
+  private lazy val knnOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${cosCte("c.embedding", "q.embedding")}
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+       |), cos AS (
+       |  SELECT q_id, neighbor_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM scored
+       |), nn AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
+       |    FROM cos) WHERE rk <= $TopK
+       |), votes AS (
+       |  SELECT nn.q_id, e.label, COUNT(*) AS n_votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+       |  GROUP BY nn.q_id, e.label
+       |), pred AS (
+       |  SELECT q_id, label, n_votes,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rk
+       |  FROM votes
+       |)
+       |SELECT p.q_id, p.label AS predicted_label, p.n_votes,
+       |       p.label = q.label AS correct
+       |FROM pred p JOIN embeddings q ON q.vec_id = p.q_id
+       |WHERE p.rk = 1 ORDER BY p.q_id""".stripMargin
 
   private val Planes = 12
 

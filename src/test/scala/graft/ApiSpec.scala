@@ -258,6 +258,28 @@ class ApiSpec extends AnyFunSuite {
     q.values.flatten.foreach(v => assert(v == v.floor && v.abs <= 127f))
   }
 
+  test("knnClassifyTopK: majority vote with smaller-label tie-break") {
+    // query (1,0,0); k=4 nearest: three label-7 vectors near the x
+    // axis and one label-3; majority → 7. Then k=2: one vote each for
+    // 7 and 3 → tie breaks to the smaller label 3.
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f), 7),
+      (11L, Seq(0.9f, 0.1f, 0.0f), 7),
+      (12L, Seq(0.95f, 0.0f, 0.05f), 3),
+      (13L, Seq(0.8f, 0.2f, 0.0f), 7),
+      (14L, Seq(0.0f, 1.0f, 0.0f), 3)
+    ).toDF("vid", "emb", "label")
+    val queries = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
+    val top4 = corpus.knnClassifyTopK("vid", "emb", "label", queries, k = 4).collect()
+    assert(top4.length == 1)
+    assert(top4.head.getAs[Int]("predicted_label") == 7)
+    assert(top4.head.getAs[Long]("n_votes") == 3L)
+    // nearest-2 = vid 10 (label 7) and vid 12 (label 3, cos > vid 11's)
+    val top2 = corpus.knnClassifyTopK("vid", "emb", "label", queries, k = 2).collect()
+    assert(top2.head.getAs[Int]("predicted_label") == 3)
+    assert(top2.head.getAs[Long]("n_votes") == 1L)
+  }
+
   test("cosineTopK ranks the aligned vector first") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f, 0.0f)),
