@@ -310,6 +310,25 @@ class CdcSpec extends AnyFunSuite {
     assert(got == recompute)
   }
 
+  test("incrementalAgg plan: broadcast semi-join retract, no base re-aggregation") {
+    import org.apache.spark.sql.functions._
+    import graft.QueryDef._
+    import spark.implicits._
+    val base = (1 to 500).map(i => (s"k$i", "c", i.toLong, s"g${i % 3}", i * 1.0))
+      .toDF("key", "op", "offset", "grp", "value")
+    val batch = Seq(("k1", "u", 600L, "g1", 2.0)).toDF("key", "op", "offset", "grp", "value")
+    val baseState = CdcApply.snapshot(base)
+    val maintained = baseState.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("value"))).as("total"))
+    val plan = CdcApply.incrementalAgg(maintained, baseState, batch, "grp", "value")
+      .queryExecution.executedPlan.toString
+    // the touched-key retract must be a semi join with the (small)
+    // batch-keys side broadcast — never a cartesian or a sort-merge
+    // over the base — so refresh cost stays ∝ batch + touched keys
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("incrementalAgg drops a group whose last live row left") {
     import org.apache.spark.sql.functions._
     import graft.QueryDef._
