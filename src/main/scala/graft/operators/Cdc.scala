@@ -41,7 +41,8 @@ object Cdc {
     QueryDef("cdc_time_travel", timeTravel, Some(timeTravelSql)),
     QueryDef("cdc_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     QueryDef("cdc_compaction", compaction, Some(compactionSql)),
-    QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql))
+    QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    QueryDef("cdc_scd2", scd2, Some(scd2Sql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -572,6 +573,34 @@ object Cdc {
   }
 
   private val compactionSql = sinkSql
+
+  // --- cdc_scd2: slowly-changing-dimension type-2 history ---------
+  // The OTHER standard materialization of a changelog (cdc_snapshot
+  // keeps only the latest row): every non-delete event becomes a
+  // VERSION row with a [valid_from, valid_to) offset interval —
+  // valid_to = the key's next event (any op), open (null, is_current)
+  // for the live version; a trailing delete closes its predecessor
+  // and contributes no version. One lag/lead window per key — the
+  // same single keyed exchange as the snapshot fold, history size ∝
+  // changelog, no state beyond the window.
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("offset"))
+    Changelog.fromEvents(s, dir)
+      .withColumn("valid_to", lead(col("offset"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col("key"), col("offset").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("event_type"), col("value"))
+      .orderBy("key", "valid_from")
+  }
+
+  private val scd2Sql =
+    s"""SELECT key, "offset" AS valid_from, valid_to,
+       |       valid_to IS NULL AS is_current, event_type, "value"
+       |FROM (SELECT *, LEAD("offset", 1) OVER (PARTITION BY key ORDER BY "offset") AS valid_to
+       |      FROM ($changelogSql))
+       |WHERE op <> 'd'
+       |ORDER BY key, valid_from""".stripMargin
 
   // --- cdc_incremental_agg: delta-maintained aggregate view -------
   // Incremental view maintenance — the payoff of ingesting a

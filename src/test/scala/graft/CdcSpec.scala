@@ -342,6 +342,30 @@ class CdcSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("scd2 history: one current version per live key, deletes close history") {
+    import org.apache.spark.sql.functions._
+    val h = SparkEntry.queries("cdc_scd2")(spark, sf)
+    assert(h.count() > 0)
+    // at most one open (is_current) version per key
+    assert(h.filter(col("is_current")).groupBy("key").count()
+      .filter(col("count") > 1).count() == 0)
+    // closed intervals are well-formed
+    assert(h.filter(col("valid_to").isNotNull && col("valid_from") >= col("valid_to"))
+      .count() == 0)
+    // a key whose LAST event is a delete has no current version —
+    // the tombstone closed its final interval
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("offset").desc)
+    val dead = Changelog.fromEvents(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "d").select("key")
+    assert(dead.count() > 0, "test data must contain trailing deletes")
+    assert(h.filter(col("is_current")).join(dead, "key").count() == 0)
+    // history is complete: every non-delete event is a version
+    val expected = Changelog.fromEvents(spark, sf).filter(col("op") =!= "d").count()
+    assert(h.count() == expected)
+  }
+
   test("stream-stream interval join lands exactly on the batch self-join") {
     import org.apache.spark.sql.functions._
     import graft.QueryDef._
