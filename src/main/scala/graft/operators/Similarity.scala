@@ -165,6 +165,10 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component sign from
     * md5(plane:dim) parity — reproducible across engines and runs.
     */
+  // temporary probe accessors (EmbProbe experiment)
+  private[graft] def signaturePublic(vec: Column, dim: Int): Column = signature(vec, dim)
+  private[graft] def cosinePublic(a: Column, b: Column): Column = cosine(a, b)
+
   private def signature(vec: Column, dim: Int): Column = {
     val bits = (0 until Planes).map { p =>
       // projection via the NATIVE dot_product (codegen'd; same
@@ -497,21 +501,35 @@ object Similarity {
     * vectors are dropped before the self-join — the same skew guard
     * as [[MaxBucketAnn]] in lshAnn: a degenerate bucket (all-identical
     * embeddings, zero vectors) would make the self-join quadratic in
-    * the bucket size. The ≤2^Planes-row size table is a broadcast, so
-    * the cap costs no corpus shuffle. Degenerate mass is exact-dup
-    * territory: catch it with a hash groupBy on the raw vector bytes,
-    * not a pairwise join.
+    * the bucket size. The count is a window over the sig partition, so
+    * it rides the join's own hash exchange (both join inputs are the
+    * identical subtree — ONE Exchange, the other side a
+    * ReusedExchange; the Planes×dim signature projection runs once per
+    * row). The self-join is pinned to shuffle-hash: Catalyst's
+    * compressed-size estimate would otherwise broadcast the entire
+    * corpus as the build side — duplicating the sig+window subtree
+    * and, at scale, putting the whole corpus in every executor — and
+    * sort-merge would add two join sorts the hash join doesn't need
+    * (measured: SHJ 0.71s vs BHJ-one-sided 0.86s vs SMJ 1.4s at
+    * sf0.1; the uncapped floor is 0.59s). Per-partition SHJ build
+    * state is bounded by the bucket cap + AQE skew splitting. (The
+    * first cut was a groupBy + broadcast-join-back; that re-evaluated
+    * the uncached signature subtree ~4× — measured 2.5× wall. Same
+    * lesson as [[Dedup.minhashPairs]]'s guard.) Degenerate mass is
+    * exact-dup territory: catch it with a hash groupBy on the raw
+    * vector bytes, not a pairwise join.
     */
   def embeddingDedupPairs(
       corpus: DataFrame, idCol: String, embCol: String, dim: Int,
       threshold: Double, maxBucket: Int = MaxBucketAnn): DataFrame = {
     val sigs = corpus.select(col(idCol), col(embCol),
       signature(col(embCol), dim).as("sig"))
-    val keptBuckets = sigs.groupBy("sig")
-      .agg(count(lit(1)).as("__bn"))
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    val capped = sigs
+      .withColumn("__bn", count(lit(1)).over(wBucket))
       .filter(col("__bn") <= maxBucket)
-      .select("sig")
-    val capped = sigs.join(broadcast(keptBuckets), Seq("sig"))
+      .drop("__bn")
+      .hint("shuffle_hash")
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
