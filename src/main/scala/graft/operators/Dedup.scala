@@ -276,10 +276,15 @@ object Dedup {
     * 32-bit halves (conv fits BIGINT — a full 64-bit parse would
     * overflow and null out), then each bit is a shift-and-mask and
     * each signed sum is `2*SUM(bit) - COUNT(*)`. Integer-exact match
-    * with the oracle's nibble/FLOOR formulation, but bitwise ops in
-    * codegen instead of 16 instr() calls + 63 double divisions per
-    * token — measured 2-3× faster at sf0.1. The DuckDB oracle keeps
-    * the readable nibble form; the gate compares results, not plans.
+    * with the oracle's nibble/FLOOR formulation. Controlled A/B
+    * (round 6, both forms interleaved min-of-5 in one JVM at sf0.1):
+    * bitwise 1.27s vs nibble/instr 1.30s — a narrow win, NOT the 2-3×
+    * an earlier comment claimed (that comparison predated the shared
+    * md5-prefix-substring optimization both forms now ride). Kept for
+    * the win and because shift-and-mask stays cheap as tokens/doc
+    * grow, while instr() decoding is per-nibble string search. The
+    * DuckDB oracle keeps the readable nibble form; the gate compares
+    * results, not plans.
     */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     // same prefilter rationale as jaccard: only doc_id % 10 == 0 rows

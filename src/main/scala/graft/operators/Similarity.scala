@@ -165,10 +165,6 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component sign from
     * md5(plane:dim) parity — reproducible across engines and runs.
     */
-  // temporary probe accessors (EmbProbe experiment)
-  private[graft] def signaturePublic(vec: Column, dim: Int): Column = signature(vec, dim)
-  private[graft] def cosinePublic(a: Column, b: Column): Column = cosine(a, b)
-
   private def signature(vec: Column, dim: Int): Column = {
     val bits = (0 until Planes).map { p =>
       // projection via the NATIVE dot_product (codegen'd; same
