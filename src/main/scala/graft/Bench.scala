@@ -91,6 +91,15 @@ object Bench {
     // the driver's stdout tail window and the whole round lost its
     // bench number ("parsed": null)
     println(s"""best_queries ${toJson(best)}""")
+    // contamination self-evidence: per-query median/min across the N
+    // passes. On a quiet host this sits near 1 for nearly every query
+    // (GC pause windows land on a few); a loaded host inflates it
+    // suite-wide. Its own line — never the parsed final line.
+    val spread = all.transpose.map { samples =>
+      val xs = samples.map(_._2).sorted
+      samples.head._1 -> xs(xs.size / 2) / xs.head.max(1e-9)
+    }.toSeq
+    println(s"""spread_queries ${toJson(spread)}""")
     // FINAL stdout line = totals only (~120 bytes) so it parses under
     // any tail window; "queries" points at the line above
     println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"nq":${best.size},"sf":"$sfDir"}""")

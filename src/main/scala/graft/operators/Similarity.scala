@@ -240,13 +240,29 @@ object Similarity {
   /** Two Lloyd iterations from deterministic seeds (vec_id < Cells).
     * Centroids are collected to the driver (Cells × dim floats — a
     * constant) and shipped as plan literals.
+    *
+    * Training runs on a deterministic hash-fraction SAMPLE capped at
+    * `maxTrainRows`: coarse-quantizer quality needs a representative
+    * sample, not the corpus, so the ~5 sequential driver-loop jobs
+    * (2 iterations × assign+agg, plus the seed collect and one
+    * count) cost O(maxTrainRows × Cells × dim) however large the
+    * corpus is — only the final cell ASSIGNMENT (one map-side
+    * projection, no shuffle) ever touches all rows. The sample
+    * predicate is xxhash64(vec_id) mod corpus-size < cap: exact,
+    * seed-free, and the identity when the corpus fits the cap (all
+    * test SFs — ≤2000 vectors — train on every row, so sampling
+    * changes nothing the recall spec can observe there).
     */
-  def trainCentroids(emb: DataFrame): Array[Array[Float]] = {
+  def trainCentroids(emb: DataFrame, maxTrainRows: Long = 1L << 16): Array[Array[Float]] = {
+    val n = emb.count()
+    val train =
+      if (n <= maxTrainRows) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(maxTrainRows))
     var centroids = emb.filter(col("vec_id") < Cells)
       .orderBy("vec_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
     (0 until 2).foreach { _ =>
-      val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val assigned = train.withColumn("cell", nearestCell(col("embedding"), centroids))
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         // exact-decimal sum → double division: float avg over a
