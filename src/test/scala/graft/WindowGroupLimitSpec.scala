@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard for the similarity retrieval shuffles.
+  *
+  * cosineTopK and quantizedRerankTopK rely on the `rk <= k` predicate
+  * over a row_number window planning a WindowGroupLimit whose PARTIAL
+  * mode prunes each map partition to its top-k rows per query BEFORE
+  * the q_id exchange — that is what bounds the vector-bearing shuffle
+  * to partitions × k × |queries| rows instead of corpus × |queries|.
+  * A conf change or Spark upgrade that silently dropped the partial
+  * prune (spark.sql.window.group.limit.threshold, a rewrite of the
+  * InferWindowGroupLimit rule, ...) would keep results identical
+  * while turning the shuffle into a scale-killer, which no
+  * correctness gate can catch. So assert the executed plan.
+  */
+class WindowGroupLimitSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The Partial-mode prune must sit below the exchange; Final mode
+    * alone means every scored row crossed the shuffle first.
+    */
+  private def assertPartialPrune(df: DataFrame, what: String): Unit = {
+    // materialize so AQE finalizes stages, then read the final plan
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val wglLines = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(wglLines.nonEmpty,
+      s"$what: no WindowGroupLimit in plan:\n${plan.take(4000)}")
+    assert(wglLines.exists(_.contains("Partial")),
+      s"$what: WindowGroupLimit lost its Partial (map-side) mode:\n${wglLines.mkString("\n")}")
+  }
+
+  test("cosineTopK plans a Partial WindowGroupLimit below the q_id exchange") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val df = operators.Similarity.cosineTopK(
+      emb, "vec_id", "embedding", queries, "q_id", "q_vec", 5)
+    assertPartialPrune(df, "cosineTopK")
+  }
+
+  test("quantizedRerankTopK plans Partial WindowGroupLimits for both stages") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qv_id"), col("embedding").as("qv_vec"))
+    val df = operators.Similarity.quantizedRerankTopK(
+      emb, "vec_id", "embedding", queries, "qv_id", "qv_vec", 20, 5)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val wglLines = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    // stage-1 pool prune (below the first exchange) + stage-2 final
+    // top-k; at minimum the stage-1 prune must be Partial
+    assert(wglLines.size >= 2,
+      s"expected >=2 WindowGroupLimits, got ${wglLines.size}:\n${plan.take(4000)}")
+    assert(wglLines.exists(_.contains("Partial")),
+      s"stage-1 pool prune lost Partial mode:\n${wglLines.mkString("\n")}")
+  }
+}
