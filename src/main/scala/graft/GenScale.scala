@@ -46,15 +46,32 @@ object GenScale {
   private val filesFor: Map[String, Int] =
     Map("lineitem" -> 32, "orders" -> 16, "events" -> 16).withDefaultValue(4)
 
+  /** Key-shifted replicas. The shift casts back to the SOURCE column
+    * type, so scaled tables keep the source schema exactly (an int
+    * key must not silently widen to bigint — operators and oracles
+    * read both layouts).
+    *
+    * Clone caveat: non-key columns replicate byte-identically, so
+    * every document/embedding gains `factor` exact clones and
+    * near-dup candidate-pair counts grow ~quadratically per clone
+    * group — sf1 dedup/ANN wall times measured on GenScale output are
+    * an UPPER bound, not representative of a real corpus's duplicate
+    * rate (SURVEY §6 carries the same caveat next to the numbers).
+    * The clones are deliberate, not an oversight: the cross-replica
+    * pairs are exactly what the sf1 recall probes count.
+    */
   def scaleTable(df: DataFrame, table: String, factor: Int): DataFrame = {
     val shifts = shiftCols.getOrElse(table, Nil)
     if (shifts.isEmpty) df
     else
       (0 until factor).map { r =>
-        shifts.foldLeft(df)((d, c) =>
-          d.withColumn(c, (col(c) + lit(r * Stride)).cast("long")))
+        shifts.foldLeft(df) { (d, c) =>
+          val srcType = df.schema(c).dataType
+          d.withColumn(c, (col(c).cast("long") + lit(r * Stride)).cast(srcType))
+        }
       }.reduce(_ unionAll _)
   }
+
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")

@@ -255,15 +255,30 @@ object CdcStream {
     * query lazily restarts the maintenance machinery.
     *
     * Both calls are JVM-global, so they only run when NO streaming
-    * query is active in this session: `StateStore.stop()` would
-    * unload a concurrently running query's providers mid-batch
-    * (forcing reload/retries), and `resetTerminated()` would clear
-    * another thread's awaitAnyTermination bookkeeping. A session
-    * with a long-lived [[ingestInto]] running alongside batch-style
-    * runs simply skips the cleanup until it goes quiet.
+    * query is active in ANY session this JVM has streamed from:
+    * `StateStore.stop()` would unload a concurrently running query's
+    * providers mid-batch (forcing reload/retries) even if that query
+    * belongs to a DIFFERENT SparkSession (parallel test suites share
+    * the JVM), and `resetTerminated()` would clear another thread's
+    * awaitAnyTermination bookkeeping. Sessions are tracked in a weak
+    * set on every release call — every graft streaming path calls
+    * release right after its query terminates, so any session that
+    * ever streamed is registered before it could race; the weak ref
+    * lets stopped sessions be collected. A session with a long-lived
+    * [[ingestInto]] running alongside batch-style runs simply skips
+    * the cleanup until the whole JVM goes stream-quiet.
     */
+  private val streamedSessions: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   private[graft] def releaseStreamResources(s: SparkSession): Unit = {
-    if (s.streams.active.isEmpty) {
+    streamedSessions.add(s)
+    (SparkSession.getActiveSession ++ SparkSession.getDefaultSession)
+      .foreach(streamedSessions.add)
+    val sessions = streamedSessions.toArray(Array.empty[SparkSession])
+    if (sessions.forall(_.streams.active.isEmpty)) {
       s.streams.resetTerminated()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
@@ -344,8 +359,20 @@ object CdcStream {
       col("key") === col("p_key") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    // Per-BASE-query scratch root, wiped on entry: invocations carry
+    // nanoTime-suffixed names (fresh checkpoint by design), so temp
+    // sink + checkpoint dirs would otherwise accumulate a full pair
+    // output per bench pass. Contract: the frame a call returns must
+    // be consumed before the SAME base query runs again — the next
+    // invocation wipes this one's sink files (bench/verify consume
+    // each pass's result before starting the next).
+    val scratchRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ssj",
+      queryName.replaceAll("_\\d+$", ""))
+    org.apache.commons.io.FileUtils.deleteQuietly(scratchRoot.toFile)
+    java.nio.file.Files.createDirectories(scratchRoot)
     val sinkDir = java.nio.file.Files
-      .createTempDirectory("cdc_ssj_out_").toString
+      .createTempDirectory(scratchRoot, "out_").toString
     withStatePartitions(s, statePartitions) {
       val q = pairs.writeStream
         .outputMode(OutputMode.Append)
@@ -353,7 +380,7 @@ object CdcStream {
         .queryName(queryName)
         .option("path", sinkDir)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("cdc_ssj_ckpt_").toString)
+          java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_").toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()

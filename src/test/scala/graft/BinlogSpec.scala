@@ -339,6 +339,54 @@ class BinlogSpec extends AnyFunSuite {
     assert(perFile.length == 2)
   }
 
+  // ---- content-hash teeth for the rows-only gate entries ----------
+  // cdc_binlog_source/_stream/_pushdown are rows-only in the DuckDB
+  // gate (the oracle cannot read binlog), but the fixture payloads
+  // are static, so the decoded CONTENT is assertable: an
+  // order-independent hash (decimal sum of per-row xxhash64 over the
+  // decoded columns) pinned here catches any decoder drift the
+  // row-count check would miss, and the streaming reader must decode
+  // byte-identically to the batch reader.
+
+  private def contentHash(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+    df.agg(sum(xxhash64(
+      col("event_type"), col("table_name"), col("op"),
+      col("before"), col("after"), col("log_pos"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"))
+      .collect()(0).getDecimal(0)
+
+  test("fixture content hash is pinned (batch DSv2 reader)") {
+    val df = BinlogSource.events(spark, s"$fixtures/*/*")
+    assert(df.count() == 83)
+    assert(contentHash(df) == new java.math.BigDecimal("-117209207353835206634"))
+  }
+
+  test("pushdown-shaped subset content hash is pinned") {
+    // the same subset cdc_binlog_pushdown filters (WRITE_ROWS_V2),
+    // hashed over its pruned columns
+    val h = BinlogSource.events(spark, s"$fixtures/*/*")
+      .filter(col("event_type") === "WRITE_ROWS_V2")
+      .agg(sum(xxhash64(col("event_type"), col("table_name"), col("op"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(h.getLong(1) == 9)
+    assert(h.getDecimal(0) == new java.math.BigDecimal("60743979769577694282"))
+  }
+
+  test("streaming reader decodes identically to the batch reader") {
+    val qn = s"binlog_hash_${System.nanoTime()}"
+    val q = spark.readStream.format("binlog").load(s"$fixtures/*/*")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("binlog_hash_ckpt_").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(contentHash(spark.table(qn)) ==
+      new java.math.BigDecimal("-117209207353835206634"))
+    spark.sql(s"DROP VIEW IF EXISTS $qn")
+    graft.cdc.CdcStream.releaseStreamResources(spark)
+  }
+
   test("DSv2: spark.read.format(\"binlog\") over the fixture directory") {
     val df = BinlogSource.events(spark, s"$fixtures/*/*")
     val byType = df.groupBy("event_type").count().collect()
