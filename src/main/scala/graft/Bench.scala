@@ -86,6 +86,10 @@ object Bench {
     all.zipWithIndex.foreach { case (p, i) =>
       println(s"""pass${i}_queries ${toJson(p)}""")
     }
+    // one-glance pass health: a pass total far above its neighbors
+    // (observed once: a host-level stall turned pass 3 into 272s vs
+    // 78s) flags the run as suspect without parsing the per-query maps
+    println(s"pass_totals [${all.map(p => r3(p.map(_._2).sum)).mkString(",")}]")
     // the min-of-N per-query map goes on its OWN line: at 87 queries it
     // is ~2.4 KB, and in rounds 1 and 4 a final line that long outgrew
     // the driver's stdout tail window and the whole round lost its

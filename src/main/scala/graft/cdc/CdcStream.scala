@@ -278,9 +278,16 @@ object CdcStream {
     (SparkSession.getActiveSession ++ SparkSession.getDefaultSession)
       .foreach(streamedSessions.add)
     val sessions = streamedSessions.toArray(Array.empty[SparkSession])
-    if (sessions.forall(_.streams.active.isEmpty)) {
+    val blockers = sessions.toSeq.flatMap(_.streams.active.toSeq)
+    if (blockers.isEmpty) {
       s.streams.resetTerminated()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    } else {
+      // a skip here means terminated-query + state-store cleanup is
+      // deferred JVM-wide — make that visible, a silent skip turns
+      // into unbounded native growth over a long bench run
+      System.err.println(
+        s"[graft] releaseStreamResources deferred: active=${blockers.map(_.name).mkString(",")}")
     }
   }
 
