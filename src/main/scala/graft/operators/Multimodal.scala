@@ -26,7 +26,8 @@ object Multimodal {
     QueryDef("mm_decode", decodePipeline, None),
     QueryDef("mm_frames", framePipeline, None),
     QueryDef("mm_resize", resizePipeline, None),
-    QueryDef("mm_resample", resamplePipeline, None)
+    QueryDef("mm_resample", resamplePipeline, None),
+    QueryDef("mm_phash", phashPipeline, None)
   )
 
   /** Typed metadata for one decoded asset. */
@@ -233,6 +234,111 @@ object Multimodal {
         round(avg(col("rms_drift")), 2).as("avg_rms_drift"),
         round(max(col("rms_drift")), 2).as("max_rms_drift"))
       .orderBy("orig_rate")
+  }
+
+  // ---------------------------------------------------------------
+  // mm_phash: perceptual near-duplicate detection for images — the
+  // multimodal counterpart of dedup_minhash. dHash (difference
+  // hash): bilinear-resize to 9×8 grayscale, one bit per horizontal
+  // luminance gradient sign → a 64-bit signature that survives
+  // re-encoding and brightness scaling (gradient SIGNS are invariant
+  // to any monotone per-pixel transform; only the resampler's
+  // rounding can flip near-tie cells).
+  //
+  // Scale shape, same discipline as the other mm_* and dedup_*:
+  // decode + hash run partition-local (payloads never shuffle; 8
+  // bytes per image do), candidate pairs come from a 4×16-bit BAND
+  // bucket join (pigeonhole: hamming ≤ 3 guarantees a shared band)
+  // with the same over-populated-bucket cap as minhashPairs, and the
+  // exact hamming ≤ threshold check runs only on bucket collisions —
+  // never all-pairs. Rows-only in the gate (binary input); the spec
+  // plants re-encoded (hamming 0) and brightness-scaled variants and
+  // asserts recall + band-guard behavior.
+  // ---------------------------------------------------------------
+  val PhashDupBase = 3000000L
+  val PhashBands = 4
+  val PhashMaxHamming = 6
+  val PhashMaxBucket = 10000
+
+  /** 64-bit dHash of an image: 8 rows × 8 horizontal gradient signs
+    * over a 9×8 bilinear thumbnail's channel-mean luminance. */
+  def dHash(img: Png.Image): Long = {
+    val t = graft.mm.Resize.bilinear(img, 9, 8)
+    def lum(x: Int, y: Int): Float = {
+      val o = (y * t.width + x) * t.channels
+      var s = 0; var c = 0
+      while (c < t.channels) { s += t.pixels(o + c) & 0xff; c += 1 }
+      s.toFloat / t.channels
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1, y) > lum(x, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Image corpus for phash: every PNG/APNG asset, plus a planted
+    * variant per id%8∈{0,4} image — id%8==0 gets a RE-ENCODE
+    * (identical pixels, different bytes → hamming 0), id%8==4 a
+    * brightness-scale ×0.9 (monotone → hamming ≈ 0, bounded by
+    * rounding ties). Variants carry doc_id + PhashDupBase. */
+  private def phashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val m = MediaGen.modality(id)
+        if (m != 0 && m != 3) Iterator.empty
+        else {
+          val img = MediaGen.image(id)
+          val base = Iterator.single(id -> dHash(img))
+          val variant =
+            if (id % 8 == 0) {
+              // re-encode round-trip: decode(encode(img)) pixels equal
+              Iterator.single((id + PhashDupBase) ->
+                dHash(Png.decode(Png.encode(img)).frames.head))
+            } else if (id % 8 == 4) {
+              val px = img.pixels.clone()
+              var i = 0
+              while (i < px.length) { px(i) = (((px(i) & 0xff) * 9) / 10).toByte; i += 1 }
+              Iterator.single((id + PhashDupBase) -> dHash(img.copy(pixels = px)))
+            } else Iterator.empty
+          base ++ variant
+        }
+      }).toDF("doc_id", "phash")
+  }
+
+  private def phashPipeline(s: SparkSession, dir: String): DataFrame = {
+    val sigs = phashes(s, dir)
+    val bandCols = (0 until PhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))
+    }
+    val allBands = sigs.select(col("doc_id"), col("phash"),
+      explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("phash"),
+        col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    // same skew guard as minhashPairs: the count window rides the
+    // band-bucket exchange the self-join needs
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    val bands = allBands
+      .withColumn("__bn", count(lit(1)).over(wBucket))
+      .filter(col("__bn") <= PhashMaxBucket)
+      .drop("__bn")
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   /** mm_frames: multi-frame assets → sampled frames/windows →

@@ -21,8 +21,76 @@ object TextAnalysis {
     QueryDef("text_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
-    QueryDef("text_compress", compress, None)
+    QueryDef("text_compress", compress, None),
+    QueryDef("text_crossentropy", crossentropy, Some(crossentropySql))
   )
+
+  // ---------------------------------------------------------------
+  // text_crossentropy: corpus-trained bigram-LM surprisal — the
+  // perplexity-style quality filter of large-corpus pipelines
+  // (CCNet/Gopher shape), self-contained: the LM IS the corpus's own
+  // add-one-smoothed bigram table, so low scores = formulaic text,
+  // high = out-of-distribution noise. Fully relational: ONE bigram
+  // aggregate (c2), the head-marginal c1 derived FROM c2 (no second
+  // corpus scan for the LM), and the per-instance scoring join back.
+  //
+  // Scale shape: c2/c1 are hash aggregates on the bigram/head keys;
+  // scoring is a hash equijoin of the bigram stream against c2 then
+  // c1 — all shuffles are keyed and partial-agg'd, nothing is
+  // collected. The 1-row vocab count broadcasts. At 100 TB c1/c2 are
+  // vocab-sized tables; AQE broadcasts them while they fit and
+  // shuffle-joins beyond — both correct.
+  //
+  // FP determinism vs the oracle: each instance's term
+  // -ln((c2+1)/(c1+V)) is rounded to DECIMAL(18,9) BEFORE summing —
+  // decimal sums are exact and order-free, and the rounding absorbs
+  // any 1-ulp libm ln() divergence between engines (same convention
+  // as the decimal-exact sums everywhere else; a raw double SUM
+  // would be addition-order-dependent in BOTH engines).
+  // ---------------------------------------------------------------
+  private def dec9(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 9))
+
+  private def crossentropy(s: SparkSession, dir: String): DataFrame =
+    crossentropyOver(Tables.parallelized(Tables.documents(s, dir)))
+
+  /** Parametric library form over any (doc_id, text) frame. */
+  def crossentropyOver(input: DataFrame): DataFrame = {
+    val docs = input
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 2)
+    val big = docs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> named_struct('w1', w[i-1], 'w2', w[i]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+    val v = c2.agg(countDistinct(col("w1")).as("vv"))
+    big.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        dec9(-log((col("n2") + lit(1)).cast("double") /
+          (col("n1") + col("vv")).cast("double"))).as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.QueryDef.asDouble(sum(col("term"))).as("nats_sum"))
+      .orderBy("doc_id")
+  }
+
+  private val crossentropySql =
+    """WITH big AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |       UNNEST(range(1, len(w))) AS t(i)
+      |  WHERE len(w) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT w1) AS vv FROM c2)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CAST(-ln(CAST(n2 + 1 AS DOUBLE) / (n1 + vv)) AS DECIMAL(18,9))) AS DOUBLE) AS nats_sum
+      |FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // text_compress: deflate-compressibility quality signal (native

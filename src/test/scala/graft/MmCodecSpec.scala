@@ -255,4 +255,38 @@ class MmCodecSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(r.passed, r.status.toString)
   }
+
+  // ---- mm_phash: dHash invariance properties ----------------------
+
+  test("dHash is invariant under re-encoding (identical pixels, fresh bytes)") {
+    (0L until 40L).foreach { id =>
+      val img = MediaGen.image(id)
+      val redecoded = Png.decode(Png.encode(img)).frames.head
+      assert(graft.operators.Multimodal.dHash(img) ==
+        graft.operators.Multimodal.dHash(redecoded), s"id=$id")
+    }
+  }
+
+  test("dHash survives brightness scaling within the pair threshold") {
+    (0L until 40L).foreach { id =>
+      val img = MediaGen.image(id)
+      val px = img.pixels.clone()
+      px.indices.foreach(i => px(i) = (((px(i) & 0xff) * 9) / 10).toByte)
+      val h = java.lang.Long.bitCount(
+        graft.operators.Multimodal.dHash(img) ^
+          graft.operators.Multimodal.dHash(img.copy(pixels = px)))
+      assert(h <= graft.operators.Multimodal.PhashMaxHamming,
+        s"id=$id hamming=$h")
+    }
+  }
+
+  test("dHash separates unrelated images (no band-join false positives)") {
+    val hs = (0L until 80L).map(id => graft.operators.Multimodal.dHash(MediaGen.image(id)))
+    val pairs = for {
+      i <- hs.indices; j <- (i + 1) until hs.size
+    } yield java.lang.Long.bitCount(hs(i) ^ hs(j))
+    // unrelated hash-noise images should sit near hamming 32; none
+    // may cross the near-dup threshold
+    assert(pairs.min > graft.operators.Multimodal.PhashMaxHamming)
+  }
 }

@@ -25,6 +25,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("mm_phash finds exactly the planted image variants, nothing else") {
+    val pairs = run("mm_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val dupBase = graft.operators.Multimodal.PhashDupBase
+    val planted = docs.filter(id => id % 8 == 0 || id % 8 == 4)
+      .map(id => (id, id + dupBase)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == planted,
+      s"expected exactly the ${planted.size} planted pairs, got ${pairs.length}")
+    // re-encoded variants are bit-identical
+    pairs.filter(_._1 % 8 == 0).foreach(p => assert(p._3 == 0, p.toString))
+    pairs.foreach(p =>
+      assert(p._3 <= graft.operators.Multimodal.PhashMaxHamming, p.toString))
+  }
+
+  test("text_crossentropy: formulaic text scores below scrambled text") {
+    import spark.implicits._
+    // planted contrast inside one corpus: repeated boilerplate
+    // bigrams vs a shuffled-vocabulary doc. The boilerplate doc's
+    // bigrams dominate the LM, so its per-bigram surprisal must be
+    // far lower.
+    val boiler = ("the quick brown fox " * 50).trim
+    val rare = (0 until 120).map(i => s"tok${i * 7 % 119}x").mkString(" ")
+    val docs = (1L to 30L).map(i => (i, boiler)) :+ (99L, rare)
+    docs.toDF("doc_id", "text").createOrReplaceTempView("ce_docs")
+    val out = graft.operators.TextAnalysis.crossentropyOver(
+      spark.table("ce_docs")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2) / r.getLong(1))).toMap
+    assert(out(1L) < out(99L) / 4,
+      s"boilerplate ${out(1L)} should be far below noise ${out(99L)}")
+  }
+
   test("dedup_minhash candidates include the planted near-dup pairs") {
     val pairs = run("dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
