@@ -63,13 +63,29 @@ object GenScale {
   def scaleTable(df: DataFrame, table: String, factor: Int): DataFrame = {
     val shifts = shiftCols.getOrElse(table, Nil)
     if (shifts.isEmpty) df
-    else
+    else {
+      // narrow key types must not wrap: a silent non-ANSI long→int
+      // cast on overflow would produce colliding/negative keys and a
+      // CORRUPT-but-valid-looking scaled dir. One max() probe per
+      // shifted column (offline tool — a scan is fine) guards it.
+      val typeMax: Map[org.apache.spark.sql.types.DataType, Long] = Map(
+        org.apache.spark.sql.types.IntegerType -> Int.MaxValue.toLong,
+        org.apache.spark.sql.types.ShortType -> Short.MaxValue.toLong,
+        org.apache.spark.sql.types.ByteType -> Byte.MaxValue.toLong)
+      shifts.foreach { c =>
+        typeMax.get(df.schema(c).dataType).foreach { mx =>
+          val maxKey = df.agg(max(col(c).cast("long"))).head.getLong(0)
+          require(maxKey + (factor - 1).toLong * Stride <= mx,
+            s"$table.$c: max key $maxKey + ${factor - 1}*$Stride overflows ${df.schema(c).dataType}")
+        }
+      }
       (0 until factor).map { r =>
         shifts.foldLeft(df) { (d, c) =>
           val srcType = df.schema(c).dataType
           d.withColumn(c, (col(c).cast("long") + lit(r * Stride)).cast(srcType))
         }
       }.reduce(_ unionAll _)
+    }
   }
 
 

@@ -162,6 +162,7 @@ object CdcStream {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(applyGroup)
     withStatePartitions(s, statePartitions) {
+      registerStreamingSession(s)
       val q = upserts.writeStream
         .outputMode(OutputMode.Update)
         .format("memory")
@@ -205,6 +206,7 @@ object CdcStream {
     def src() = eventsStream(s, dir)
     val deduped = src().unionAll(src()).dropDuplicates("event_id")
     withStatePartitions(s, statePartitions) {
+      registerStreamingSession(s)
       val q = deduped.writeStream
         .outputMode(OutputMode.Append)
         .format("memory")
@@ -273,6 +275,17 @@ object CdcStream {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
+  /** Serializes streamStreamJoin's wipe-and-run per base query name. */
+  private val ssjBaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** Must be called BEFORE a streaming query starts (every graft
+    * start path does): registration at release time only would leave
+    * a session's FIRST in-flight query invisible to the guard below,
+    * re-opening the race the set exists to close. */
+  private[graft] def registerStreamingSession(s: SparkSession): Unit =
+    streamedSessions.add(s)
+
   private[graft] def releaseStreamResources(s: SparkSession): Unit = {
     streamedSessions.add(s)
     (SparkSession.getActiveSession ++ SparkSession.getDefaultSession)
@@ -307,6 +320,7 @@ object CdcStream {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Changelog.canonicalize(
       eventsStream(s, dir))
+    registerStreamingSession(s)
     val q = stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation",
@@ -369,29 +383,37 @@ object CdcStream {
     // Per-BASE-query scratch root, wiped on entry: invocations carry
     // nanoTime-suffixed names (fresh checkpoint by design), so temp
     // sink + checkpoint dirs would otherwise accumulate a full pair
-    // output per bench pass. Contract: the frame a call returns must
-    // be consumed before the SAME base query runs again — the next
-    // invocation wipes this one's sink files (bench/verify consume
-    // each pass's result before starting the next).
+    // output per bench pass. The wipe-and-run is serialized per base
+    // under a JVM lock — without it a concurrent same-base invocation
+    // (parallel suites share the JVM) could delete an ACTIVE run's
+    // sink and checkpoint mid-stream. Contract that remains: the
+    // LAZY frame a call returns must be consumed before the same base
+    // query runs again (bench/verify consume each pass's result
+    // before starting the next).
+    val base = queryName.replaceAll("_\\d+$", "")
     val scratchRoot = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ssj",
-      queryName.replaceAll("_\\d+$", ""))
-    org.apache.commons.io.FileUtils.deleteQuietly(scratchRoot.toFile)
-    java.nio.file.Files.createDirectories(scratchRoot)
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory(scratchRoot, "out_").toString
-    withStatePartitions(s, statePartitions) {
-      val q = pairs.writeStream
-        .outputMode(OutputMode.Append)
-        .format("parquet")
-        .queryName(queryName)
-        .option("path", sinkDir)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+      sys.props("java.io.tmpdir"), "graft_ssj", base)
+    val sinkDir = ssjBaseLocks.computeIfAbsent(base, _ => new Object)
+      .synchronized {
+        org.apache.commons.io.FileUtils.deleteQuietly(scratchRoot.toFile)
+        java.nio.file.Files.createDirectories(scratchRoot)
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "out_").toString
+        withStatePartitions(s, statePartitions) {
+          registerStreamingSession(s)
+          val q = pairs.writeStream
+            .outputMode(OutputMode.Append)
+            .format("parquet")
+            .queryName(queryName)
+            .option("path", out)
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        out
+      }
     releaseStreamResources(s)
     // Explicit schema: a pair-less corpus commits ZERO data files and
     // schema inference would throw; with the stream's own schema the
@@ -425,6 +447,7 @@ object CdcStream {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("total_value"))
     withStatePartitions(s, statePartitions) {
+      registerStreamingSession(s)
       val q = agg.writeStream
         .outputMode(OutputMode.Complete)
         .format("memory")

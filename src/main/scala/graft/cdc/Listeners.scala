@@ -71,6 +71,7 @@ object Listeners {
       val keys = Changelog.canonicalize(
         CdcStream.eventsStream(s, dir))
         .select(col("key")).as[String]
+      CdcStream.registerStreamingSession(s)
       val q = foreachEvent[String](keys, _ => acc.add(1))
         .queryName(qn)
         .option("checkpointLocation",

@@ -396,6 +396,7 @@ object Cdc {
   private def binlogStream(s: SparkSession, dir: String): DataFrame = {
     val qn = s"cdc_binlog_stream_${System.nanoTime()}"
     CdcStream.dropStaleSinks(s, qn)
+    CdcStream.registerStreamingSession(s)
     val q = s.readStream.format("binlog")
       .load("/root/reference/tests/events/*/*")
       .writeStream.format("memory").queryName(qn)

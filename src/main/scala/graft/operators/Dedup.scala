@@ -151,17 +151,11 @@ object Dedup {
     }
     val allBands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // skew guard: drop over-populated buckets before the self-join
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("sig"))
-    val bands = allBands
-      .withColumn("__bn", count(lit(1)).over(wBucket))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
-    // bucket join → candidate pairs
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // skew-capped bucket join → candidate pairs (shared shape; the
+    // join strategy is left to Catalyst here — this plan was measured
+    // and is the wanted one, see CandidatePairs on when to pin)
+    CandidatePairs.cappedBandSelfJoin(
+      allBands, "doc_id", Seq("band", "sig"), maxBucket, pinShuffleHash = false)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")

@@ -257,7 +257,14 @@ object Multimodal {
   // ---------------------------------------------------------------
   val PhashDupBase = 3000000L
   val PhashBands = 4
-  val PhashMaxHamming = 6
+  /** Must stay ≤ PhashBands − 1: the band join only GUARANTEES a
+    * shared band for hamming ≤ bands−1 (pigeonhole). A threshold
+    * above that silently under-recalls — pairs at hamming 4-6 with
+    * their differing bits spread across all four bands never meet in
+    * the join yet would pass the post-filter, so the operator would
+    * report a filter it doesn't implement. (Flagged by review; the
+    * planted variants measure hamming ≤ 1, comfortably inside.) */
+  val PhashMaxHamming = PhashBands - 1
   val PhashMaxBucket = 10000
 
   /** 64-bit dHash of an image: 8 rows × 8 horizontal gradient signs
@@ -323,17 +330,9 @@ object Multimodal {
       explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("phash"),
         col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    // same skew guard as minhashPairs: the count window rides the
-    // band-bucket exchange the self-join needs
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey"))
-    val bands = allBands
-      .withColumn("__bn", count(lit(1)).over(wBucket))
-      .filter(col("__bn") <= PhashMaxBucket)
-      .drop("__bn")
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
+    CandidatePairs.cappedBandSelfJoin(
+      allBands, "doc_id", Seq("band", "bkey"), PhashMaxBucket,
+      pinShuffleHash = true)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)

@@ -536,14 +536,8 @@ object Similarity {
       threshold: Double, maxBucket: Int = MaxBucketAnn): DataFrame = {
     val sigs = corpus.select(col(idCol), col(embCol),
       signature(col(embCol), dim).as("sig"))
-    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
-    val capped = sigs
-      .withColumn("__bn", count(lit(1)).over(wBucket))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
-      .hint("shuffle_hash")
-    val a = capped.as("a"); val b = capped.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col(s"a.$idCol") < col(s"b.$idCol"))
+    CandidatePairs.cappedBandSelfJoin(
+      sigs, idCol, Seq("sig"), maxBucket, pinShuffleHash = true)
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
         cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("cs"))
       .filter(col("cs") > threshold)
