@@ -44,7 +44,7 @@ object Dedup {
     d.unionAll(mutants)
   }
 
-  private val corpusSql =
+  private[operators] val corpusSql =
     s"""SELECT doc_id, text FROM documents
        |UNION ALL
        |SELECT doc_id + $MutantBase AS doc_id, substring(text, instr(text, ' ') + 1) AS text

@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
       s"boilerplate ${out(1L)} should be far below noise ${out(99L)}")
   }
 
+  test("text_dup_spans: mutant pairs are near-fully covered, others mostly not") {
+    val rows = run("text_dup_spans").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val (pairDocs, others) = rows.partition {
+      case (id, _) => id >= 1000000L || id % 10 == 0
+    }
+    assert(pairDocs.nonEmpty && others.nonEmpty)
+    // a mutant shares every 8-gram with its original except those
+    // crossing the dropped first word
+    pairDocs.foreach { case (id, f) => assert(f >= 0.85, s"doc $id frac $f") }
+    val avgOther = others.map(_._2).sum / others.length
+    assert(avgOther < 0.5, s"unrelated docs should be mostly uncovered: $avgOther")
+  }
+
   test("dedup_minhash candidates include the planted near-dup pairs") {
     val pairs = run("dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
