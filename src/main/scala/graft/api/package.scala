@@ -137,6 +137,26 @@ package object api {
         minDocs: Int = 2): DataFrame =
       TextAnalysis.dropBoilerplateParagraphs(df, idCol, textCol, minDocs = minDocs)
 
+    /** Per-doc surprisal under the corpus's own add-one bigram LM —
+      * the perplexity-style quality filter. Returns (idCol,
+      * n_bigrams, nats_sum); filter high = out-of-distribution
+      * noise, low = formulaic boilerplate.
+      */
+    def crossEntropyScores(
+        idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      TextAnalysis.crossentropyOver(df, idCol, textCol)
+
+    /** Per-doc fraction of tokens inside a word `n`-gram shared with
+      * ≥1 OTHER doc — span-level dedup coverage (partial-boilerplate
+      * signal doc-level near-dup misses).
+      */
+    def dupSpanCoverage(
+        idCol: String,
+        textCol: String,
+        n: Int = 8): DataFrame =
+      TextAnalysis.dupSpanCoverage(df, idCol, textCol, n)
+
     /** Budget-bounded curation: rows in (scoreCol desc, idCol) order
       * until the running `weightCol` sum exceeds `budget` — the
       * global-window cumsum semantics without the global sort.
@@ -195,6 +215,26 @@ package object api {
         queries: DataFrame,
         k: Int): DataFrame =
       Similarity.knnClassifyTopK(df, idCol, embCol, labelCol, queries, "q_id", "q_vec", k)
+
+    /** Embedding-cosine near-duplicate (id_a, id_b, cos_micro) pairs
+      * by LSH-signature blocking + exact verify.
+      */
+    def embeddingDedupPairs(
+        idCol: String,
+        embCol: String,
+        dim: Int,
+        threshold: Double): DataFrame =
+      Similarity.embeddingDedupPairs(df, idCol, embCol, dim, threshold)
+
+    /** Perceptual near-dup (doc_a, doc_b, hamming) pairs from a
+      * 64-bit image-hash column (compute with Multimodal.dHash
+      * partition-locally from decoded pixels).
+      */
+    def perceptualHashPairs(
+        idCol: String,
+        hashCol: String,
+        maxHamming: Int = graft.operators.Multimodal.PhashMaxHamming): DataFrame =
+      graft.operators.Multimodal.dHashPairs(df, idCol, hashCol, maxHamming = maxHamming)
 
     // --- curation ---------------------------------------------------
 

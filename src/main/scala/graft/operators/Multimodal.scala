@@ -320,24 +320,39 @@ object Multimodal {
       }).toDF("doc_id", "phash")
   }
 
-  private def phashPipeline(s: SparkSession, dir: String): DataFrame = {
-    val sigs = phashes(s, dir)
-    val bandCols = (0 until PhashBands).map { b =>
+  private def phashPipeline(s: SparkSession, dir: String): DataFrame =
+    dHashPairs(phashes(s, dir), "doc_id", "phash")
+      .orderBy("doc_a", "doc_b")
+
+  /** Parametric library form: near-dup (doc_a, doc_b, hamming) pairs
+    * from any (id, 64-bit perceptual hash) frame — compute the hash
+    * partition-locally for your format ([[dHash]] for decoded
+    * images), then band-join here. `maxHamming` must stay ≤ bands−1
+    * (pigeonhole guarantee; enforced). Unsorted for library use.
+    */
+  def dHashPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int = PhashBands, maxHamming: Int = PhashMaxHamming,
+      maxBucket: Int = PhashMaxBucket): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the hamming<=${bands - 1} recall guarantee of $bands bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))
+        shiftrightunsigned(col(hashCol), b * bits).bitwiseAND(lit(mask)).as("bkey"))
     }
-    val allBands = sigs.select(col("doc_id"), col("phash"),
+    val allBands = hashes.select(col(idCol), col(hashCol),
       explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("phash"),
+      .select(col(idCol), col(hashCol),
         col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     CandidatePairs.cappedBandSelfJoin(
-      allBands, "doc_id", Seq("band", "bkey"), PhashMaxBucket,
+      allBands, idCol, Seq("band", "bkey"), maxBucket,
       pinShuffleHash = true)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** mm_frames: multi-frame assets → sampled frames/windows →

@@ -45,10 +45,20 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   private val SpanN = 8
 
-  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    val docs = Dedup.corpus(s, dir)
-      .withColumn("w", split(col("text"), "\\s+"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("n_tokens"))
+  private def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpanCoverage(Dedup.corpus(s, dir), "doc_id", "text", SpanN)
+      .orderBy("doc_id")
+
+  /** Parametric library form over any (id, text) frame: per-doc
+    * duplicated-span coverage for word `n`-grams shared with ≥1
+    * other doc. Unsorted — callers order as needed.
+    */
+  def dupSpanCoverage(
+      input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val docs = input
+      .withColumn("w", split(col(textCol), "\\s+"))
+      .select(col(idCol).as("doc_id"), col("w"), size(col("w")).as("n_tokens"))
+    val SpanN = n
     val occ = docs
       .filter(col("n_tokens") >= SpanN)
       .select(col("doc_id"), explode(expr(
@@ -76,11 +86,10 @@ object TextAnalysis {
       .agg(countDistinct(col("cp")).as("n_dup_tokens"))
     docs.select(col("doc_id"), col("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id").as(idCol), col("n_tokens"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
       .withColumn("dup_fraction",
         round(col("n_dup_tokens").cast("double") / col("n_tokens"), 4))
-      .orderBy("doc_id")
   }
 
   private val dupSpansSql =
@@ -136,10 +145,17 @@ object TextAnalysis {
 
   private def crossentropy(s: SparkSession, dir: String): DataFrame =
     crossentropyOver(Tables.parallelized(Tables.documents(s, dir)))
+      .orderBy("doc_id")
 
-  /** Parametric library form over any (doc_id, text) frame. */
-  def crossentropyOver(input: DataFrame): DataFrame = {
+  /** Parametric library form over any (id, text) frame. Unsorted for
+    * library use; the gate query adds its own ordering.
+    */
+  def crossentropyOver(
+      input: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val docs = input
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("w", split(col("text"), "\\s+"))
       .filter(size(col("w")) >= 2)
     val big = docs.select(col("doc_id"),
@@ -158,7 +174,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         graft.QueryDef.asDouble(sum(col("term"))).as("nats_sum"))
-      .orderBy("doc_id")
+      .select(col("doc_id").as(idCol), col("n_bigrams"), col("nats_sum"))
   }
 
   private val crossentropySql =
