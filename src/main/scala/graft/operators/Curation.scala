@@ -34,8 +34,58 @@ object Curation {
     QueryDef("cur_domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("cur_vocab", vocab, Some(vocabSql)),
     QueryDef("cur_tfidf", tfidf, Some(tfidfSql)),
-    QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql))
+    QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql)),
+    QueryDef("cur_semdedup", semdedup, Some(semdedupSql))
   )
+
+  // ---------------------------------------------------------------
+  // cur_semdedup: semantic dedup (SemDeDup, Abbas et al. 2023) —
+  // drop all but ONE representative of each embedding near-dup
+  // cluster. Composes the library's own stages: LSH-blocked exact-
+  // cosine pairs (embeddingDedupPairs, itself oracled) → connected
+  // components (min-label propagation, warm-started) → keep the
+  // min-id member per component. Output: every corpus vector with
+  // its cluster representative and a kept flag — the row filter a
+  // pipeline applies before training.
+  //
+  // Scale: pair mining is the capped band join (never all-pairs);
+  // CC is |pairs|-bounded iteration with rebased lineage; the final
+  // membership join is a keyed equijoin against the (small) labeled
+  // -vertex set. Nothing corpus-sized crosses the driver.
+  // ---------------------------------------------------------------
+  private def semdedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.embeddingDedupCorpus(s, dir)
+    val pairs = Similarity
+      .embeddingDedupPairs(corpus, "vec_id", "embedding", dim = 64, threshold = 0.995)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comps = Dedup.connectedComponents(pairs)
+    corpus.select(col("vec_id"))
+      .join(comps.select(col("v").as("vec_id"), col("label")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("rep_id"))
+      .withColumn("kept", col("vec_id") === col("rep_id"))
+      .orderBy("rep_id", "vec_id")
+  }
+
+  private lazy val semdedupSql =
+    s"""WITH RECURSIVE
+       |${Similarity.embeddingPairsCtes},
+       |dpairs AS (SELECT vec_a, vec_b FROM cos WHERE cs > 0.995),
+       |sym AS (
+       |  SELECT vec_a AS v, vec_b AS n FROM dpairs
+       |  UNION ALL
+       |  SELECT vec_b AS v, vec_a AS n FROM dpairs
+       |),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+       |  UNION
+       |  SELECT sym.v, reach.r FROM sym JOIN reach ON reach.v = sym.n
+       |),
+       |comp AS (SELECT v, MIN(r) AS rep FROM reach GROUP BY v)
+       |SELECT c.vec_id, COALESCE(comp.rep, c.vec_id) AS rep_id,
+       |       (COALESCE(comp.rep, c.vec_id) = c.vec_id) AS kept
+       |FROM corpus c LEFT JOIN comp ON comp.v = c.vec_id
+       |ORDER BY rep_id, vec_id""".stripMargin
 
   // Deterministic uniform [0,1) from a key: see graft.functions
   // .DetHash (48-bit md5 fraction — exact IEEE arithmetic on both

@@ -545,18 +545,24 @@ object Similarity {
         floor(col("cs") * lit(1e6)).as("cos_micro"))
   }
 
-  private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Duplicate universe for the embedding-dedup queries: embeddings
+    * ∪ jittered copies (deterministic ×1.001 scale) of every 10th
+    * vector — near-dups the operators must find. Shared with
+    * cur_semdedup.
+    */
+  private[operators] def embeddingDedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallelized(Tables.embeddings(s, dir))
-    // duplicate universe: jittered copies (deterministic scale) of
-    // every 10th vector — near-dups the operator must find
     val mutants = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
         col("label"))
-    val corpus = emb.unionAll(mutants)
-    embeddingDedupPairs(corpus, "vec_id", "embedding", dim = 64, threshold = 0.995)
-      .orderBy("vec_a", "vec_b")
+    emb.unionAll(mutants)
   }
+
+  private def embeddingDedup(s: SparkSession, dir: String): DataFrame =
+    embeddingDedupPairs(embeddingDedupCorpus(s, dir),
+      "vec_id", "embedding", dim = 64, threshold = 0.995)
+      .orderBy("vec_a", "vec_b")
 
   // --- DuckDB oracles ---------------------------------------------
   // The oracle mirrors the expression arithmetic EXACTLY: left-to-
@@ -634,8 +640,12 @@ object Similarity {
        |SELECT q_id, rk, neighbor_id, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
-  private lazy val embeddingDedupOracle: String =
-    s"""WITH corpus AS (
+  /** CTE chain producing the embedding-dedup universe (`corpus`) and
+    * its verified near-dup pairs (`cos` with cosine `cs`) — shared by
+    * the dedup_embedding oracle and cur_semdedup's clustering oracle.
+    */
+  private[operators] lazy val embeddingPairsCtes: String =
+    s"""corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 1000000 AS vec_id,
@@ -656,7 +666,10 @@ object Similarity {
        |  SELECT vec_a, vec_b,
        |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
        |  FROM pairs
-       |)
+       |)""".stripMargin
+
+  private lazy val embeddingDedupOracle: String =
+    s"""WITH $embeddingPairsCtes
        |SELECT vec_a, vec_b, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
        |FROM cos WHERE cs > 0.995""".stripMargin
 }

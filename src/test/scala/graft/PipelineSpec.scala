@@ -57,6 +57,25 @@ class PipelineSpec extends AnyFunSuite {
       s"boilerplate ${out(1L)} should be far below noise ${out(99L)}")
   }
 
+  test("cur_semdedup keeps exactly one representative per near-dup cluster") {
+    val rows = run("cur_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every mutant (vec_id >= 1M) clusters with its original: the
+    // original (smaller id) is the representative, the mutant drops
+    val (mutants, originals) = rows.partition(_._1 >= 1000000L)
+    assert(mutants.nonEmpty)
+    mutants.foreach { case (id, rep, kept) =>
+      assert(!kept && rep == id - 1000000L, s"mutant $id rep=$rep kept=$kept")
+    }
+    originals.foreach { case (id, rep, kept) =>
+      assert(kept && rep == id, s"original $id rep=$rep kept=$kept")
+    }
+    // one kept member per rep_id group
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._3) == 1, s"cluster $rep")
+    }
+  }
+
   test("text_dup_spans: mutant pairs are near-fully covered, others mostly not") {
     val rows = run("text_dup_spans").collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
