@@ -36,8 +36,136 @@ object Similarity {
     QueryDef("sim_quantized", quantized, Some(quantizedOracle)),
     QueryDef("sim_rerank", rerank, Some(rerankOracle)),
     QueryDef("sim_knn_classify", knnClassify, Some(knnOracle)),
+    QueryDef("sim_pq_adc", pqAdc, Some(pqOracle)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
+
+  // --- product quantization + asymmetric distance (ADC) -----------
+  // The billion-scale ANN memory shape (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search"): each vector stores
+  // M=8 4-bit codes (4 BYTES instead of 256 — a 64× cut), queries
+  // stay full-precision, and scoring sums per-subspace dot products
+  // against the coded centroids. Codebooks here are seed-initialized
+  // (the first 16 corpus vectors' subvectors) rather than
+  // Lloyd-trained: deterministic, plan-time constants — which is
+  // what makes the whole operator DuckDB-oracle-checkable (the
+  // relational oracle re-derives codes + scores from the same seed
+  // table; a trained codebook is engine-local state). sim_ivf_ann
+  // carries the trained-quantizer path.
+  //
+  // FP discipline: encode distances use ONE written order
+  // ((x·x − 2·x·c) + c·c, all dot products left-to-right double
+  // folds) so argmin inputs are bit-identical; ADC score terms are
+  // rounded to DECIMAL(18,9) BEFORE the 8-term sum (exact,
+  // order-free — same convention as text_crossentropy).
+  //
+  // Scale shape: encoding is a per-row projection (no shuffle — the
+  // codes travel with the row); scoring broadcasts the 8-query set
+  // and the rk<=k predicate plans the Partial WindowGroupLimit, so
+  // the shuffle stays ×k-bounded like cosineTopK.
+  private val PqSub = 8
+  private val PqDsub = 8
+  private val PqCodes = 16
+
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+    val seeds: Map[Int, Array[Float]] = emb.filter(col("vec_id") < PqCodes)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0).toInt ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cent(sub: Int, code: Int): Array[Float] =
+      seeds(code).slice(sub * PqDsub, (sub + 1) * PqDsub)
+    // Σ c_i² as a Scala left fold over double-cast floats — the same
+    // accumulation order as the oracle's list_reduce, so the constant
+    // is bit-identical
+    def centNormSq(sub: Int, code: Int): Double =
+      cent(sub, code).foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+    def centCol(sub: Int, code: Int): Column = array(cent(sub, code).map(lit): _*)
+    def subCol(e: Column, sub: Int): Column = slice(e, sub * PqDsub + 1, PqDsub)
+    def codeCol(e: Column, sub: Int): Column = {
+      val x = subCol(e, sub)
+      val xx = graft.functions.dot_product(x, x)
+      val dists = array((0 until PqCodes).map { c =>
+        (xx - lit(2.0) * graft.functions.dot_product(x, centCol(sub, c))) +
+          lit(centNormSq(sub, c))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = emb.select(
+      (col("vec_id") +: (0 until PqSub).map(sb =>
+        codeCol(col("embedding"), sb).as(s"c$sb"))): _*)
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def dec9(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val termCols = (0 until PqSub).map { sb =>
+      val centForCode = element_at(
+        array((0 until PqCodes).map(c => centCol(sb, c)): _*), col(s"c$sb") + 1)
+      dec9(graft.functions.dot_product(subCol(col("q_vec"), sb), centForCode))
+    }
+    val scored = encoded.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        termCols.reduce(_ + _).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("neighbor_id"),
+        floor(col("score") * lit(1000000)).cast("long").as("score_micro"))
+      .orderBy("q_id", "rk")
+  }
+
+  private lazy val pqOracle: String = {
+    def fold(elem: String): String =
+      s"list_reduce(list_transform(range(1, ${PqDsub + 1}), i -> $elem), (acc, x) -> acc + x)"
+    val dotXC = fold("CAST(x[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)")
+    val dotXX = fold("CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE)")
+    val dotCC = fold("CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)")
+    val dotQC = fold("CAST(q[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)")
+    s"""WITH codebook AS (
+       |  SELECT vec_id AS code, sub,
+       |         embedding[sub * $PqDsub + 1 : sub * $PqDsub + $PqDsub] AS c
+       |  FROM embeddings, UNNEST(range(0, $PqSub)) AS t(sub)
+       |  WHERE vec_id < $PqCodes
+       |), subs AS (
+       |  SELECT vec_id, sub,
+       |         embedding[sub * $PqDsub + 1 : sub * $PqDsub + $PqDsub] AS x
+       |  FROM embeddings, UNNEST(range(0, $PqSub)) AS t(sub)
+       |), dists AS (
+       |  SELECT s.vec_id, s.sub, cb.code,
+       |         (($dotXX) - 2 * ($dotXC)) + ($dotCC) AS dist
+       |  FROM subs s JOIN codebook cb USING (sub)
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |                                 ORDER BY dist, code) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1
+       |), qsubs AS (
+       |  SELECT vec_id AS q_id, sub,
+       |         embedding[sub * $PqDsub + 1 : sub * $PqDsub + $PqDsub] AS q
+       |  FROM embeddings, UNNEST(range(0, $PqSub)) AS t(sub)
+       |  WHERE vec_id < $QuerySetSize
+       |), terms AS (
+       |  SELECT qs.q_id, co.vec_id AS neighbor_id,
+       |         CAST(($dotQC) AS DECIMAL(18,9)) AS term
+       |  FROM codes co
+       |  JOIN qsubs qs ON qs.sub = co.sub AND qs.q_id <> co.vec_id
+       |  JOIN codebook cb ON cb.sub = co.sub AND cb.code = co.code
+       |), scores AS (
+       |  SELECT q_id, neighbor_id, SUM(term) AS score
+       |  FROM terms GROUP BY q_id, neighbor_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM scores
+       |)
+       |SELECT q_id, rk, neighbor_id,
+       |       CAST(floor(score * 1000000) AS BIGINT) AS score_micro
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
 
   /** cosine(a, b): native codegen'd expression (see
     * graft.functions.CosineSimilarity). The interpreter-only
