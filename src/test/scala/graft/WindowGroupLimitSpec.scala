@@ -55,6 +55,13 @@ class WindowGroupLimitSpec extends AnyFunSuite {
     assertPartialPrune(df, "cosineTopK")
   }
 
+  test("sim_pq_adc's decimal-ordered top-k keeps the Partial prune") {
+    // the ADC score is DECIMAL (order-free sum) — a type-restricted
+    // regression of InferWindowGroupLimit would hit this window first
+    val df = SparkEntry.queries("sim_pq_adc")(spark, sf)
+    assertPartialPrune(df, "sim_pq_adc")
+  }
+
   test("quantizedRerankTopK plans Partial WindowGroupLimits for both stages") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 8)
