@@ -90,11 +90,6 @@ object Bench {
     // (observed once: a host-level stall turned pass 3 into 272s vs
     // 78s) flags the run as suspect without parsing the per-query maps
     println(s"pass_totals [${all.map(p => r3(p.map(_._2).sum)).mkString(",")}]")
-    // the min-of-N per-query map goes on its OWN line: at 87 queries it
-    // is ~2.4 KB, and in rounds 1 and 4 a final line that long outgrew
-    // the driver's stdout tail window and the whole round lost its
-    // bench number ("parsed": null)
-    println(s"""best_queries ${toJson(best)}""")
     // contamination self-evidence: per-query median/min across the N
     // passes. On a quiet host this sits near 1 for nearly every query
     // (GC pause windows land on a few); a loaded host inflates it
@@ -104,6 +99,13 @@ object Bench {
       samples.head._1 -> xs(xs.size / 2) / xs.head.max(1e-9)
     }.toSeq
     println(s"""spread_queries ${toJson(spread)}""")
+    // the min-of-N per-query map goes on its OWN line: at 87 queries it
+    // is ~2.4 KB, and in rounds 1 and 4 a final line that long outgrew
+    // the driver's stdout tail window and the whole round lost its
+    // bench number ("parsed": null). It prints LAST before the totals
+    // line — the round-6 artifact's tail window clipped everything
+    // above pass3, so the richest map must sit adjacent to the tail.
+    println(s"""best_queries ${toJson(best)}""")
     // FINAL stdout line = totals only (~120 bytes) so it parses under
     // any tail window; "queries" points at the line above
     println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"nq":${best.size},"sf":"$sfDir"}""")

@@ -380,23 +380,34 @@ object CdcStream {
       col("key") === col("p_key") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-    // Per-BASE-query scratch root, wiped on entry: invocations carry
+    // Per-BASE-query scratch root, pruned on entry: invocations carry
     // nanoTime-suffixed names (fresh checkpoint by design), so temp
     // sink + checkpoint dirs would otherwise accumulate a full pair
-    // output per bench pass. The wipe-and-run is serialized per base
+    // output per bench pass. The prune-and-run is serialized per base
     // under a JVM lock — without it a concurrent same-base invocation
     // (parallel suites share the JVM) could delete an ACTIVE run's
-    // sink and checkpoint mid-stream. Contract that remains: the
-    // LAZY frame a call returns must be consumed before the same base
-    // query runs again (bench/verify consume each pass's result
-    // before starting the next).
+    // sink and checkpoint mid-stream. The prune RETAINS the newest
+    // previous generation rather than wiping the root: the lock can't
+    // stop a parallel thread from still holding the PREVIOUS
+    // invocation's lazy frame over its out_ dir, and consuming it
+    // after a same-base re-run would hit FileNotFound against a wiped
+    // root. One generation of grace closes that race (disk stays
+    // bounded at 2 generations per base); a reader two generations
+    // stale is outside any plausible interleaving of the suites that
+    // share this JVM.
     val base = queryName.replaceAll("_\\d+$", "")
     val scratchRoot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_ssj", base)
     val sinkDir = ssjBaseLocks.computeIfAbsent(base, _ => new Object)
       .synchronized {
-        org.apache.commons.io.FileUtils.deleteQuietly(scratchRoot.toFile)
         java.nio.file.Files.createDirectories(scratchRoot)
+        val kids = Option(scratchRoot.toFile.listFiles()).getOrElse(Array.empty)
+        Seq("out_", "ckpt_").foreach { prefix =>
+          kids.filter(_.getName.startsWith(prefix))
+            .sortBy(-_.lastModified())
+            .drop(1) // keep the newest previous generation
+            .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        }
         val out = java.nio.file.Files
           .createTempDirectory(scratchRoot, "out_").toString
         withStatePartitions(s, statePartitions) {

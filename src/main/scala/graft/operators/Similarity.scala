@@ -381,11 +381,21 @@ object Similarity {
     * test SFs — ≤2000 vectors — train on every row, so sampling
     * changes nothing the recall spec can observe there).
     */
-  def trainCentroids(emb: DataFrame, maxTrainRows: Long = 1L << 16): Array[Array[Float]] = {
+  /** The deterministic hash-fraction training sample trainCentroids
+    * runs Lloyd iterations over: identity when the corpus fits the
+    * cap, else `pmod(xxhash64(vec_id), n) < maxTrainRows` — exact,
+    * seed-free, expected size ≈ maxTrainRows. Factored out so the
+    * at-scale branch is directly testable (IvfSamplingSpec exercises
+    * it with the cap forced below the corpus size).
+    */
+  private[graft] def trainSample(emb: DataFrame, maxTrainRows: Long): DataFrame = {
     val n = emb.count()
-    val train =
-      if (n <= maxTrainRows) emb
-      else emb.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(maxTrainRows))
+    if (n <= maxTrainRows) emb
+    else emb.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(maxTrainRows))
+  }
+
+  def trainCentroids(emb: DataFrame, maxTrainRows: Long = 1L << 16): Array[Array[Float]] = {
+    val train = trainSample(emb, maxTrainRows)
     var centroids = emb.filter(col("vec_id") < Cells)
       .orderBy("vec_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
@@ -420,11 +430,18 @@ object Similarity {
     (-array_max(array(scored: _*)).getField("negid")).cast("int")
   }
 
-  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame =
+    ivfAnnWith(s, dir, 1L << 16)
+
+  /** maxTrainRows is a parameter (not just trainCentroids') so the
+    * sampled-training end-to-end recall path is testable at test SFs,
+    * where the default cap exceeds every corpus. */
+  private[graft] def ivfAnnWith(
+      s: SparkSession, dir: String, maxTrainRows: Long): DataFrame = {
     // centroid training runs several short jobs over the table — the
     // plain scan avoids re-paying the parallelize exchange per job;
     // the one-pass index/search pipeline below does want it
-    val centroids = trainCentroids(Tables.embeddings(s, dir))
+    val centroids = trainCentroids(Tables.embeddings(s, dir), maxTrainRows)
     val emb = Tables.parallelized(Tables.embeddings(s, dir))
     val indexed = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
     // each query probes its NProbe nearest cells
