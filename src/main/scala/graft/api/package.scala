@@ -140,12 +140,15 @@ package object api {
     /** Per-doc surprisal under the corpus's own add-one bigram LM —
       * the perplexity-style quality filter. Returns (idCol,
       * n_bigrams, nats_sum); filter high = out-of-distribution
-      * noise, low = formulaic boilerplate.
+      * noise, low = formulaic boilerplate. Pass `vocabSize` when a
+      * corpus profile already holds the distinct-head count — it
+      * removes the operator's only second corpus pass.
       */
     def crossEntropyScores(
         idCol: String = "doc_id",
-        textCol: String = "text"): DataFrame =
-      TextAnalysis.crossentropyOver(df, idCol, textCol)
+        textCol: String = "text",
+        vocabSize: Option[Long] = None): DataFrame =
+      TextAnalysis.crossentropyOver(df, idCol, textCol, vocabSize)
 
     /** Per-doc fraction of tokens inside a word `n`-gram shared with
       * ≥1 OTHER doc — span-level dedup coverage (partial-boilerplate
