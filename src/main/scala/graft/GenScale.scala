@@ -46,19 +46,74 @@ object GenScale {
   private val filesFor: Map[String, Int] =
     Map("lineitem" -> 32, "orders" -> 16, "events" -> 16).withDefaultValue(4)
 
+  /** 1-in-N token replacement rate for replica documents. At 1/32:
+    * a 3-shingle survives with (31/32)^3 ≈ 0.909 → Jaccard vs the
+    * base doc ≈ 0.83 (well above minhash's banded-collision knee),
+    * an 8-gram span survives with ≈ 0.776 → dup-span coverage is
+    * partial, not total. Replicas are NEAR-dups, not clones.
+    */
+  val TokenEditRate = 32
+
+  /** ±0.1 % per-coordinate embedding jitter: cosine vs the base
+    * vector stays ≥ 0.9999 (above every pair threshold in the
+    * suite), but the replica is no longer byte-identical, so exact
+    * dedup/hash shortcuts cannot collapse it.
+    */
+  val EmbedJitter = 0.001
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val LowerRot = Lower.tail + Lower.head
+
+  /** Deterministic near-dup perturbation of replica PAYLOADS
+    * (r >= 1; replica 0 is the untouched base corpus). Byte-identical
+    * clones made the sf1 dedup/ANN walls degenerate upper bounds —
+    * every clone group's candidate pairs were exact dups, so the
+    * measured work (jaccard/hamming/cosine verify, span coverage)
+    * was not the work a real corpus induces. Replacement keyed on
+    * (shifted id, position) — reproducible across runs, different
+    * per replica, no rand().
+    *
+    * documents.text: every ~1/TokenEditRate-th token PLUS one
+    * guaranteed hash-chosen token is replaced by its caesar
+    * rotation — short docs would otherwise escape the rate edit
+    * entirely ((31/32)^20 ≈ 0.53 for a 20-token doc, measured 20%
+    * byte-identical replicas on the first cut) and stay exact
+    * clones. SAME length and token count, so the n_chars column and
+    * any token-count bookkeeping stay consistent with the text.
+    * split(' ')/concat_ws(' ') round-trips runs of spaces exactly
+    * (empty tokens pass through translate unchanged).
+    *
+    * embeddings.embedding: per-coordinate scale by
+    * (1 ± EmbedJitter·u), u ∈ [-1, 1] from the coordinate hash.
+    */
+  private def perturbPayload(df: DataFrame, table: String): DataFrame =
+    table match {
+      case "documents" =>
+        df.withColumn("__toks", split(col("text"), " "))
+          .withColumn("__forced", expr("pmod(xxhash64(doc_id), size(__toks))"))
+          .withColumn("text", expr(
+            s"""concat_ws(' ', transform(__toks, (t, i) ->
+               |  CASE WHEN i = __forced
+               |         OR pmod(xxhash64(doc_id, i), $TokenEditRate) = 0
+               |       THEN translate(t, '$Lower', '$LowerRot')
+               |       ELSE t END))""".stripMargin))
+          .drop("__toks", "__forced")
+      case "embeddings" =>
+        df.withColumn("embedding", expr(
+          s"""transform(embedding, (v, i) -> cast(v * (1.0d +
+             |  $EmbedJitter * (cast(pmod(xxhash64(vec_id, i), 2001) as double)
+             |                  - 1000.0d) / 1000.0d) as float))""".stripMargin))
+      case _ => df
+    }
+
   /** Key-shifted replicas. The shift casts back to the SOURCE column
     * type, so scaled tables keep the source schema exactly (an int
     * key must not silently widen to bigint — operators and oracles
-    * read both layouts).
-    *
-    * Clone caveat: non-key columns replicate byte-identically, so
-    * every document/embedding gains `factor` exact clones and
-    * near-dup candidate-pair counts grow ~quadratically per clone
-    * group — sf1 dedup/ANN wall times measured on GenScale output are
-    * an UPPER bound, not representative of a real corpus's duplicate
-    * rate (SURVEY §6 carries the same caveat next to the numbers).
-    * The clones are deliberate, not an oversight: the cross-replica
-    * pairs are exactly what the sf1 recall probes count.
+    * read both layouts). Replica payloads (document text, embedding
+    * vectors) are deterministically perturbed into NEAR-dups — see
+    * [[perturbPayload]]; the cross-replica pairs the sf1 recall
+    * probes count survive, but nothing downstream can shortcut them
+    * as byte-equal.
     */
   def scaleTable(df: DataFrame, table: String, factor: Int): DataFrame = {
     val shifts = shiftCols.getOrElse(table, Nil)
@@ -74,16 +129,20 @@ object GenScale {
         org.apache.spark.sql.types.ByteType -> Byte.MaxValue.toLong)
       shifts.foreach { c =>
         typeMax.get(df.schema(c).dataType).foreach { mx =>
-          val maxKey = df.agg(max(col(c).cast("long"))).head.getLong(0)
+          val probe = df.agg(max(col(c).cast("long"))).head
+          require(!probe.isNullAt(0),
+            s"$table.$c: empty table or all-NULL key column — cannot verify shift overflow safety")
+          val maxKey = probe.getLong(0)
           require(maxKey + (factor - 1).toLong * Stride <= mx,
             s"$table.$c: max key $maxKey + ${factor - 1}*$Stride overflows ${df.schema(c).dataType}")
         }
       }
       (0 until factor).map { r =>
-        shifts.foldLeft(df) { (d, c) =>
+        val shifted = shifts.foldLeft(df) { (d, c) =>
           val srcType = df.schema(c).dataType
           d.withColumn(c, (col(c).cast("long") + lit(r * Stride)).cast(srcType))
         }
+        if (r == 0) shifted else perturbPayload(shifted, table)
       }.reduce(_ unionAll _)
     }
   }
