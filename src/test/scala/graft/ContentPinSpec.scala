@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-hash teeth for the rows-only gate entries (the BinlogSpec
+  * :342-390 pattern, extended): mm_decode/mm_frames/mm_resize/
+  * mm_resample/mm_phash and cdc_type_decode have no DuckDB oracle
+  * (binary inputs / engine type table), but their inputs are
+  * deterministic, so the full result CONTENT is pinnable — an
+  * order-independent hash (decimal sum of per-row xxhash64 over
+  * every output column) catches codec/resampler/type-map drift the
+  * gate's row-count check would miss.
+  *
+  * After this spec, the only assertion-free rows-only entries are
+  * the genuinely tolerance-based ones: q27_approx_sketch,
+  * sim_ivf_ann, text_compress, dedup_minhash_fast (each bounded by
+  * its own recall/tolerance spec instead).
+  *
+  * The doubles inside these results are round()'d aggregates; a
+  * re-pin is only legitimate after an INTENDED behavior change —
+  * the new value must come with the spec run that justified it.
+  */
+class ContentPinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Order-independent content hash over ALL columns of the result. */
+  private def contentHash(df: DataFrame): java.math.BigDecimal =
+    df.agg(sum(xxhash64(df.columns.map(col): _*)
+      .cast(DecimalType(38, 0))).as("h"))
+      .collect()(0).getDecimal(0)
+
+  private def pin(name: String, expectRows: Long, expectHash: String): Unit =
+    test(s"$name content hash is pinned") {
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(df.count() == expectRows)
+      val h = contentHash(df)
+      assert(h == new java.math.BigDecimal(expectHash),
+        s"$name content drifted: got $h")
+    }
+
+  pin("cdc_type_decode", 30, "-15577089598958490676")
+  pin("mm_decode", 4, "-12257301918804746710")
+  pin("mm_frames", 2, "-12434390873768163386")
+  pin("mm_resize", 2, "15511961665530862505")
+  pin("mm_resample", 1, "-7219080678834481442")
+  pin("mm_phash", 125, "-9335369518000092782")
+}
