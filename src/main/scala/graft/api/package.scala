@@ -239,6 +239,18 @@ package object api {
         maxHamming: Int = graft.operators.Multimodal.PhashMaxHamming): DataFrame =
       graft.operators.Multimodal.dHashPairs(df, idCol, hashCol, maxHamming = maxHamming)
 
+    /** Top-k docs per query by Okapi BM25 (k1=1.2, b=0.75) —
+      * retrieval-style corpus slicing ("the docs about X"). The
+      * query-term filter lands BEFORE the tf aggregate, so only
+      * docs×query-terms pairs ever shuffle.
+      */
+    def bm25TopK(
+        queries: Seq[(Int, Seq[String])],
+        idCol: String = "doc_id",
+        textCol: String = "text",
+        topK: Int = graft.operators.Curation.Bm25TopK): DataFrame =
+      graft.operators.Curation.bm25TopK(df, idCol, textCol, queries, topK = topK)
+
     // --- curation ---------------------------------------------------
 
     /** Deterministic train/val/test assignment keyed on `idCol`:

@@ -35,7 +35,8 @@ object Curation {
     QueryDef("cur_vocab", vocab, Some(vocabSql)),
     QueryDef("cur_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql)),
-    QueryDef("cur_semdedup", semdedup, Some(semdedupSql))
+    QueryDef("cur_semdedup", semdedup, Some(semdedupSql)),
+    QueryDef("cur_bm25", bm25, Some(bm25Sql))
   )
 
   // ---------------------------------------------------------------
@@ -417,6 +418,136 @@ object Curation {
        |)
        |SELECT doc_id, rk, token, CAST(score AS BIGINT) AS score
        |FROM ranked WHERE rk <= $TfIdfTopK ORDER BY doc_id, rk""".stripMargin
+
+  // --- cur_bm25: BM25 retrieval scoring over the corpus ----------
+  // The standard curation/retrieval scorer cur_tfidf stops short
+  // of: Okapi BM25 (k1=1.2, b=0.75) of a small query set against
+  // every document — the shape quality-classifier seeding and
+  // targeted corpus slicing use ("find the docs about X").
+  //
+  // Scale shape: the query-term filter is applied BEFORE the tf
+  // aggregate, so the only token-keyed shuffle carries just the
+  // docs×query-terms pairs, map-side partially aggregated — never
+  // the corpus token stream. Doc length needs NO explode at all
+  // (size(split(text)) is a projection), so the dl branch shuffles
+  // one (doc_id, int) row per doc into the score join. df rides the
+  // tf aggregate (its rows are already distinct (doc, token)), the
+  // (N, avgdl) scalar and the query table broadcast, and the final
+  // top-K per query is the rank-limit window Spark prunes with a
+  // Partial WindowGroupLimit before the q_id exchange (asserted in
+  // WindowGroupLimitSpec alongside the other top-K operators).
+  //
+  // FP determinism: idf involves ln() (libm, 1-ulp engine skew), so
+  // each (query, doc, term) contribution is rounded to
+  // DECIMAL(18,9) BEFORE the per-(query, doc) sum — order-free and
+  // bit-stable, the text_crossentropy convention. The rational
+  // tf-normalization factor is written with identical
+  // parenthesization on both sides (IEEE doubles are deterministic
+  // given the same operation order).
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** Gate query set: common corpus-vocabulary terms so every query
+    * matches many docs and tf saturation + length normalization both
+    * matter (rare terms would reduce BM25 to its idf factor).
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "hash", "join"),
+    2 -> Seq("stream", "window", "batch"),
+    3 -> Seq("slow", "scan", "filter", "column"))
+
+  private def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.parallelized(Tables.documents(s, dir)),
+      "doc_id", "text", Bm25Queries)
+      .orderBy("q_id", "rk")
+
+  /** Parametric library form over any (id, text) frame: top-`topK`
+    * docs per query by BM25. `queries` is (q_id, terms); terms are
+    * matched lowercase-exact against whitespace tokens. Unsorted
+    * for library use; the gate query adds its own ordering.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = Bm25K1,
+      b: Double = Bm25B,
+      topK: Int = Bm25TopK): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qTerms = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("q_id", "token"))
+    val allTerms = queries.flatMap(_._2).distinct
+    val docsT = docs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), "\\s+").as("w"))
+    val dl = docsT.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docsT
+      .select(col("doc_id"), explode(col("w")).as("token"))
+      .filter(col("token").isin(allTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // identical parenthesization to bm25Sql — IEEE doubles are
+    // engine-deterministic given the same operation order; only the
+    // ln() differs by ulps and the DECIMAL(18,9) round absorbs it
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    val terms = tf
+      .join(qTerms, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfTab), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        (idf * tfNorm).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+    val scores = terms.groupBy("q_id", "doc_id")
+      .agg(sum(col("term")).as("s"))
+    val w = Window.partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+    scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("doc_id"),
+        QueryDef.asDouble(col("s")).as("score"))
+  }
+
+  private lazy val bm25Sql = {
+    val qVals = Bm25Queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    val inList = Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(q_id, token) AS (VALUES $qVals),
+       |docs_w AS (
+       |  SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs_w),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN ($inList) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |terms AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |         CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+       |              ((tf * ($Bm25K1 + 1)) /
+       |               (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl / avgdl))))
+       |              AS DECIMAL(18,9)) AS term
+       |  FROM tf JOIN q USING (token) JOIN docs_w USING (doc_id)
+       |       JOIN df USING (token) CROSS JOIN stats),
+       |scores AS (SELECT q_id, doc_id, SUM(term) AS s
+       |           FROM terms GROUP BY q_id, doc_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, s,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY s DESC, doc_id) AS rk
+       |  FROM scores)
+       |SELECT q_id, rk, doc_id, CAST(s AS DOUBLE) AS score
+       |FROM ranked WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin
+  }
 
   // --- cur_shuffle: deterministic global training order ----------
   // "Shuffle the corpus" as a total order on md5(key): reproducible

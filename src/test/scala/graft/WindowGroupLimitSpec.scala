@@ -67,6 +67,13 @@ class WindowGroupLimitSpec extends AnyFunSuite {
     assertPartialPrune(df, "sim_pq_adc")
   }
 
+  test("cur_bm25's decimal-scored top-k per query keeps the Partial prune") {
+    // BM25 sums DECIMAL(18,9) terms; the per-query rank-limit must
+    // prune map-side before the q_id exchange like the ANN top-ks
+    val df = SparkEntry.queries("cur_bm25")(spark, sf)
+    assertPartialPrune(df, "cur_bm25")
+  }
+
   test("quantizedRerankTopK plans Partial WindowGroupLimits for both stages") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 8)
