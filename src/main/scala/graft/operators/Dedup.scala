@@ -109,14 +109,21 @@ object Dedup {
     */
   val MaxBucket = 10000
 
-  def minhashPairs(
+  /** MinHash-LSH band signatures for a document table: one
+    * (doc_id, band, sig) row per doc per band — the INDEX format of
+    * LSH dedup. Shared by the self-join miner [[minhashPairs]] and
+    * the batch-vs-index prober [[incrementalDedupVerdicts]]; at
+    * 100 TB this is the table a pipeline PERSISTS (bucketed by
+    * (band, sig)) so that daily increments probe it without
+    * re-shingling the standing corpus.
+    */
+  def bandSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = K,
       r: Int = R,
-      md5Hash: Boolean = false,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      md5Hash: Boolean = false): DataFrame = {
     require(k % r == 0, s"k=$k must be a multiple of r=$r")
     // word 3-gram shingles
     val shingled = docs
@@ -149,8 +156,19 @@ object Dedup {
         (if (md5Hash) md5(concat_ws(",", parts.map(_.cast("string")): _*))
          else xxhash64(parts: _*)).as("sig"))
     }
-    val allBands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = K,
+      r: Int = R,
+      md5Hash: Boolean = false,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val allBands = bandSignatures(docs, idCol, textCol, k, r, md5Hash)
     // skew-capped bucket join → candidate pairs (shared shape; the
     // join strategy is left to Catalyst here — this plan was measured
     // and is the wanted one, see CandidatePairs on when to pin)
