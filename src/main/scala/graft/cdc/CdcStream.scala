@@ -36,7 +36,7 @@ object CdcStream {
   private[cdc] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val rs = s.readStream.schema(Tables0.eventsSchema)
+    val rs = s.readStream.schema(Tables0.eventsStreamSchema(s, dir))
     // A not-yet-existing events.parquet (watching a landing dir before
     // the first producer write) falls through to the glob form, which
     // starts an empty stream that picks files up as they land —
@@ -476,15 +476,81 @@ object CdcStream {
 
 /** Static schema for the events table (streaming sources must declare
   * schemas up front — no inference mid-pipeline at scale).
+  *
+  * The `ts` column's declared type is dispatched on the ACTUAL
+  * parquet annotation of one probed footer, because the two testdata
+  * generations differ: TIMESTAMP(NANOS) (and plain-INT64 nanos
+  * written back by old GenScale runs) must be read as LongType
+  * (Spark 4 rejects ns timestamps without the nanosAsLong legacy
+  * flag) and converted `div 1000` downstream, while TIMESTAMP(MICROS)
+  * reads natively as TimestampType with NO conversion. Declaring
+  * LongType for a µs file silently re-divides micros by 1000 and
+  * collapses every timestamp onto 1970-01-20 — the reference decodes
+  * each temporal type with its explicit unit (rust-cdc
+  * `src/mysql/event/mod.rs:370-640`, timestamp2/datetime2 paths);
+  * match that discipline. `Changelog.canonicalize` dispatches the
+  * conversion on the dtype this schema declares, plus a loud
+  * year-range guard so a future unit drift fails at the source.
   */
 private[cdc] object Tables0 {
   import org.apache.spark.sql.types._
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long, see Tables.events
 
+  private def schemaWithTs(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** `ts` as raw int64 nanos (legacy testdata / old GenScale output). */
+  val eventsSchema: StructType = schemaWithTs(LongType)
+
+  /** `ts` as native µs TimestampType (current testdata). */
+  val eventsSchemaMicros: StructType = schemaWithTs(TimestampType)
+
+  /** Probe one parquet footer and return the schema whose `ts` type
+    * matches the file's actual timestamp unit. Driver-side, one
+    * footer, O(KB) — the same layout-dispatch precedent as
+    * [[CdcStream.eventsStream]]'s dir-vs-file probe. A missing path
+    * (landing dir before the first write) defaults to the µs schema:
+    * that is what every current producer (driver + GenScale on
+    * current Spark) writes.
+    */
+  def eventsStreamSchema(s: SparkSession, dir: String): StructType =
+    if (tsReadsAsLong(s, dir)) eventsSchema else eventsSchemaMicros
+
+  /** True when `<dir>/events.parquet`'s `ts` column must be read as a
+    * raw long: annotated TIMESTAMP(NANOS), or a plain INT64 carrying
+    * nanos (old GenScale wrote the nanos-as-long column back without
+    * a logical annotation). Annotated µs/ms timestamps → false
+    * (Spark reads them natively as TimestampType).
+    */
+  private def tsReadsAsLong(s: SparkSession, dir: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val leaf =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(return false)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(leaf, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return false
+      schema.getType(schema.getFieldIndex("ts"))
+        .asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case null => true // plain INT64: old GenScale nanos-as-long write-back
+        case _ => false
+      }
+    } finally reader.close()
+  }
 }

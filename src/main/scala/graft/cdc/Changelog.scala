@@ -51,11 +51,21 @@ object Changelog {
 
   def canonicalize(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    // ns-as-long (see Tables.events) → truncate to micros for Catalyst
-    val tsCol =
+    // ns-as-long (see Tables.events / Tables0.eventsStreamSchema) →
+    // truncate to micros for Catalyst; µs files arrive as
+    // TimestampType and pass through untouched.
+    val decoded =
       if (events.schema("ts").dataType == LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts")
+    // Loud unit-drift guard: a mis-declared timestamp unit lands
+    // 1000× off (1970 or year ~56k), which a windowed agg would
+    // quietly fold into one window. Fail the scan on the first bad
+    // row instead — cheap codegen'd branch, no UDF.
+    val tsCol = when(decoded.isNull || year(decoded).between(2000, 2100), decoded)
+      .otherwise(raise_error(concat(
+        lit("events.ts outside years [2000,2100] — timestamp unit drift? got "),
+        decoded.cast("string"))))
     events.select(
       lit("events").as("table"),
       when(col("event_type") === "signup", Op.Insert)
