@@ -86,6 +86,38 @@ package object api {
         md5Hash: Boolean = false): DataFrame =
       Dedup.minhashPairs(df, idCol, textCol, k, r, md5Hash)
 
+    /** MinHash-LSH band-signature index rows (doc_id, band, sig) for
+      * this document frame — the table a 100 TB pipeline PERSISTS
+      * (bucketed by (band, sig)) so daily increments probe it without
+      * re-shingling the standing corpus.
+      */
+    def bandSignatures(
+        idCol: String,
+        textCol: String,
+        k: Int = 12,
+        r: Int = 3,
+        md5Hash: Boolean = false): DataFrame =
+      Dedup.bandSignatures(df, idCol, textCol, k, r, md5Hash)
+
+    /** Probe this increment frame against a persisted band-signature
+      * index ([[bandSignatures]] of the standing corpus) WITHOUT
+      * re-shingling the corpus: new-vs-index bucket join + exact
+      * word-3-gram Jaccard verify. Returns (doc_a, doc_b, jaccard,
+      * is_dup) for every near-dup pair touching the increment — the
+      * daily incremental-dedup job at 100 TB.
+      */
+    def incrementalDedupVerdicts(
+        index: DataFrame,
+        corpusTexts: DataFrame,
+        idCol: String,
+        textCol: String,
+        k: Int = 12,
+        r: Int = 3,
+        md5Hash: Boolean = false,
+        threshold: Double = 0.7): DataFrame =
+      Dedup.incrementalDedupVerdicts(index, df, corpusTexts, idCol, textCol,
+        k, r, md5Hash, threshold = threshold)
+
     /** Exact n-gram overlap verify for candidate pairs (doc_a,
       * doc_b): containment both directions + Jaccard per pair. The
       * confirm stage after [[minhashCandidatePairs]] proposes —

@@ -28,7 +28,8 @@ object Dedup {
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
     QueryDef("dedup_containment", containment, Some(containmentSql)),
-    QueryDef("dedup_cluster", cluster, Some(clusterSql))
+    QueryDef("dedup_cluster", cluster, Some(clusterSql)),
+    QueryDef("dedup_incremental", incremental, Some(incrementalSql))
   )
 
   private val MutantBase = 1000000L
@@ -86,16 +87,6 @@ object Dedup {
   private def mixA(j: Int): Long = 104729L + 7919L * j
   private def mixB(j: Int): Long = 130363L + 104717L * j
 
-  /** Parametric MinHash-LSH candidate-pair mining over ANY document
-    * table — the library-surface form of dedup_minhash. Word-3-gram
-    * shingles → k seeded min-hashes → k/r band buckets → bucket
-    * equijoin; returns distinct (doc_a, doc_b) candidate pairs,
-    * doc_a < doc_b. `md5Hash = true` is the cross-engine-
-    * deterministic variant (one md5 per shingle, k affine remixes of
-    * its 32-bit halves mod 2^31-1 — integer minima identical in both
-    * engines); the default xxhash64 is the codegen'd production path.
-    * Shuffle volume is k/r band rows per doc — linear in corpus size.
-    */
   /** Band-bucket population cap (LSH skew guard). A degenerate
     * signature — near-empty docs, an all-identical corpus slice, a
     * hash pileup — would otherwise make the bucket self-join
@@ -160,6 +151,16 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Parametric MinHash-LSH candidate-pair mining over ANY document
+    * table — the library-surface form of dedup_minhash. Word-3-gram
+    * shingles → k seeded min-hashes → k/r band buckets → bucket
+    * equijoin; returns distinct (doc_a, doc_b) candidate pairs,
+    * doc_a < doc_b. `md5Hash = true` is the cross-engine-
+    * deterministic variant (one md5 per shingle, k affine remixes of
+    * its 32-bit halves mod 2^31-1 — integer minima identical in both
+    * engines); the default xxhash64 is the codegen'd production path.
+    * Shuffle volume is k/r band rows per doc — linear in corpus size.
+    */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -177,6 +178,91 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental batch-vs-index near-dup probing — the daily job of a
+    * 100 TB pipeline. Only the INCREMENT is shingled and min-hashed;
+    * the standing corpus participates solely through its persisted
+    * [[bandSignatures]] index (at scale: a table bucketed by
+    * (band, sig), so the union below lands on a pre-existing layout
+    * instead of re-shuffling the corpus) and through a keyed text
+    * lookup of the handful of docs that actually collide. The
+    * reference's stable-bloom ingest gate (rust-cdc
+    * `src/delta/mod.rs:126-148`, dedup via StableBloomFilter before
+    * apply) is the CDC-side analog of this probe-don't-rescan shape.
+    *
+    * Semantics are EXACTLY the batch miner on the unioned corpus,
+    * restricted to pairs touching the increment: the bucket-cap
+    * population is counted over index ∪ increment rows (same
+    * `maxBucket` contract as [[minhashPairs]]), and buckets with no
+    * increment member are pruned by the same window — both counts
+    * ride the one (band, sig) exchange. Candidates then get an exact
+    * word-3-gram Jaccard verify (the unit the LSH recall contract is
+    * stated in) against `corpusTexts`, pruned to colliding ids by a
+    * semi-join BEFORE any gram work.
+    *
+    * Returns (doc_a, doc_b, jaccard, is_dup) with doc_a < doc_b,
+    * `is_dup = 1` when jaccard ≥ `threshold`.
+    */
+  def incrementalDedupVerdicts(
+      index: DataFrame,
+      increment: DataFrame,
+      corpusTexts: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = K,
+      r: Int = R,
+      md5Hash: Boolean = false,
+      maxBucket: Int = MaxBucket,
+      threshold: Double = 0.7): DataFrame = {
+    val newBands = bandSignatures(increment, idCol, textCol, k, r, md5Hash)
+    val all = index.select(col("doc_id"), col("band"), col("sig"))
+      .withColumn("__new", lit(false))
+      .unionAll(newBands.withColumn("__new", lit(true)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val capped = all
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__nn", sum(when(col("__new"), 1).otherwise(0)).over(w))
+      .filter(col("__bn") <= maxBucket && col("__nn") >= 1)
+      .drop("__bn", "__nn")
+    val a = capped.as("a"); val b = capped.as("b")
+    // candidate pairs are |collisions|-bounded and feed THREE
+    // consumers (two id branches of the semi-join prune + the verify
+    // join) — persist so the band join runs once, not three times
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.__new") || col("b.__new")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist()
+    try {
+      val touchedIds = cand.select(col("doc_a").as(idCol))
+        .unionAll(cand.select(col("doc_b").as(idCol)))
+        .distinct()
+      val g = corpusTexts
+        .join(touchedIds, Seq(idCol), "left_semi") // prune BEFORE gram work
+        .withColumn("w", split(col(textCol), "\\s+"))
+        .filter(size(col("w")) >= 3)
+        .select(col(idCol).as("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("g"))
+      val scored = cand
+        .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+        .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("ga.g")).as("n_a"), size(col("gb.g")).as("n_b"),
+          size(array_intersect(col("ga.g"), col("gb.g"))).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          when(col("jaccard") >= threshold, 1).otherwise(0).as("is_dup"))
+        .orderBy("doc_a", "doc_b")
+      // materialize before unpersist: the sort is the final exchange,
+      // severing lineage here keeps the persisted frame out of the
+      // returned plan
+      scored.localCheckpoint()
+    } finally cand.unpersist()
   }
 
   /** Exact dedup keeping one canonical row per distinct text (lowest
@@ -229,6 +315,47 @@ object Dedup {
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_incremental: the daily probe job. Standing corpus = the
+  // documents table, whose band-signature index plays the PERSISTED
+  // index; increment = the near-dup mutants. Only the increment is
+  // shingled. Oracle = the batch miner on the unioned corpus
+  // restricted to pairs touching the increment (they all do here:
+  // mutant ids ≥ MutantBase), each candidate exact-verified with
+  // word-3-gram Jaccard.
+  // ---------------------------------------------------------------
+  private def incremental(s: SparkSession, dir: String): DataFrame = {
+    val standing = Tables.parallelized(
+      Tables.documents(s, dir).select("doc_id", "text"))
+    val increment = standing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + MutantBase).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    incrementalDedupVerdicts(
+      bandSignatures(standing, "doc_id", "text", md5Hash = true),
+      increment, standing.unionAll(increment), "doc_id", "text",
+      md5Hash = true)
+  }
+
+  private val incrementalSql = {
+    val threeGrams =
+      s"""SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM ($corpusSql))
+         |WHERE len(w) >= 3""".stripMargin
+    val jac = "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / " +
+      "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))"
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${minhashPairsSqlFor(corpusSql)})
+       |  WHERE doc_a >= $MutantBase OR doc_b >= $MutantBase),
+       |g3 AS ($threeGrams)
+       |SELECT p.doc_a, p.doc_b, $jac AS jaccard,
+       |       CASE WHEN $jac >= 0.7 THEN 1 ELSE 0 END AS is_dup
+       |FROM pairs p
+       |JOIN g3 a ON a.doc_id = p.doc_a
+       |JOIN g3 b ON b.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -25,6 +25,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("dedup_incremental equals the batch miner restricted to the increment, verdicts exact") {
+    import graft.operators.Dedup
+    val mutantBase = 1000000L
+    val standing = Tables.parallelized(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    val increment = standing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + mutantBase).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val union = standing.unionAll(increment)
+    // xxhash64 path here (the production hash); the oracled query
+    // covers the md5 path
+    val got = Dedup.incrementalDedupVerdicts(
+      Dedup.bandSignatures(standing, "doc_id", "text"),
+      increment, union, "doc_id", "text").collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // contract: EXACTLY the batch miner on the unioned corpus,
+    // restricted to pairs touching the increment — the standing
+    // corpus was never re-shingled to get there
+    val batch = Dedup.minhashPairs(union, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 >= mutantBase || p._2 >= mutantBase).toSet
+    assert(gotPairs.nonEmpty && gotPairs == batch)
+    // verify stage: jaccard well-formed and the verdict is the
+    // threshold applied to it
+    got.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0, r.toString)
+      assert((r.getInt(3) == 1) == (j >= 0.7), r.toString)
+    }
+    // planted (orig, orig+base) mutants drop one word-3-gram, so all
+    // but the shortest docs must verify as dups
+    val planted = got.filter(r => r.getLong(1) == r.getLong(0) + mutantBase)
+    assert(planted.nonEmpty)
+    val dupFrac = planted.count(_.getInt(3) == 1).toDouble / planted.length
+    assert(dupFrac >= 0.9, s"planted near-dups verified as dups: $dupFrac")
+  }
+
   test("mm_phash finds exactly the planted image variants, nothing else") {
     val pairs = run("mm_phash").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
