@@ -215,6 +215,35 @@ object Dedup {
       md5Hash: Boolean = false,
       maxBucket: Int = MaxBucket,
       threshold: Double = 0.7): DataFrame = {
+    // candidate pairs are |collisions|-bounded and feed THREE
+    // consumers (two id branches of the semi-join prune + the verify
+    // join) — persist so the band join runs once, not three times
+    val cand = incrementalCandidates(
+      index, increment, idCol, textCol, k, r, md5Hash, maxBucket).persist()
+    try {
+      // materialize before unpersist: severing lineage here keeps the
+      // persisted frame out of the returned plan
+      verifyPairs(cand, corpusTexts, idCol, textCol, threshold)
+        .localCheckpoint()
+    } finally cand.unpersist()
+  }
+
+  /** Lazy candidate plan of [[incrementalDedupVerdicts]]: increment
+    * bands unioned onto the index, one (band, sig) window exchange
+    * carrying BOTH the population cap and the has-new-member prune,
+    * then the capped bucket self-join restricted to pairs touching
+    * the increment. Exposed for plan audits and callers that want
+    * candidates without the verify stage.
+    */
+  private[graft] def incrementalCandidates(
+      index: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      r: Int,
+      md5Hash: Boolean,
+      maxBucket: Int): DataFrame = {
     val newBands = bandSignatures(increment, idCol, textCol, k, r, md5Hash)
     val all = index.select(col("doc_id"), col("band"), col("sig"))
       .withColumn("__new", lit(false))
@@ -226,43 +255,46 @@ object Dedup {
       .filter(col("__bn") <= maxBucket && col("__nn") >= 1)
       .drop("__bn", "__nn")
     val a = capped.as("a"); val b = capped.as("b")
-    // candidate pairs are |collisions|-bounded and feed THREE
-    // consumers (two id branches of the semi-join prune + the verify
-    // join) — persist so the band join runs once, not three times
-    val cand = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id") &&
           (col("a.__new") || col("b.__new")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist()
-    try {
-      val touchedIds = cand.select(col("doc_a").as(idCol))
-        .unionAll(cand.select(col("doc_b").as(idCol)))
-        .distinct()
-      val g = corpusTexts
-        .join(touchedIds, Seq(idCol), "left_semi") // prune BEFORE gram work
-        .withColumn("w", split(col(textCol), "\\s+"))
-        .filter(size(col("w")) >= 3)
-        .select(col(idCol).as("doc_id"), array_distinct(expr(
-          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("g"))
-      val scored = cand
-        .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-        .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          size(col("ga.g")).as("n_a"), size(col("gb.g")).as("n_b"),
-          size(array_intersect(col("ga.g"), col("gb.g"))).as("n_common"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")))
-        .select(col("doc_a"), col("doc_b"), col("jaccard"),
-          when(col("jaccard") >= threshold, 1).otherwise(0).as("is_dup"))
-        .orderBy("doc_a", "doc_b")
-      // materialize before unpersist: the sort is the final exchange,
-      // severing lineage here keeps the persisted frame out of the
-      // returned plan
-      scored.localCheckpoint()
-    } finally cand.unpersist()
+  }
+
+  /** Exact word-3-gram Jaccard verify for (doc_a, doc_b) candidate
+    * pairs. The text table is pruned to pair-touched ids by a
+    * semi-join BEFORE any gram work — at 100 TB only the colliding
+    * docs (|pairs|-bounded) are ever re-tokenized.
+    */
+  private[graft] def verifyPairs(
+      cand: DataFrame,
+      corpusTexts: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val touchedIds = cand.select(col("doc_a").as(idCol))
+      .unionAll(cand.select(col("doc_b").as(idCol)))
+      .distinct()
+    val g = corpusTexts
+      .join(touchedIds, Seq(idCol), "left_semi") // prune BEFORE gram work
+      .withColumn("w", split(col(textCol), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol).as("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("g"))
+    cand
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ga.g")).as("n_a"), size(col("gb.g")).as("n_b"),
+        size(array_intersect(col("ga.g"), col("gb.g"))).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        when(col("jaccard") >= threshold, 1).otherwise(0).as("is_dup"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact dedup keeping one canonical row per distinct text (lowest

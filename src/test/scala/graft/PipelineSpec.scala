@@ -62,6 +62,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupFrac >= 0.9, s"planted near-dups verified as dups: $dupFrac")
   }
 
+  test("dedup_incremental candidates ride ONE (band,sig) exchange, reused across the join") {
+    import graft.operators.Dedup
+    val standing = Tables.parallelized(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    val increment = standing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val cand = Dedup.incrementalCandidates(
+      Dedup.bandSignatures(standing, "doc_id", "text"),
+      increment, "doc_id", "text", 12, 3, false, 10000)
+    cand.collect() // finalize the adaptive plan — reuse only materializes at runtime
+    val full = cand.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    // the population cap AND the has-new-member prune both ride one
+    // (band, sig) exchange; the self-join's second side must REUSE it
+    // (a second materialization doubles the dominant shuffle at scale)
+    val bandExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(band"))
+      .filterNot(_.contains("ReusedExchange")).size
+    assert(bandExchanges == 1,
+      s"expected exactly 1 (band,sig) exchange, got $bandExchanges:\n${plan.take(4000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"join sides must reuse the (band,sig) exchange:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to an all-pairs product:\n${plan.take(4000)}")
+  }
+
   test("mm_phash finds exactly the planted image variants, nothing else") {
     val pairs = run("mm_phash").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
