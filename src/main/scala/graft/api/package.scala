@@ -283,6 +283,20 @@ package object api {
         topK: Int = graft.operators.Curation.Bm25TopK): DataFrame =
       graft.operators.Curation.bm25TopK(df, idCol, textCol, queries, topK = topK)
 
+    /** Top-K docs by DSIR importance weight (Xie et al. 2023): the
+      * log-likelihood ratio of each doc's hashed-bigram profile under
+      * the `isTarget` rows vs the whole frame — tilt a raw crawl
+      * toward a curated reference distribution without training a
+      * classifier. Two corpus passes, a broadcast B-row weight table,
+      * zero token-sized shuffles.
+      */
+    def dsirTopK(
+        isTarget: org.apache.spark.sql.Column,
+        idCol: String = "doc_id",
+        textCol: String = "text",
+        topK: Int = graft.operators.Curation.DsirTopK): DataFrame =
+      graft.operators.Curation.dsirTopK(df, idCol, textCol, isTarget, topK = topK)
+
     // --- curation ---------------------------------------------------
 
     /** Deterministic train/val/test assignment keyed on `idCol`:

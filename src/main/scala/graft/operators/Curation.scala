@@ -36,7 +36,8 @@ object Curation {
     QueryDef("cur_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql)),
     QueryDef("cur_semdedup", semdedup, Some(semdedupSql)),
-    QueryDef("cur_bm25", bm25, Some(bm25Sql))
+    QueryDef("cur_bm25", bm25, Some(bm25Sql)),
+    QueryDef("cur_dsir", dsir, Some(dsirSql))
   )
 
   // ---------------------------------------------------------------
@@ -570,4 +571,126 @@ object Curation {
        |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM documents ORDER BY h LIMIT 50
        |)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // cur_dsir: data selection via importance resampling (DSIR — Xie
+  // et al. 2023, "Data Selection for Language Models via Importance
+  // Resampling"). Score every doc by the log-likelihood ratio of its
+  // hashed-bigram profile under a TARGET corpus (here: the curated
+  // 'src1' source) vs the raw corpus; keep the top-K. The selection
+  // knob real pipelines use to tilt a web crawl toward a reference
+  // distribution without training a classifier.
+  //
+  // Scale shape — two passes over the text, and that is the RIGHT
+  // trade: pass 1 reduces bigram occurrences to a B-bounded bucket
+  // histogram (partial map-side counts; the only exchange carries
+  // ≤ B rows per task), both raw and target counts riding the one
+  // aggregate via a conditional sum; pass 2 streams occurrences
+  // map-side against the BROADCAST B-row weight table and partial-
+  // sums per doc before the one doc-sized exchange. The
+  // single-exchange alternative (shuffle every token occurrence by
+  // bucket, window-count, reshuffle by doc — the crossentropy
+  // pattern) would move corpus-token-sized data across the network
+  // twice; here the second scan is CPU-only and the weight table is
+  // 4096 rows — broadcast beats reshuffle, the opposite conclusion
+  // from crossentropy's non-broadcastable LM counts. Top-K is
+  // sort-limit (TakeOrderedAndProject), never a corpus-wide window;
+  // rank numbering runs on the K-row post-limit frame.
+  //
+  // Determinism: md5-derived buckets (identical hex both engines),
+  // integer counts, one double division per feature with identical
+  // parenthesization, and the per-feature DECIMAL(18,9) round
+  // absorbing libm ln() ulp skew — the bm25 convention.
+  // ---------------------------------------------------------------
+  val DsirBuckets = 4096
+  val DsirTopK = 100
+  private val DsirTarget = "src1"
+
+  private def dsir(s: SparkSession, dir: String): DataFrame =
+    dsirTopK(Tables.parallelized(Tables.documents(s, dir)),
+      "doc_id", "text", col("source") === DsirTarget)
+
+  /** Library form: DSIR importance scores of `docs` toward the
+    * `isTarget` subset, top-K by score. Returns (rk, doc_id,
+    * dsir_score). See the query comment for the plan rationale.
+    */
+  def dsirTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = DsirBuckets,
+      topK: Int = DsirTopK): DataFrame = {
+    def toks = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        split(lower(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))")).as("bg"))
+      .select(col("doc_id"), col("is_t"), expr(
+        s"cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % $buckets").as("bucket"))
+    val hist = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tgt_n"))
+    val wCol = (log((col("tgt_n") + lit(1.0)) / (col("tgt_tot") + lit(buckets.toDouble))) -
+      log((col("raw_n") + lit(1.0)) / (col("raw_tot") + lit(buckets.toDouble))))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    // totals as a window over the ≤`buckets`-row histogram, NOT a
+    // separate hist.agg branch: the agg form re-derived the whole
+    // explode lineage a third time (measured — AQE reused only the
+    // scan exchange), while this single-partition window runs on a
+    // constant-bounded frame after the bucket exchange. Two corpus
+    // passes total, by design.
+    val wAll = Window.partitionBy(lit(1))
+    val weights = hist
+      .withColumn("raw_tot", sum(col("raw_n")).over(wAll))
+      .withColumn("tgt_tot", sum(col("tgt_n")).over(wAll))
+      .select(col("bucket"), wCol.as("wt"))
+    val scores = toks
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("wt")).as("s"))
+    val top = scores.orderBy(col("s").desc, col("doc_id")).limit(topK)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"),
+        QueryDef.asDouble(col("s")).as("dsir_score"))
+  }
+
+  private lazy val dsirSql = {
+    // nibble-decode the first 8 hex chars of md5(bg) — the Dedup
+    // minhash decode, inlined for the bucket hash
+    val hex32 = (0 until 8).map(k =>
+      s"(instr('0123456789abcdef', substring(h, ${1 + k}, 1)) - 1) * ${1L << (4 * (7 - k))}")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, is_t,
+       |         unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM (SELECT doc_id, (source = '$DsirTarget') AS is_t,
+       |               string_split_regex(lower(text), '\\s+') AS w
+       |        FROM documents)
+       |  WHERE len(w) >= 2),
+       |tb AS (
+       |  SELECT doc_id, is_t, CAST(($hex32) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, is_t, md5(bg) AS h FROM toks)),
+       |hist AS (
+       |  SELECT bucket, count(*) AS raw_n,
+       |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_n
+       |  FROM tb GROUP BY bucket),
+       |tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM hist),
+       |wts AS (
+       |  SELECT bucket,
+       |         CAST(ln((tgt_n + 1.0) / (tgt_tot + $DsirBuckets.0)) -
+       |              ln((raw_n + 1.0) / (raw_tot + $DsirBuckets.0))
+       |              AS DECIMAL(18,9)) AS wt
+       |  FROM hist CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, sum(wt) AS s
+       |  FROM tb JOIN wts USING (bucket) GROUP BY doc_id),
+       |top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT $DsirTopK)
+       |SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+       |       doc_id, CAST(s AS DOUBLE) AS dsir_score
+       |FROM top ORDER BY rk""".stripMargin
+  }
 }

@@ -133,6 +133,28 @@ class CurationSpec extends AnyFunSuite {
     assert(df < nDocs)
   }
 
+  test("cur_dsir ranks docs matching the target profile above the rest") {
+    import spark.implicits._
+    // planted contrast: two disjoint vocabularies. The target subset
+    // speaks vocab B — so NON-target vocab-B docs must outrank every
+    // vocab-A doc (their hashed-bigram profile is the target
+    // distribution; that is the entire DSIR premise).
+    val vocabA = (i: Long) => (0 until 40).map(j => s"alpha${(i + j * 7) % 13}").mkString(" ")
+    val vocabB = (i: Long) => (0 until 40).map(j => s"beta${(i + j * 5) % 11}").mkString(" ")
+    val docs = ((1L to 30L).map(i => (i, vocabA(i), false)) ++
+      (31L to 40L).map(i => (i, vocabB(i), true)) ++      // target
+      (41L to 45L).map(i => (i, vocabB(i), false)))       // non-target, B-speaking
+      .toDF("doc_id", "text", "is_t")
+    val ranked = graft.operators.Curation
+      .dsirTopK(docs, "doc_id", "text", col("is_t"), topK = 45)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val bNonTarget = (41L to 45L).map(ranked)
+    val aDocs = (1L to 30L).map(ranked)
+    assert(bNonTarget.max < aDocs.min,
+      s"every B-speaking doc must outrank every A-speaking doc: " +
+        s"B ranks ${bNonTarget.sorted}, best A rank ${aDocs.min}")
+  }
+
   test("cur_shuffle: a stable total order, 1..50") {
     val a = run("cur_shuffle").collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
     assert(a.map(_._1).sorted.toSeq == (1 to 50))
