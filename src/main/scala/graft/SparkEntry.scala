@@ -9,7 +9,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Skew.defs ++
       operators.AsOf.defs ++ operators.Ranges.defs ++ operators.Cdc.defs ++
-      operators.Dedup.defs ++ operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++ operators.StreamDedup.defs ++
+      operators.TextAnalysis.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Curation.defs ++ operators.Sketches.defs
 

@@ -32,7 +32,7 @@ object Dedup {
     QueryDef("dedup_incremental", incremental, Some(incrementalSql))
   )
 
-  private val MutantBase = 1000000L
+  private[operators] val MutantBase = 1000000L
 
   /** documents ∪ near-dup mutants (10% of docs, first word dropped).
     * `parallelized`: shingling/minhashing is compute-bound and must
@@ -149,6 +149,38 @@ object Dedup {
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Per-ROW band signatures: the same k/r md5-variant signature
+    * values as [[bandSignatures]] (md5Hash = true), computed with
+    * higher-order array functions instead of explode + groupBy —
+    * NO aggregation state, so a STREAM can band its rows with a
+    * stateless projection (the batch form's groupBy would force a
+    * stateful streaming aggregate per doc). Returns an
+    * array<struct<band:int, sig:string>> of k/r elements for a text
+    * column with ≥ 3 whitespace tokens; callers must filter shorter
+    * texts first (the batch form drops them too).
+    */
+  def rowBandSignatures(text: Column, k: Int = K, r: Int = R): Column = {
+    require(k % r == 0, s"k=$k must be a multiple of r=$r")
+    val w = split(text, "\\s+")
+    val shingles = transform(sequence(lit(1), size(w) - 2), i =>
+      concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    // one md5 per shingle, decoded once into the two 32-bit halves
+    val vs = transform(shingles, x => {
+      val h = md5(x)
+      struct(
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % MinhashP).as("v1"),
+        (conv(substring(h, 9, 8), 16, 10).cast("long") % MinhashP).as("v2"))
+    })
+    val hj = (0 until k).map(j => array_min(transform(vs, v =>
+      (lit(mixA(j)) * v.getField("v1") + lit(mixB(j)) * v.getField("v2") + lit(j.toLong)) % MinhashP)))
+    val bands = (0 until k / r).map { b =>
+      val parts = (b * r until (b + 1) * r).map(hj)
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", parts.map(_.cast("string")): _*)).as("sig"))
+    }
+    array(bands: _*)
   }
 
   /** Parametric MinHash-LSH candidate-pair mining over ANY document
@@ -315,7 +347,13 @@ object Dedup {
 
   /** The DuckDB twin of [[minhashPairs]] (md5 variant), over any
     * corpus SQL producing (doc_id, text). */
-  private def minhashPairsSqlFor(corpus: String): String = {
+  /** The DuckDB twin of the md5-variant band-signature pipeline:
+    * CTE chain `shingled$sfx → vals$sfx → sigs$sfx → allbands$sfx`
+    * over any (doc_id, text) corpus SQL. Shared by the batch-miner
+    * oracles (empty suffix — their historical CTE names) and the
+    * streaming-probe oracle, which needs one chain per side.
+    */
+  private[operators] def bandsCtesFor(corpus: String, sfx: String = ""): String = {
     // nibble-decode 8 hex chars of the md5 starting at 1-based `at`
     def hexVal(at: Int): String = (0 until 8).map(k =>
       s"(instr('0123456789abcdef', substring(h, ${at + k}, 1)) - 1) * ${1L << (4 * (7 - k))}")
@@ -324,22 +362,26 @@ object Dedup {
       s"MIN((${mixA(j)} * v1 + ${mixB(j)} * v2 + $j) % $MinhashP) AS h$j").mkString(",\n       ")
     val bandRows = (0 until K / R).map { b =>
       val cat = (b * R until (b + 1) * R).map(j => s"CAST(h$j AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM sigs"
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM sigs$sfx"
     }.mkString("\n UNION ALL ")
-    s"""WITH shingled AS (
+    s"""shingled$sfx AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM ($corpus))
        |  WHERE len(w) >= 3),
-       |vals AS (
+       |vals$sfx AS (
        |  SELECT doc_id,
        |         (${hexVal(1)}) % $MinhashP AS v1,
        |         (${hexVal(9)}) % $MinhashP AS v2
-       |  FROM (SELECT doc_id, md5(sh) AS h FROM shingled)),
-       |sigs AS (
+       |  FROM (SELECT doc_id, md5(sh) AS h FROM shingled$sfx)),
+       |sigs$sfx AS (
        |  SELECT doc_id, $hashes
-       |  FROM vals GROUP BY doc_id),
-       |allbands AS ($bandRows),
+       |  FROM vals$sfx GROUP BY doc_id),
+       |allbands$sfx AS ($bandRows)""".stripMargin
+  }
+
+  private def minhashPairsSqlFor(corpus: String): String = {
+    s"""WITH ${bandsCtesFor(corpus)},
        |bands AS (
        |  SELECT doc_id, band, sig FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bn FROM allbands)

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.cdc.CdcStream
+
+/** Streaming landing gate: near-dup screening of ARRIVING documents
+  * against the standing corpus, before they are admitted — the
+  * streaming face of [[Dedup.incrementalDedupVerdicts]] and the
+  * LLM-corpus analog of the reference's ingest-time dedup gate
+  * (rust-cdc `src/delta/mod.rs:126-148`, StableBloomFilter checked
+  * per record BEFORE the Delta apply).
+  *
+  * Spark-first composition, all stateless until the final dedup:
+  *
+  *  - each arriving doc is banded by [[Dedup.rowBandSignatures]] — a
+  *    per-row projection (higher-order array ops), NOT the batch
+  *    explode + groupBy, which would force a stateful streaming
+  *    aggregate;
+  *  - the band rows probe the PERSISTED index with a stream-static
+  *    equijoin on (band, sig) — Structured Streaming evaluates the
+  *    static side per micro-batch with no state store involvement;
+  *  - the only state is the pair-level dropDuplicates (a pair can
+  *    collide in several bands). A production deployment bounds it
+  *    with a watermark on arrival time; the gate query runs
+  *    AvailableNow, so its state is the batch's pair set.
+  *
+  * Cap semantics differ from the batch miner BY DESIGN: the gate
+  * drops over-populated STANDING buckets (computable before any
+  * arrival — at scale this filter is materialized with the index),
+  * but cannot see future increment bucket populations. New-vs-new
+  * pairs are likewise left to the next batch compaction — the gate's
+  * contract is "does this doc duplicate the CORPUS", not "does it
+  * duplicate this micro-batch". The oracle mirrors exactly that
+  * contract.
+  */
+object StreamDedup {
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_stream_probe", probe, Some(probeSql)))
+
+  /** documents.parquet as a file stream — same dir-vs-single-file
+    * dispatch as CdcStream.eventsStream (driver dirs hold one FILE,
+    * GenScale dirs a directory of parts).
+    */
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rs = s.readStream.schema(schema)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) rs.parquet(p.toString)
+    else rs.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** The arriving increment probed against the standing index; the
+    * increment is the familiar mutant projection (doc_id + 1e6,
+    * first word dropped) so the planted near-dups are the ones every
+    * batch miner in the suite is graded on. Returns the admitted
+    * verdict input: (doc_a standing, doc_b arriving) candidates.
+    */
+  private def probe(s: SparkSession, dir: String): DataFrame = {
+    val qn = s"dedup_stream_probe_${System.nanoTime()}"
+    CdcStream.dropStaleSinks(s, qn)
+    val standing = Tables.parallelized(
+      Tables.documents(s, dir).select("doc_id", "text"))
+    val index = Dedup.bandSignatures(standing, "doc_id", "text", md5Hash = true)
+    // standing-bucket cap: precomputable with the index itself
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val capped = index
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= Dedup.MaxBucket)
+      .drop("__bn")
+    val arriving = docStream(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + Dedup.MutantBase).as("inc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .filter(size(split(col("text"), "\\s+")) >= 3)
+    val streamBands = arriving
+      .select(col("inc_id"),
+        explode(Dedup.rowBandSignatures(col("text"))).as("bs"))
+      .select(col("inc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val pairs = streamBands
+      .join(capped, Seq("band", "sig")) // stream-static, stateless
+      .select(col("doc_id").as("doc_a"), col("inc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    CdcStream.registerStreamingSession(s)
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sdp_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    CdcStream.releaseStreamResources(s)
+    s.table(qn).orderBy("doc_a", "doc_b")
+  }
+
+  private lazy val probeSql = {
+    val standingSql = "SELECT doc_id, text FROM documents"
+    val incSql =
+      s"""SELECT doc_id + ${Dedup.MutantBase} AS doc_id,
+         |       substring(text, instr(text, ' ') + 1) AS text
+         |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+    s"""WITH ${Dedup.bandsCtesFor(standingSql, "_s")},
+       |${Dedup.bandsCtesFor(incSql, "_i")},
+       |capped AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bn FROM allbands_s)
+       |  WHERE bn <= ${Dedup.MaxBucket})
+       |SELECT DISTINCT s.doc_id AS doc_a, i.doc_id AS doc_b
+       |FROM capped s JOIN allbands_i i ON s.band = i.band AND s.sig = i.sig
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

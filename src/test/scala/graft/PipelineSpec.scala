@@ -90,6 +90,31 @@ class PipelineSpec extends AnyFunSuite {
       s"banded join degenerated to an all-pairs product:\n${plan.take(4000)}")
   }
 
+  test("dedup_stream_probe lands exactly on the batch new-vs-index join") {
+    import graft.operators.Dedup
+    val got = SparkEntry.queries("dedup_stream_probe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin of the gate's contract: capped standing index vs the
+    // increment's band rows. Equality also proves rowBandSignatures
+    // (the stream's stateless per-row form) produces bit-identical
+    // signatures to the batch explode+groupBy form.
+    val standing = Tables.parallelized(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    val index = Dedup.bandSignatures(standing, "doc_id", "text", md5Hash = true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val capped = index.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= Dedup.MaxBucket).drop("bn")
+    val inc = standing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val incBands = Dedup.bandSignatures(inc, "doc_id", "text", md5Hash = true)
+      .select(col("doc_id").as("inc_id"), col("band"), col("sig"))
+    val want = capped.join(incBands, Seq("band", "sig"))
+      .select(col("doc_id"), col("inc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("mm_phash finds exactly the planted image variants, nothing else") {
     val pairs = run("mm_phash").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
