@@ -83,6 +83,13 @@ object StreamDedup {
       .select((col("doc_id") + Dedup.MutantBase).as("inc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
       .filter(size(split(col("text"), "\\s+")) >= 3)
+      // landing batches arrive as FEW files, and the md5-per-shingle
+      // banding is compute-bound: without this the whole batch bands
+      // in the file-split count of tasks (ONE for a single landed
+      // file — measured 9.1s vs 2.3s at sf0.1). The shuffle moves
+      // only the increment's text, never the corpus — the streaming
+      // analog of Tables.parallelized.
+      .repartition(s.sparkContext.defaultParallelism)
     val streamBands = arriving
       .select(col("inc_id"),
         explode(Dedup.rowBandSignatures(col("text"))).as("bs"))
