@@ -366,6 +366,28 @@ class CdcSpec extends AnyFunSuite {
     assert(h.count() == expected)
   }
 
+  test("canonicalize fails loudly on timestamp unit drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r7 failure mode: a mis-declared unit lands every ts 1000×
+    // off (1970, or year ~56k), which a windowed agg silently folds
+    // into one window. The canonicalize guard must RAISE instead.
+    val bad = Seq((1L, 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(1234567L))) // 1970-01-01
+    val e = intercept[Exception] {
+      Changelog.canonicalize(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("timestamp unit drift")),
+      s"expected the unit-drift raise_error, got: $e")
+    // in-range timestamps pass through exactly
+    val ok = bad.withColumn("ts", timestamp_micros(lit(1700000000L * 1000000L)))
+    val out = Changelog.canonicalize(ok).select("ts").collect()
+    assert(out.head.getTimestamp(0).toInstant.getEpochSecond == 1700000000L)
+  }
+
   test("stream-stream interval join lands exactly on the batch self-join") {
     import org.apache.spark.sql.functions._
     import graft.QueryDef._
