@@ -72,6 +72,39 @@ class ApiSpec extends AnyFunSuite {
     assert(pairsMd5.contains((1L, 2L)))
   }
 
+  test("bandSignatures index + incrementalDedupVerdicts probe an increment; dsirTopK ranks") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val standing = Seq(
+      (1L, base),
+      (2L, "totally different words about completely unrelated topics here now friends")
+    ).toDF("id", "body")
+    val arriving = Seq(
+      (10L, base + " nu") // near-dup of standing doc 1
+    ).toDF("id", "body")
+    val index = standing.bandSignatures("id", "body")
+    assert(index.columns.toSeq == Seq("doc_id", "band", "sig"))
+    val verdicts = arriving
+      .incrementalDedupVerdicts(index, standing.unionAll(arriving), "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(verdicts.exists(v => v._1 == 1L && v._2 == 10L && v._3 == 1),
+      s"the arriving near-dup must be verified against the index: ${verdicts.toSeq}")
+    assert(!verdicts.exists(v => v._1 == 2L),
+      "the unrelated standing doc must not appear in any pair")
+    // dsirTopK: docs sharing the target's vocabulary rank first
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta alpha beta gamma beta", false),
+      (3L, "zeta eta theta zeta eta theta xx", false)
+    ).toDF("id", "body", "tgt")
+    val ranked = corpus.dsirTopK(col("tgt"), "id", "body", topK = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(ranked.length == 3 && ranked.head._2 == 1L,
+      s"the target doc itself must rank first: ${ranked.toSeq}")
+    val rankOf = ranked.map(_.swap).toMap
+    assert(rankOf(2L) < rankOf(3L),
+      "the doc sharing the target vocabulary must outrank the disjoint one")
+  }
+
   test("withTextStats appends the full feature row") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it is a fine day for sitting on mats today ok"),
