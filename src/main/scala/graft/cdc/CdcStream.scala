@@ -275,9 +275,74 @@ object CdcStream {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
-  /** Serializes streamStreamJoin's wipe-and-run per base query name. */
+  /** Serializes runToParquetSink's wipe-and-run per base query name. */
   private val ssjBaseLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** Run a streaming frame to completion (AvailableNow) through a
+    * PARQUET file sink and return a batch frame over the sink — the
+    * scale-safe alternative to a `memory` sink, whose output is
+    * driver-resident and grows with traffic (the anti-pattern this
+    * repo removed twice: cdc_stream_join in r5, dedup_stream_probe in
+    * r9). Results land on storage; the driver only holds the path.
+    *
+    * Per-BASE-query scratch root, pruned on entry: invocations carry
+    * nanoTime-suffixed names (fresh checkpoint by design), so temp
+    * sink + checkpoint dirs would otherwise accumulate a full output
+    * per bench pass. The prune-and-run is serialized per base under a
+    * JVM lock — without it a concurrent same-base invocation
+    * (parallel suites share the JVM) could delete an ACTIVE run's
+    * sink and checkpoint mid-stream. The prune RETAINS the newest
+    * previous generation rather than wiping the root: the lock can't
+    * stop a parallel thread from still holding the PREVIOUS
+    * invocation's lazy frame over its out_ dir, and consuming it
+    * after a same-base re-run would hit FileNotFound against a wiped
+    * root. One generation of grace closes that race (disk stays
+    * bounded at 2 generations per base); a reader two generations
+    * stale is outside any plausible interleaving of the suites that
+    * share this JVM.
+    */
+  private[graft] def runToParquetSink(
+      s: SparkSession,
+      queryName: String,
+      out: DataFrame,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val base = queryName.replaceAll("_\\d+$", "")
+    val scratchRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ssj", base)
+    val sinkDir = ssjBaseLocks.computeIfAbsent(base, _ => new Object)
+      .synchronized {
+        java.nio.file.Files.createDirectories(scratchRoot)
+        val kids = Option(scratchRoot.toFile.listFiles()).getOrElse(Array.empty)
+        Seq("out_", "ckpt_").foreach { prefix =>
+          kids.filter(_.getName.startsWith(prefix))
+            .sortBy(-_.lastModified())
+            .drop(1) // keep the newest previous generation
+            .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "out_").toString
+        withStatePartitions(s, statePartitions) {
+          registerStreamingSession(s)
+          val q = out.writeStream
+            .outputMode(OutputMode.Append)
+            .format("parquet")
+            .queryName(queryName)
+            .option("path", dir)
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        dir
+      }
+    releaseStreamResources(s)
+    // Explicit schema: an empty stream commits ZERO data files and
+    // schema inference would throw; with the stream's own schema the
+    // read yields an empty frame instead.
+    s.read.schema(out.schema).parquet(sinkDir)
+  }
 
   /** Must be called BEFORE a streaming query starts (every graft
     * start path does): registration at release time only would leave
@@ -380,57 +445,7 @@ object CdcStream {
       col("key") === col("p_key") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-    // Per-BASE-query scratch root, pruned on entry: invocations carry
-    // nanoTime-suffixed names (fresh checkpoint by design), so temp
-    // sink + checkpoint dirs would otherwise accumulate a full pair
-    // output per bench pass. The prune-and-run is serialized per base
-    // under a JVM lock — without it a concurrent same-base invocation
-    // (parallel suites share the JVM) could delete an ACTIVE run's
-    // sink and checkpoint mid-stream. The prune RETAINS the newest
-    // previous generation rather than wiping the root: the lock can't
-    // stop a parallel thread from still holding the PREVIOUS
-    // invocation's lazy frame over its out_ dir, and consuming it
-    // after a same-base re-run would hit FileNotFound against a wiped
-    // root. One generation of grace closes that race (disk stays
-    // bounded at 2 generations per base); a reader two generations
-    // stale is outside any plausible interleaving of the suites that
-    // share this JVM.
-    val base = queryName.replaceAll("_\\d+$", "")
-    val scratchRoot = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ssj", base)
-    val sinkDir = ssjBaseLocks.computeIfAbsent(base, _ => new Object)
-      .synchronized {
-        java.nio.file.Files.createDirectories(scratchRoot)
-        val kids = Option(scratchRoot.toFile.listFiles()).getOrElse(Array.empty)
-        Seq("out_", "ckpt_").foreach { prefix =>
-          kids.filter(_.getName.startsWith(prefix))
-            .sortBy(-_.lastModified())
-            .drop(1) // keep the newest previous generation
-            .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-        }
-        val out = java.nio.file.Files
-          .createTempDirectory(scratchRoot, "out_").toString
-        withStatePartitions(s, statePartitions) {
-          registerStreamingSession(s)
-          val q = pairs.writeStream
-            .outputMode(OutputMode.Append)
-            .format("parquet")
-            .queryName(queryName)
-            .option("path", out)
-            .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_").toString)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        out
-      }
-    releaseStreamResources(s)
-    // Explicit schema: a pair-less corpus commits ZERO data files and
-    // schema inference would throw; with the stream's own schema the
-    // read yields an empty frame and the aggregation returns 0 rows,
-    // matching the batch oracle.
-    s.read.schema(pairs.schema).parquet(sinkDir)
+    runToParquetSink(s, queryName, pairs, statePartitions)
       .groupBy(date_trunc("day", col("click_ts")).as("day"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("key")).as("n_users"),
@@ -509,13 +524,22 @@ private[cdc] object Tables0 {
   /** `ts` as native µs TimestampType (current testdata). */
   val eventsSchemaMicros: StructType = schemaWithTs(TimestampType)
 
-  /** Probe one parquet footer and return the schema whose `ts` type
-    * matches the file's actual timestamp unit. Driver-side, one
-    * footer, O(KB) — the same layout-dispatch precedent as
-    * [[CdcStream.eventsStream]]'s dir-vs-file probe. A missing path
-    * (landing dir before the first write) defaults to the µs schema:
-    * that is what every current producer (driver + GenScale on
-    * current Spark) writes.
+  /** Probe the parquet footers and return the schema whose `ts` type
+    * matches the files' actual timestamp unit. Driver-side, footers
+    * only, O(KB) each, and setup-time-only — the same layout-dispatch
+    * precedent as [[CdcStream.eventsStream]]'s dir-vs-file probe. A
+    * missing path (landing dir before the first write) defaults to
+    * the µs schema: that is what every current producer (driver +
+    * GenScale on current Spark) writes.
+    *
+    * ALL leaf footers are probed, because one schema governs every
+    * file the stream will read: a landing dir mixing old
+    * nanos-as-long parts with new micros parts has NO single correct
+    * schema (whichever unit the schema declares silently corrupts the
+    * other files' timestamps 1000×), so a mixed dir fails fast HERE
+    * with a clear error instead of mid-scan via the canonicalize
+    * year-range guard. Files landing after setup are still covered by
+    * that guard.
     */
   def eventsStreamSchema(s: SparkSession, dir: String): StructType =
     if (tsReadsAsLong(s, dir)) eventsSchema else eventsSchemaMicros
@@ -524,22 +548,34 @@ private[cdc] object Tables0 {
     * raw long: annotated TIMESTAMP(NANOS), or a plain INT64 carrying
     * nanos (old GenScale wrote the nanos-as-long column back without
     * a logical annotation). Annotated µs/ms timestamps → false
-    * (Spark reads them natively as TimestampType).
+    * (Spark reads them natively as TimestampType). Throws on a dir
+    * whose part files disagree — see [[eventsStreamSchema]].
     */
   private def tsReadsAsLong(s: SparkSession, dir: String): Boolean = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return false
-    val leaf =
+    val leaves =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(return false)
-      else p
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(p)
+    val units = leaves.map(leafTsIsLong(_, conf)).distinct
+    if (units.size > 1)
+      throw new IllegalStateException(
+        s"$p mixes timestamp units across part files (nanos-as-long and " +
+          "micros) — no single stream schema reads both without corrupting " +
+          "one set 1000x; rewrite the old-unit parts or split the landing dir")
+    units.headOption.getOrElse(false)
+  }
+
+  private def leafTsIsLong(
+      leaf: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(leaf, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema

@@ -1,9 +1,8 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.cdc.CdcStream
 
 /** Streaming landing gate: near-dup screening of ARRIVING documents
@@ -68,10 +67,9 @@ object StreamDedup {
     */
   private def probe(s: SparkSession, dir: String): DataFrame = {
     val qn = s"dedup_stream_probe_${System.nanoTime()}"
-    CdcStream.dropStaleSinks(s, qn)
-    val standing = Tables.parallelized(
-      Tables.documents(s, dir).select("doc_id", "text"))
-    val index = Dedup.bandSignatures(standing, "doc_id", "text", md5Hash = true)
+    // the PERSISTED standing index (Dedup.standingIndex): the gate
+    // probes a built index, it never re-shingles the corpus
+    val index = Dedup.standingIndex(s, dir)
     // standing-bucket cap: precomputable with the index itself
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
     val capped = index
@@ -98,18 +96,11 @@ object StreamDedup {
       .join(capped, Seq("band", "sig")) // stream-static, stateless
       .select(col("doc_id").as("doc_a"), col("inc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    CdcStream.registerStreamingSession(s)
-    val q = pairs.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("sdp_ckpt_").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    CdcStream.releaseStreamResources(s)
-    s.table(qn).orderBy("doc_a", "doc_b")
+    // PARQUET file sink (pair volume scales with landing traffic —
+    // a memory sink would accumulate it on the driver), scratch +
+    // checkpoint dirs pruned per base name by the shared runner
+    CdcStream.runToParquetSink(s, qn, pairs)
+      .orderBy("doc_a", "doc_b")
   }
 
   private lazy val probeSql = {

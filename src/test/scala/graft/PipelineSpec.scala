@@ -115,6 +115,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("dedup_stream_probe sinks to parquet files, never driver memory") {
+    // r8 verdict: the memory sink is a driver collect in disguise —
+    // pair volume scales with landing traffic. The returned frame
+    // must scan the parquet FILE sink, and no memory-sink temp view
+    // may be left behind (the memory sink registers one per query).
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = SparkEntry.queries("dedup_stream_probe")(spark, sf)
+    val parquetScan = df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.fileFormat.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(parquetScan,
+      s"probe result must read the parquet sink:\n${df.queryExecution.optimizedPlan}")
+    val memViews = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("dedup_stream_probe_"))
+    assert(memViews.isEmpty,
+      s"memory-sink temp views present: ${memViews.map(_.name).mkString(",")}")
+  }
+
+  test("standingIndex builds once per (session, dir) and is persisted") {
+    import graft.operators.Dedup
+    val a = Dedup.standingIndex(spark, sf)
+    val b = Dedup.standingIndex(spark, sf)
+    assert(a eq b, "second lookup must return the cached index frame")
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk,
+      s"index must be persisted, got ${a.storageLevel}")
+  }
+
+  test("dedup_index_maintain: day-2 probe sees day-1 admissions through the grown index") {
+    val mb = 1000000L
+    val rows = run("dedup_index_maintain").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // contract: every verdict touches the day-2 increment
+    assert(rows.nonEmpty && rows.forall(p => p._1 >= 2 * mb || p._2 >= 2 * mb))
+    // the lifecycle point: day1-vs-day2 pairs (mutants of the same
+    // ancestor) are findable ONLY because day-1 bands were appended
+    // to the index — a probe against the day-0 index can't see them
+    val cross = rows.filter(p => p._1 >= mb && p._1 < 2 * mb && p._2 >= 2 * mb)
+    assert(cross.nonEmpty, "no day1-vs-day2 pairs — the index did not grow")
+    val sameAncestor = cross.filter(p => p._2 == p._1 + mb)
+    assert(sameAncestor.exists(_._4 == 1),
+      "same-ancestor day1/day2 mutants should verify as near-dups")
+  }
+
   test("mm_phash finds exactly the planted image variants, nothing else") {
     val pairs = run("mm_phash").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
