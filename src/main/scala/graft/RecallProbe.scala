@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-replica recall probe for GenScale-scaled directories — the
@@ -44,23 +44,31 @@ object RecallProbe {
   val JaccardContract = 0.7
   val EmbeddingFloor = 0.95
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "bench-data/sf1")
-    val cpus = sys.env.getOrElse(
-      "SPARK_GRAFT_CPUS",
-      (Runtime.getRuntime.availableProcessors() min 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val stride = GenScale.Stride
+  /** Recall counts over a GenScale-perturbed corpus; recalls are 0
+    * when the corresponding expected set is empty (assert the counts
+    * before trusting the ratios). */
+  final case class Result(
+      nDocs: Long, nDocsFound: Long,
+      nContract: Long, nContractFound: Long,
+      nVecs: Long, nVecsFound: Long) {
+    def minhashRecallAll: Double =
+      if (nDocs == 0) 0.0 else nDocsFound.toDouble / nDocs
+    def minhashRecallContract: Double =
+      if (nContract == 0) 0.0 else nContractFound.toDouble / nContract
+    def embeddingRecall: Double =
+      if (nVecs == 0) 0.0 else nVecsFound.toDouble / nVecs
+  }
 
+  /** The measurement itself, over in-memory frames so the spec can
+    * run it on a generated-in-test GenScale corpus (RecallSpec pins
+    * the floors in `sbt test`; the main remains the sf1 probe).
+    * `docs` = (doc_id, text), `emb` = (vec_id, embedding) with the
+    * (base, base + Stride) replica structure GenScale plants.
+    */
+  def measure(docs0: DataFrame, emb: DataFrame): Result = {
+    val stride = GenScale.Stride
     // -- minhash over documents ------------------------------------
-    val docs = Tables.parallelized(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("text"))
+    val docs = docs0.select(col("doc_id"), col("text"))
     // exact per-pair 3-shingle Jaccard for the planted twins: the
     // probe's ground truth must be computed independently of the
     // miner (distinct md5 shingle sets, base vs base+Stride)
@@ -86,13 +94,12 @@ object RecallProbe {
         count(when(col("jac") >= JaccardContract, 1)).as("n_contract"),
         sum(when(col("jac") >= JaccardContract, col("__hit"))).as("hit_contract"))
       .collect()(0)
-    val (nDocs, nDocsFound) = (agg.getLong(0), Option(agg.get(1)).fold(0L)(_ => agg.getLong(1)))
-    val (nContract, nContractFound) =
-      (agg.getLong(2), Option(agg.get(3)).fold(0L)(_ => agg.getLong(3)))
+    val nDocs: Long = agg.getLong(0)
+    val nDocsFound: Long = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val nContract: Long = agg.getLong(2)
+    val nContractFound: Long = if (agg.isNullAt(3)) 0L else agg.getLong(3)
 
     // -- embedding pairs over embeddings ---------------------------
-    val emb = Tables.parallelized(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding"))
     val expectedVecs = emb.select(col("vec_id")).filter(col("vec_id") < stride)
       .join(emb.select((col("vec_id") - stride).as("vec_id")), Seq("vec_id"))
     val embFound = operators.Similarity
@@ -100,22 +107,38 @@ object RecallProbe {
       .filter(col("vec_b") === col("vec_a") + stride && col("vec_a") < stride)
       .select(col("vec_a").as("vec_id")).distinct()
       .join(expectedVecs, Seq("vec_id"))
-    val (nVecs, nVecsFound) = (expectedVecs.count(), embFound.count())
+    Result(nDocs, nDocsFound, nContract, nContractFound,
+      expectedVecs.count(), embFound.count())
+  }
 
-    val mrAll = if (nDocs == 0) 0.0 else nDocsFound.toDouble / nDocs
-    val mrC = if (nContract == 0) 0.0 else nContractFound.toDouble / nContract
-    val er = if (nVecs == 0) 0.0 else nVecsFound.toDouble / nVecs
-    println(s"""{"sf_dir":"$sfDir","minhash_expected":$nDocs,"minhash_found":$nDocsFound,""" +
-      f""""minhash_recall_all":$mrAll%.4f,""" +
-      s""""minhash_contract_expected":$nContract,"minhash_contract_found":$nContractFound,""" +
-      f""""minhash_recall_contract":$mrC%.4f,"embedding_expected":$nVecs,""" +
-      f""""embedding_found":$nVecsFound,"embedding_recall":$er%.4f}""")
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "bench-data/sf1")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS",
+      (Runtime.getRuntime.availableProcessors() min 32).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = measure(
+      Tables.parallelized(Tables.documents(spark, sfDir)),
+      Tables.parallelized(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding")))
+    println(s"""{"sf_dir":"$sfDir","minhash_expected":${r.nDocs},"minhash_found":${r.nDocsFound},""" +
+      f""""minhash_recall_all":${r.minhashRecallAll}%.4f,""" +
+      s""""minhash_contract_expected":${r.nContract},"minhash_contract_found":${r.nContractFound},""" +
+      f""""minhash_recall_contract":${r.minhashRecallContract}%.4f,"embedding_expected":${r.nVecs},""" +
+      f""""embedding_found":${r.nVecsFound},"embedding_recall":${r.embeddingRecall}%.4f}""")
     spark.stop()
-    require(nDocs > 0 && nVecs > 0,
+    require(r.nDocs > 0 && r.nVecs > 0,
       s"$sfDir has no (base, base+Stride) replica pairs — not a GenScale dir?")
-    require(nContract > 0, s"no pairs at Jaccard >= $JaccardContract — corpus too perturbed?")
-    require(mrC >= MinhashFloor,
-      f"minhash contract recall $mrC%.4f below floor $MinhashFloor")
-    require(er >= EmbeddingFloor, f"embedding recall $er%.4f below floor $EmbeddingFloor")
+    require(r.nContract > 0, s"no pairs at Jaccard >= $JaccardContract — corpus too perturbed?")
+    require(r.minhashRecallContract >= MinhashFloor,
+      f"minhash contract recall ${r.minhashRecallContract}%.4f below floor $MinhashFloor")
+    require(r.embeddingRecall >= EmbeddingFloor,
+      f"embedding recall ${r.embeddingRecall}%.4f below floor $EmbeddingFloor")
   }
 }
