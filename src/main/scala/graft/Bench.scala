@@ -106,6 +106,26 @@ object Bench {
     // line — the round-6 artifact's tail window clipped everything
     // above pass3, so the richest map must sit adjacent to the tail.
     println(s"""best_queries ${toJson(best)}""")
+    // The COMPLETE per-query detail also lands in a file: by round 8
+    // the suite outgrew even the per-line protocol (the artifact's
+    // tail window clipped the ~24 alphabetically-first entries of the
+    // per-query lines, so round-over-round cdc_* ratios couldn't be
+    // audited from the artifact). The file is the audit record; the
+    // stdout lines remain the at-a-glance view.
+    val mapPath = sys.env.getOrElse("SPARK_GRAFT_MAP_PATH", "BENCH_map.json")
+    val mapJson = new StringBuilder("{\n")
+    mapJson ++= s""""sf":"$sfDir","passes":$passes,"nq":${best.size},"""
+    mapJson ++= s""""best_total":${r3(bestTotal)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"""
+    mapJson ++= s""""pass_totals":[${all.map(p => r3(p.map(_._2).sum)).mkString(",")}],"""
+    mapJson ++= "\n" + all.zipWithIndex.map { case (p, i) =>
+      s""""pass$i":${toJson(p)}""" }.mkString(",\n")
+    mapJson ++= s""",\n"spread":${toJson(spread)}"""
+    mapJson ++= s""",\n"best":${toJson(best)}\n}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mapPath), mapJson.toString)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] map write failed: ${e.getMessage}")
+    }
     // FINAL stdout line = totals only (~120 bytes) so it parses under
     // any tail window; "queries" points at the line above
     println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"nq":${best.size},"sf":"$sfDir"}""")

@@ -21,6 +21,18 @@ import graft.Tables
   */
 object Changelog {
 
+  /** Valid event-time year window for the unit-drift guard in
+    * [[canonicalize]]. The testdata generator's timestamp domain is
+    * 2023-2025, and a mis-declared parquet unit lands 1000× off
+    * (1970 or ~year 56k) — so a century of slack cleanly separates
+    * "data domain widened" from "unit drift". A deployment whose
+    * event times legitimately leave this window must widen these
+    * bounds DELIBERATELY; the guard failing loudly on such data is
+    * its contract, not a bug.
+    */
+  val GuardMinYear = 2000
+  val GuardMaxYear = 2100
+
   def fromEvents(s: SparkSession, dir: String): DataFrame =
     canonicalize(Tables.events(s, dir))
 
@@ -62,9 +74,12 @@ object Changelog {
     // 1000× off (1970 or year ~56k), which a windowed agg would
     // quietly fold into one window. Fail the scan on the first bad
     // row instead — cheap codegen'd branch, no UDF.
-    val tsCol = when(decoded.isNull || year(decoded).between(2000, 2100), decoded)
+    val tsCol = when(
+        decoded.isNull || year(decoded).between(GuardMinYear, GuardMaxYear),
+        decoded)
       .otherwise(raise_error(concat(
-        lit("events.ts outside years [2000,2100] — timestamp unit drift? got "),
+        lit(s"events.ts outside years [$GuardMinYear,$GuardMaxYear] — " +
+          "timestamp unit drift? got "),
         decoded.cast("string"))))
     events.select(
       lit("events").as("table"),
