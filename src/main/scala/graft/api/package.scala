@@ -299,6 +299,19 @@ package object api {
 
     // --- curation ---------------------------------------------------
 
+    /** τ=1/2-tempered multinomial domain mixture (the GPT-3/LLaMA
+      * data-recipe sampler): EXACTLY floor(budget · sqrt(n_d)/Z)
+      * docs per domain — small domains up-weighted, nothing
+      * discarded by fiat — selected by deterministic hash rank, so
+      * the pick is reproducible and stable under corpus growth.
+      * Budget = n_total / budgetFrac docs. Returns (domain, id).
+      */
+    def temperatureMixSelect(
+        idCol: String = "doc_id",
+        domainCol: String = "source",
+        budgetFrac: Long = 10L): DataFrame =
+      graft.operators.Curation.temperatureMixSelect(df, idCol, domainCol, budgetFrac)
+
     /** Deterministic train/val/test assignment keyed on `idCol`:
       * stable under corpus growth (adding docs never reshuffles
       * existing assignments), reproducible across runs and engines.

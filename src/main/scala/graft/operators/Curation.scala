@@ -37,7 +37,8 @@ object Curation {
     QueryDef("cur_shuffle", shuffleQ, Some(shuffleSql)),
     QueryDef("cur_semdedup", semdedup, Some(semdedupSql)),
     QueryDef("cur_bm25", bm25, Some(bm25Sql)),
-    QueryDef("cur_dsir", dsir, Some(dsirSql))
+    QueryDef("cur_dsir", dsir, Some(dsirSql)),
+    QueryDef("cur_temperature_mix", temperatureMix, Some(temperatureMixSql))
   )
 
   // ---------------------------------------------------------------
@@ -334,6 +335,107 @@ object Curation {
        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
        |FROM d WHERE ${hexFracSql("h")} < rate
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // --- cur_temperature_mix: τ-tempered multinomial mixture -------
+  // The LLM-data-recipe sampler (GPT-3/LLaMA style): domain d gets a
+  // share ∝ n_d^τ of the doc budget — τ<1 flattens the natural
+  // distribution, up-weighting small domains without discarding the
+  // head. EXACTLY-t_d docs per domain (not rate-expected — that is
+  // cur_sample_stratified), chosen as the t_d smallest deterministic
+  // hash fractions, so the selection is reproducible and grows
+  // stably as the corpus grows.
+  //
+  // Scale: pass 1 is a map-side-combined count to |domains| rows,
+  // COLLECTED like the PQ seeds/IVF centroids (a bounded driver
+  // table) so the main pass never re-runs the agg; its τ-powered
+  // integer targets broadcast back. Pass 2 ranks per domain through
+  // the TopKPerKey bounded heap (k = max target — O(n log k), no
+  // per-domain full sort) and re-ranks only the ≤|domains|·maxT
+  // survivors with a window that reuses the heap's keyed exchange.
+  // For a domain so large even maxT rows on one reducer hurts, the
+  // production variant estimates a per-domain u-threshold from a
+  // sample, filters map-side, and exact-trims the remainder — the
+  // same two-phase shape, documented here because the suite's
+  // domains don't reach it.
+  //
+  // Numeric determinism: sqrt is IEEE-correctly-rounded on both
+  // engines (pow(n, 0.5) is NOT guaranteed to be — avoided); the
+  // τ-weight sum rides DECIMAL(18,9) so partial-agg order can't
+  // shift an ulp; targets then derive in identical double arithmetic
+  // on identical inputs.
+  // τ is fixed at 1/2 (share ∝ sqrt(n)) so the power IS sqrt — the
+  // one fractional power with an IEEE correctness guarantee; other
+  // τ need a pow() whose last-ulp behavior the oracle can't pin.
+  private val MixBudgetFrac = 10L // budget = n_total / this
+
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixSelect(Tables.documents(s, dir), "doc_id", "source")
+
+  /** Library form over any (id, domain) frame — see the §2 entry's
+    * design notes above. Returns the selected (domain, id) rows. */
+  def temperatureMixSelect(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      budgetFrac: Long = MixBudgetFrac): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(domainCol).as("source"))
+    val s = docs.sparkSession
+    val counts = d.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .collect()
+    val nTot = counts.map(_.getLong(1)).sum
+    val z = counts.map(r => BigDecimal(r.getDecimal(2))).sum
+    val budget = nTot / budgetFrac
+    val targets = counts.map { r =>
+      (r.getString(0),
+        math.floor(budget.toDouble *
+          r.getDecimal(2).doubleValue() / z.toDouble).toLong)
+    }
+    val maxT = (targets.map(_._2).max max 1L).toInt
+    import s.implicits._
+    val tDf = broadcast(targets.toSeq.toDF("source", "t"))
+    val hashed = d
+      .withColumn("u", graft.functions.DetHash.frac(col("doc_id"), "tmix:"))
+      .withColumn("negu", -col("u"))
+      // doc_id tiebreak for 48-bit-fraction collisions, as in exactK
+      .withColumn("negid", -col("doc_id").cast("double"))
+    val survivors = graft.plans.TopKPerKey(
+      hashed, Seq("source"), "negu", maxT, tiebreakCol = Some("negid"))
+    val w = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(w))
+      .join(tDf, Seq("source"))
+      .filter(col("rk") <= col("t"))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  private lazy val temperatureMixSql =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source
+       |), cw AS (
+       |  SELECT source, n, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS w FROM c
+       |), t AS (
+       |  SELECT source,
+       |         CAST(floor(CAST((SELECT sum(n) FROM c) // $MixBudgetFrac AS DOUBLE)
+       |                    * CAST(w AS DOUBLE)
+       |                    / CAST((SELECT sum(w) FROM cw) AS DOUBLE)) AS BIGINT) AS t
+       |  FROM cw
+       |), f AS (
+       |  SELECT doc_id, source, md5('tmix:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY ${hexFracSql("h")}, doc_id) AS rn
+       |  FROM f
+       |)
+       |SELECT r.source AS source, r.doc_id AS doc_id
+       |FROM r JOIN t ON r.source = t.source
+       |WHERE rn <= t.t
+       |ORDER BY r.source, r.doc_id""".stripMargin
 
   // --- cur_vocab: corpus vocabulary statistics -------------------
   // Token frequency + document frequency, top 100. Map-side partial

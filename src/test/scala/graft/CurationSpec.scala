@@ -108,6 +108,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("cur_temperature_mix flattens the domain distribution, exactly-t per domain") {
+    val natural = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("cur_temperature_mix").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val total = natural.values.sum
+    // exact targets: floor((total/10) * sqrt(n_d) / Z) per domain
+    val z = natural.values.map(n => math.sqrt(n.toDouble)).sum
+    natural.foreach { case (d, n) =>
+      val t = math.floor((total / 10).toDouble * math.sqrt(n.toDouble) / z).toLong
+      assert(kept.getOrElse(d, 0L) == t, s"domain $d: want $t got ${kept.get(d)}")
+    }
+    // τ<1 flattening: every domain's kept SHARE of the selection is
+    // ordered opposite-of-proportionally — the largest domain's
+    // kept/n ratio is the smallest
+    val ratios = natural.collect {
+      case (d, n) if kept.getOrElse(d, 0L) > 0 => n -> kept(d).toDouble / n }
+    assert(ratios.maxBy(_._1)._2 <= ratios.minBy(_._1)._2 + 1e-12)
+    // library form agrees with the §2 entry
+    import graft.api._
+    val viaApi = Tables.documents(spark, sf)
+      .temperatureMixSelect().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaApi == run("cur_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("cur_vocab: df <= freq, descending frequency, capped at 100") {
     val rows = run("cur_vocab").collect()
     assert(rows.length <= 100)
