@@ -210,6 +210,16 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("cur_temperature_mix plans through the heap with a broadcast target join") {
+    val plan = run("cur_temperature_mix").queryExecution.executedPlan.toString
+    // the corpus-sized rank rides the bounded heap; the |domains|-row
+    // target table joins broadcast; no corpus-sized sort-merge join
+    assert(plan.contains("TopKPerKey ["), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q30 plans through the bounded-heap TopKPerKey, not a sort") {
     val plan = SparkEntry.queries("q30_kmv_sketch")(spark, sf)
       .queryExecution.executedPlan.toString
