@@ -161,23 +161,16 @@ object CdcStream {
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(applyGroup)
-    withStatePartitions(s, statePartitions) {
-      registerStreamingSession(s)
-      val q = upserts.writeStream
-        .outputMode(OutputMode.Update)
-        .format("memory")
-        .queryName(queryName)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("cdc_ckpt_").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    releaseStreamResources(s)
+    // Update-mode emissions land in a parquet file sink via
+    // foreachBatch — snapshot state is |keys|-sized, which grows with
+    // the corpus, so a memory sink here would be a driver collect
+    val emissions = runToParquetForeachBatch(
+      s, queryName, upserts.toDF(), OutputMode.Update, statePartitions)
     // multiple micro-batches may re-emit a key; keep the last
-    // emission, then drop tombstoned keys
+    // emission (max last_offset per key — append-order-independent),
+    // then drop tombstoned keys
     CdcApply.snapshot(
-      s.table(queryName)
+      emissions
         .withColumn("op", when(col("deleted"), Op.Delete).otherwise(Op.Update)),
       keyCols = Seq("key"), offsetCol = "last_offset")
       .drop("op", "deleted")
@@ -205,20 +198,8 @@ object CdcStream {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     def src() = eventsStream(s, dir)
     val deduped = src().unionAll(src()).dropDuplicates("event_id")
-    withStatePartitions(s, statePartitions) {
-      registerStreamingSession(s)
-      val q = deduped.writeStream
-        .outputMode(OutputMode.Append)
-        .format("memory")
-        .queryName(queryName)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("cdc_dedup_ckpt_").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    releaseStreamResources(s)
-    s.table(queryName)
+    // deduped output is corpus-sized — file sink, never driver memory
+    runToParquetSink(s, queryName, deduped, statePartitions)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")
@@ -302,11 +283,9 @@ object CdcStream {
     * stale is outside any plausible interleaving of the suites that
     * share this JVM.
     */
-  private[graft] def runToParquetSink(
+  private def runInPrunedScratch(
       s: SparkSession,
-      queryName: String,
-      out: DataFrame,
-      statePartitions: Option[Int] = None): DataFrame = {
+      queryName: String)(run: (String, String) => Unit): String = {
     val base = queryName.replaceAll("_\\d+$", "")
     val scratchRoot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_ssj", base)
@@ -322,25 +301,73 @@ object CdcStream {
         }
         val dir = java.nio.file.Files
           .createTempDirectory(scratchRoot, "out_").toString
-        withStatePartitions(s, statePartitions) {
-          registerStreamingSession(s)
-          val q = out.writeStream
-            .outputMode(OutputMode.Append)
-            .format("parquet")
-            .queryName(queryName)
-            .option("path", dir)
-            .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_").toString)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
+        run(dir, java.nio.file.Files
+          .createTempDirectory(scratchRoot, "ckpt_").toString)
         dir
       }
     releaseStreamResources(s)
+    sinkDir
+  }
+
+  private[graft] def runToParquetSink(
+      s: SparkSession,
+      queryName: String,
+      out: DataFrame,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
+      withStatePartitions(s, statePartitions) {
+        registerStreamingSession(s)
+        val q = out.writeStream
+          .outputMode(OutputMode.Append)
+          .format("parquet")
+          .queryName(queryName)
+          .option("path", dir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
     // Explicit schema: an empty stream commits ZERO data files and
     // schema inference would throw; with the stream's own schema the
     // read yields an empty frame instead.
+    s.read.schema(out.schema).parquet(sinkDir)
+  }
+
+  /** [[runToParquetSink]] for the output modes the file sink cannot
+    * take — Update from stateful operators, Complete from
+    * aggregations — via foreachBatch, the production shape for both
+    * (a real deployment merges each batch into a sink table, as
+    * cdc_ingest does; here each batch lands as parquet). Update
+    * emissions APPEND (the reader is expected to fold re-emissions —
+    * e.g. last-offset-wins per key, which is order-independent);
+    * Complete batches OVERWRITE (each batch is the whole state, the
+    * last one is the answer). Results live on storage either way —
+    * the driver never holds output rows.
+    */
+  private[graft] def runToParquetForeachBatch(
+      s: SparkSession,
+      queryName: String,
+      out: DataFrame,
+      mode: OutputMode,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
+      withStatePartitions(s, statePartitions) {
+        registerStreamingSession(s)
+        val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+          batch.write
+            .mode(if (mode == OutputMode.Complete()) "overwrite" else "append")
+            .parquet(dir)
+        val q = out.writeStream
+          .outputMode(mode)
+          .foreachBatch(writeBatch)
+          .queryName(queryName)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
     s.read.schema(out.schema).parquet(sinkDir)
   }
 
@@ -472,20 +499,11 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("total_value"))
-    withStatePartitions(s, statePartitions) {
-      registerStreamingSession(s)
-      val q = agg.writeStream
-        .outputMode(OutputMode.Complete)
-        .format("memory")
-        .queryName(queryName)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("cdc_wckpt_").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    releaseStreamResources(s)
-    s.table(queryName)
+    // Complete-mode state via foreachBatch overwrite: each batch is
+    // the whole aggregate, the last overwrite is the answer — window
+    // cardinality is bounded but still not the driver's to hold
+    runToParquetForeachBatch(
+      s, queryName, agg, OutputMode.Complete, statePartitions)
   }
 }
 
