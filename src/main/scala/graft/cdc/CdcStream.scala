@@ -598,11 +598,16 @@ private[cdc] object Tables0 {
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       if (!schema.containsField("ts")) return false
-      schema.getType(schema.getFieldIndex("ts"))
-        .asPrimitiveType().getLogicalTypeAnnotation match {
+      val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+      prim.getLogicalTypeAnnotation match {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
           t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        case null => true // plain INT64: old GenScale nanos-as-long write-back
+        case null =>
+          // plain INT64: old GenScale nanos-as-long write-back. INT96
+          // (Spark's legacy timestamp encoding, also unannotated) is
+          // NOT a long — only the INT64 form carries raw nanos.
+          prim.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
         case _ => false
       }
     } finally reader.close()
