@@ -126,12 +126,14 @@ object Cdc {
     CdcApply.offsetCommits(log.unionAll(log)).orderBy("source_file")
   }
 
+  // the offset-ordered replay's watermark degenerates to the offset
+  // itself (see CdcApply.offsetCommits) — the oracle states the
+  // degenerate form directly
   private val offsetCommitSql =
     s"""SELECT source_file, MAX("offset") AS committed_offset,
-       | COUNT(DISTINCT wm) AS n_commits, COUNT(*) AS n_events
+       | COUNT(DISTINCT "offset") AS n_commits, COUNT(*) AS n_events
        |FROM (
-       |  SELECT 'mysql-bin.000001' AS source_file, "offset",
-       |         MAX("offset") OVER (ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+       |  SELECT 'mysql-bin.000001' AS source_file, "offset"
        |  FROM (SELECT "offset" FROM ($changelogSql)
        |        UNION ALL SELECT "offset" FROM ($changelogSql)))
        |GROUP BY source_file ORDER BY source_file""".stripMargin
