@@ -366,6 +366,27 @@ class CdcSpec extends AnyFunSuite {
     assert(h.count() == expected)
   }
 
+  test("offsetCommits: offset-ordered replay degenerates; arrival order does not") {
+    import spark.implicits._
+    // arrival order 10,30,20,40: watermarks 10,30,30,40 → 3 distinct
+    // effective commits (re-committing under the 30 watermark is the
+    // idempotent no-op the reference's LogCommitter models)
+    val log = Seq((1, 10L), (2, 30L), (3, 20L), (4, 40L))
+      .toDF("arrival", "offset")
+      .withColumn("source_file",
+        org.apache.spark.sql.functions.lit("bin.1"))
+    val ooo = graft.cdc.CdcApply
+      .offsetCommits(log, arrivalCol = Some("arrival"))
+      .collect()(0)
+    assert(ooo.getAs[Long]("committed_offset") == 40L)
+    assert(ooo.getAs[Long]("n_commits") == 3L)
+    assert(ooo.getAs[Long]("n_events") == 4L)
+    // default (offset-ordered) form: distinct offsets
+    val inOrder = graft.cdc.CdcApply.offsetCommits(log).collect()(0)
+    assert(inOrder.getAs[Long]("committed_offset") == 40L)
+    assert(inOrder.getAs[Long]("n_commits") == 4L)
+  }
+
   test("canonicalize fails loudly on timestamp unit drift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
