@@ -141,9 +141,12 @@ object CdcApply {
     val base = arrivalCol match {
       case None => changelog.withColumn("__watermark", col(offsetCol))
       case Some(a) =>
+        // offsetCol as the tie-break keeps equal-arrival rows in a
+        // deterministic order — without it the distinct-watermark
+        // count could differ run to run on arrival collisions
         val w = Window
           .partitionBy(sourceCols.map(col): _*)
-          .orderBy(col(a))
+          .orderBy(col(a), col(offsetCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         changelog.withColumn("__watermark", max(col(offsetCol)).over(w))
     }

@@ -21,6 +21,7 @@ object Cdc {
     QueryDef("cdc_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("cdc_before_after", beforeAfter, Some(beforeAfterSql)),
     QueryDef("cdc_offset_commit", offsetCommit, Some(offsetCommitSql)),
+    QueryDef("cdc_commit_watermark", commitWatermark, Some(commitWatermarkSql)),
     QueryDef("cdc_ddl_parse", ddlParse, Some(ddlParseSql)),
     QueryDef("cdc_type_decode", typeDecode, None),
     QueryDef("cdc_binlog_source", binlogSource, None),
@@ -137,6 +138,45 @@ object Cdc {
        |  FROM (SELECT "offset" FROM ($changelogSql)
        |        UNION ALL SELECT "offset" FROM ($changelogSql)))
        |GROUP BY source_file ORDER BY source_file""".stripMargin
+
+  // --- cdc_commit_watermark: out-of-order commits per rotated file ---
+  // The NON-degenerate LogCommitter shape (reference src/snapshot:
+  // commit only if the position is beyond the source's watermark):
+  // replay arrives out of order (deterministic hash scramble), so
+  // effective commits = distinct running maxima — a genuine per-
+  // source watermark window. Sources are rotated binlog FILES
+  // (offset % 8), which is also the parallel unit: each file's
+  // commit history is serial by nature (the reference holds one
+  // committer per source), so the window partitions by file and the
+  // plan scales with file count, never one reducer for everything.
+  private def commitWatermark(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("offset"))
+      .withColumn("source_file",
+        concat(lit("mysql-bin.00000"), (col("offset") % 8).cast("string")))
+      .withColumn("arrival",
+        graft.functions.DetHash.frac(col("offset"), "arr:"))
+    CdcApply.offsetCommits(log, arrivalCol = Some("arrival"))
+      .orderBy("source_file")
+  }
+
+  private val commitWatermarkSql = {
+    val arrival = graft.functions.DetHash.fracOfHexSql(
+      """md5('arr:' || CAST("offset" AS VARCHAR))""")
+    s"""SELECT source_file, MAX("offset") AS committed_offset,
+       | COUNT(DISTINCT wm) AS n_commits, COUNT(*) AS n_events
+       |FROM (
+       |  SELECT source_file, "offset",
+       |         MAX("offset") OVER (PARTITION BY source_file
+       |                             ORDER BY arrival, "offset"
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+       |  FROM (
+       |    SELECT "offset",
+       |           'mysql-bin.00000' || CAST("offset" % 8 AS VARCHAR) AS source_file,
+       |           $arrival AS arrival
+       |    FROM ($changelogSql)))
+       |GROUP BY source_file ORDER BY source_file""".stripMargin
+  }
 
   // --- cdc_ddl_parse: QUERY-event DDL classification ---
   private def ddlParse(s: SparkSession, dir: String): DataFrame = {
