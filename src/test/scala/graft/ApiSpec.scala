@@ -202,6 +202,20 @@ class ApiSpec extends AnyFunSuite {
       }
   }
 
+  test("temperatureMixSelect: exact tempered shares on a user-shaped table") {
+    // custom column names — catches any internal hardcoding of the
+    // documents schema. 40 "web" rows vs 10 "ref" rows; budget =
+    // 50/10 = 5; shares sqrt(40):sqrt(10) → targets floor(5*.6667)=3
+    // and floor(5*.3333)=1.
+    val crawl = ((0 until 40).map(i => (i.toLong, "web")) ++
+      (100 until 110).map(i => (i.toLong, "ref")))
+      .toDF("page_id", "site_kind")
+    val kept = crawl.temperatureMixSelect(
+        idCol = "page_id", domainCol = "site_kind")
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(kept == Map("web" -> 3, "ref" -> 1), kept.toString)
+  }
+
   test("connectedComponents closes transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val comp = pairs.connectedComponents().collect()
