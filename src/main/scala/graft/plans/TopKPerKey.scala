@@ -102,6 +102,14 @@ final case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  // the heap filters rows WITHIN partitions — the child's keyed
+  // partitioning survives, and declaring it lets a downstream
+  // same-key window/agg ride this exchange instead of adding its own
+  // (default is UnknownPartitioning: cur_temperature_mix's survivor
+  // re-rank was paying a second (source) exchange for nothing)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
