@@ -444,21 +444,32 @@ object Dedup {
     * see a predecessor's dead cached plan. `count()` materializes
     * eagerly — a probe finds the index BUILT, as in production.
     */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  // weak session key: a stopped session's cached plans are useless
+  // (and identity hashes can recycle across lifetimes) — the whole
+  // per-session map goes with the session
+  private val indexCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
   /** Materialized-index cache: builds `build` once per (session,
     * key), persisted MEMORY_AND_DISK and counted eagerly so a probe
     * finds the index BUILT, as in production. */
   private def cachedIndex(
-      s: SparkSession, key: String, build: => DataFrame): DataFrame =
-    indexCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$key", _ => {
-        val idx = build
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        idx.count()
-        idx
-      })
+      s: SparkSession, key: String, build: => DataFrame): DataFrame = {
+    val perSession = indexCache.synchronized {
+      var m = indexCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        indexCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => {
+      val idx = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      idx
+    })
+  }
 
   private[graft] def standingIndex(s: SparkSession, dir: String): DataFrame =
     cachedIndex(s, dir, builtIndex(s, dir))
