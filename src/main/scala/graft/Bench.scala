@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // parallelismFirst stays at its default (true): an A/B across
+      // the 7 heaviest queries showed coalescing-to-advisory-size
+      // (the production-docs recommendation) is a wash-to-LOSS here —
+      // the small shuffles feeding shingle/gram stages are
+      // compute-bound, so fewer post-coalesce partitions serialize
+      // CPU work worth more than the saved task overhead
+      // (dedup_incremental 2.83→3.08s, text_dup_spans 1.84→2.18s).
       .config("spark.ui.enabled", "false")
       // the AppStatus/SQLAppStatus listeners run even with the UI off
       // and by default retain ~1000 executions' plan graphs + job/
