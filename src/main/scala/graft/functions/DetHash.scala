@@ -17,24 +17,32 @@ object DetHash {
   private def digitVal(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
-  /** Exact [0,1) fraction from a lowercase hex column (md5 output). */
-  def fracOfHex(h: Column): Column = {
-    val v = (1 to 12).map { j =>
+  /** Unsigned 48-bit fold of the first 12 hex digits — the exact
+    * integer the fraction divides; exposed for integer-arithmetic
+    * consumers (classifier weights) where double division would
+    * reintroduce cross-engine rounding concerns.
+    */
+  def int48OfHex(h: Column): Column =
+    (1 to 12).map { j =>
       digitVal(substring(h, j, 1)).cast("long") * lit(1L << (4 * (12 - j)))
     }.reduce(_ + _)
-    v.cast("double") / lit(HexScale)
-  }
+
+  /** Exact [0,1) fraction from a lowercase hex column (md5 output). */
+  def fracOfHex(h: Column): Column =
+    int48OfHex(h).cast("double") / lit(HexScale)
 
   /** Exact deterministic pseudo-uniform in [0,1) keyed on salt+key. */
   def frac(key: Column, salt: String): Column =
     fracOfHex(md5(concat(lit(salt), key.cast("string"))))
 
-  /** DuckDB twin of [[fracOfHex]], reading a hex expression `h`. */
-  def fracOfHexSql(h: String): String = {
-    val terms = (1 to 12).map { j =>
+  /** DuckDB twin of [[int48OfHex]], reading a hex expression `h`. */
+  def int48OfHexSql(h: String): String =
+    (1 to 12).map { j =>
       s"CAST(CASE WHEN ascii(substr($h, $j, 1)) <= 57 THEN ascii(substr($h, $j, 1)) - 48" +
         s" ELSE ascii(substr($h, $j, 1)) - 87 END AS BIGINT) * ${1L << (4 * (12 - j))}"
     }.mkString("(", " + ", ")")
-    s"(CAST($terms AS DOUBLE) / $HexScale)"
-  }
+
+  /** DuckDB twin of [[fracOfHex]], reading a hex expression `h`. */
+  def fracOfHexSql(h: String): String =
+    s"(CAST(${int48OfHexSql(h)} AS DOUBLE) / $HexScale)"
 }

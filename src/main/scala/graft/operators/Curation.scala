@@ -38,7 +38,8 @@ object Curation {
     QueryDef("cur_semdedup", semdedup, Some(semdedupSql)),
     QueryDef("cur_bm25", bm25, Some(bm25Sql)),
     QueryDef("cur_dsir", dsir, Some(dsirSql)),
-    QueryDef("cur_temperature_mix", temperatureMix, Some(temperatureMixSql))
+    QueryDef("cur_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    QueryDef("cur_quality_classify", qualityClassify, Some(qualityClassifySql))
   )
 
   // ---------------------------------------------------------------
@@ -794,5 +795,87 @@ object Curation {
        |SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
        |       doc_id, CAST(s AS DOUBLE) AS dsir_score
        |FROM top ORDER BY rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // cur_quality_classify: model-based quality filtering — the
+  // fastText-style linear classifier of the GPT-3/FineWeb-Edu
+  // pipelines (hashed bag of unigram+bigram features, linear score,
+  // keep/drop label), with the trained weight table replaced by a
+  // deterministic hash-derived weight per feature (md5 fold centered
+  // at zero) so both engines share the "model" without a weights
+  // artifact. Arithmetic is EXACT: weights are 48-bit integers, the
+  // doc score is a BIGINT sum (order-independent), and the exported
+  // normalized score is floor-milli of that sum — no transcendental
+  // sigmoid (monotone in the linear score, so thresholding is
+  // unchanged; same fixed-point rationale as cur_tfidf's idf).
+  //
+  // Scale: entirely per-row map-side — features are built and folded
+  // with array HOFs inside codegen, NO explode and NO shuffle before
+  // the output sort. At 100 TB this is a single scan-transform; the
+  // real-model variant swaps [[classifierWeight]] for a broadcast
+  // weight-table lookup with the identical plan shape.
+  // ---------------------------------------------------------------
+  private val WeightCenter = 1L << 47
+
+  /** hash-derived signed weight in [-2^47, 2^47) for a feature */
+  private def classifierWeight(feat: Column): Column =
+    graft.functions.DetHash.int48OfHex(md5(concat(lit("qw:"), feat))) -
+      lit(WeightCenter)
+
+  /** Per-doc linear classifier score over any (id, text) frame:
+    * (id, n_features, score_sum, score_milli, label). Unsorted.
+    */
+  def qualityClassifyScores(
+      input: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val input2 = input.withColumn("ws", ws)
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    input2
+      .withColumn("feats", concat(col("ws"), bigrams))
+      .withColumn("n_features", size(col("feats")).cast("long"))
+      .withColumn("score_sum",
+        aggregate(col("feats"), lit(0L), (acc, f) => acc + classifierWeight(f)))
+      .withColumn("score_milli",
+        floor(col("score_sum").cast("double") * 1000 /
+          (col("n_features").cast("double") * WeightCenter)).cast("long"))
+      .withColumn("label", (col("score_sum") >= 0).cast("int"))
+      .select(col(idCol), col("n_features"), col("score_sum"),
+        col("score_milli"), col("label"))
+  }
+
+  private def qualityClassify(s: SparkSession, dir: String): DataFrame =
+    qualityClassifyScores(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  private lazy val qualityClassifySql = {
+    val w = graft.functions.DetHash.int48OfHexSql("md5('qw:' || f)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), w -> length(w) > 0) AS ws
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ws) >= 2
+       |           THEN list_concat(ws, list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+       |           ELSE ws END AS feats
+       |  FROM d
+       |), scored AS (
+       |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+       |         list_reduce(list_transform(feats, f -> $w - $WeightCenter),
+       |                     (a, b) -> a + b) AS score_sum
+       |  FROM f
+       |)
+       |SELECT doc_id, n_features, score_sum,
+       |  CAST(floor(CAST(score_sum AS DOUBLE) * 1000 /
+       |       (CAST(n_features AS DOUBLE) * $WeightCenter)) AS BIGINT) AS score_milli,
+       |  CAST(score_sum >= 0 AS INT) AS label
+       |FROM scored ORDER BY doc_id""".stripMargin
   }
 }

@@ -24,7 +24,8 @@ object TextAnalysis {
     QueryDef("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("text_compress", compress, None),
     QueryDef("text_crossentropy", crossentropy, Some(crossentropySql)),
-    QueryDef("text_dup_spans", dupSpans, Some(dupSpansSql))
+    QueryDef("text_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("text_gopher_rules", gopherRules, Some(gopherRulesSql))
   )
 
   // ---------------------------------------------------------------
@@ -759,4 +760,88 @@ object TextAnalysis {
        |   GROUP BY doc_id) r
        |USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_gopher_rules: the Gopher quality-rule bundle (Rae et al.
+  // 2021, Appendix A1.1 — the rule set FineWeb/Dolma reuse) as
+  // per-document boolean flags rather than text_quality's composite
+  // score: word-count bounds, mean-word-length bounds, minimum
+  // distinct stopwords, minimum alphabetic-word ratio. The stopword
+  // set is adapted to the corpus vocabulary ('the'/'a' are its only
+  // function words — Gopher's {be,to,of,and,that,have,with} never
+  // occur, which would make the >=2-distinct rule vacuously fail).
+  //
+  // Everything is computed map-side with array HOFs over the split
+  // — one narrow scan, zero shuffles before the output sort; at
+  // 100 TB this is a pure scan-transform whose cost is I/O. Ratios
+  // export as floor(milli) fixed-point: the divisions are exact-int
+  // doubles (< 2^53) so floor is engine-stable, and the output
+  // schema stays integer for hash comparison.
+  // ---------------------------------------------------------------
+  private val GopherMinWords = 50
+  private val GopherMaxWords = 100000
+  private val GopherMinMwlMilli = 3000L // mean word length >= 3
+  private val GopherMaxMwlMilli = 10000L // and <= 10
+  private val GopherMinStop = 2
+  private val GopherMinAlphaMilli = 800L // >= 80% words alphabetic
+  private val GopherStopwords = Seq("the", "a", "be", "to", "of", "and")
+
+  /** Per-doc Gopher rule flags over any (id, text) frame. Unsorted. */
+  def gopherRuleFlags(input: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val flag = (c: Column) => c.cast("int")
+    val withStats = input
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("mwl_milli",
+        floor(length(regexp_replace(col(textCol), "\\s+", "")).cast("double")
+          * 1000 / col("n_words")).cast("long"))
+      .withColumn("stop_hits",
+        GopherStopwords.map(w => flag(array_contains(ws, w))).reduce(_ + _).cast("long"))
+      .withColumn("alpha_milli",
+        floor(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+          * 1000 / col("n_words")).cast("long"))
+    withStats
+      .withColumn("r_wordcount", flag(col("n_words").between(GopherMinWords, GopherMaxWords)))
+      .withColumn("r_meanlen", flag(col("mwl_milli").between(GopherMinMwlMilli, GopherMaxMwlMilli)))
+      .withColumn("r_stopwords", flag(col("stop_hits") >= GopherMinStop))
+      .withColumn("r_alpha", flag(col("alpha_milli") >= GopherMinAlphaMilli))
+      .withColumn("pass",
+        flag(col("r_wordcount") + col("r_meanlen") + col("r_stopwords") + col("r_alpha") === 4))
+      .select(col(idCol), col("n_words"), col("mwl_milli"), col("stop_hits"),
+        col("alpha_milli"), col("r_wordcount"), col("r_meanlen"),
+        col("r_stopwords"), col("r_alpha"), col("pass"))
+  }
+
+  private def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRuleFlags(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val gopherRulesSql = {
+    val stopSum = GopherStopwords
+      .map(w => s"CAST(list_contains(ws, '$w') AS INT)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws
+       |  FROM documents
+       |), stats AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) * 1000 / len(ws)) AS BIGINT) AS mwl_milli,
+       |    CAST($stopSum AS BIGINT) AS stop_hits,
+       |    CAST(floor(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) * 1000 / len(ws)) AS BIGINT) AS alpha_milli
+       |  FROM d
+       |)
+       |SELECT doc_id, n_words, mwl_milli, stop_hits, alpha_milli,
+       |  CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS INT) AS r_wordcount,
+       |  CAST(mwl_milli BETWEEN $GopherMinMwlMilli AND $GopherMaxMwlMilli AS INT) AS r_meanlen,
+       |  CAST(stop_hits >= $GopherMinStop AS INT) AS r_stopwords,
+       |  CAST(alpha_milli >= $GopherMinAlphaMilli AS INT) AS r_alpha,
+       |  CAST((CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS INT) +
+       |        CAST(mwl_milli BETWEEN $GopherMinMwlMilli AND $GopherMaxMwlMilli AS INT) +
+       |        CAST(stop_hits >= $GopherMinStop AS INT) +
+       |        CAST(alpha_milli >= $GopherMinAlphaMilli AS INT)) = 4 AS INT) AS pass
+       |FROM stats ORDER BY doc_id""".stripMargin
+  }
 }

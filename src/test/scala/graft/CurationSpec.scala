@@ -181,6 +181,34 @@ class CurationSpec extends AnyFunSuite {
         s"B ranks ${bNonTarget.sorted}, best A rank ${aDocs.min}")
   }
 
+  test("cur_quality_classify: exact feature count, balanced labels, map-side plan") {
+    import spark.implicits._
+    // feature inventory pinned: n words -> n unigrams + (n-1) bigrams
+    val toy = Seq((1L, "alpha beta gamma"), (2L, "solo")).toDF("doc_id", "text")
+    val t = operators.Curation.qualityClassifyScores(toy, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(t(1L).getAs[Long]("n_features") == 5) // 3 unigrams + 2 bigrams
+    assert(t(2L).getAs[Long]("n_features") == 1)
+    // deterministic: same text, same score
+    val again = operators.Curation.qualityClassifyScores(toy, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_sum")).toMap
+    assert(again(1L) == t(1L).getAs[Long]("score_sum"))
+    // corpus entry: labels split the corpus non-degenerately, and
+    // score_milli stays in the normalized band
+    val rows = run("cur_quality_classify").collect()
+    assert(rows.length == nDocs)
+    val kept = rows.map(_.getAs[Int]("label")).sum
+    assert(kept > 0 && kept < rows.length, s"degenerate labels: $kept/${rows.length}")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("score_milli")
+      assert(m >= -1000 && m <= 1000, s"score_milli out of band: $m")
+    }
+    // plan shape: no exchange before the output sort (map-side fold)
+    val plan = run("cur_quality_classify").queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the output-sort exchange:\n$plan")
+  }
+
   test("cur_shuffle: a stable total order, 1..50") {
     val a = run("cur_shuffle").collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
     assert(a.map(_._1).sorted.toSeq == (1 to 50))

@@ -500,6 +500,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(scrubbed == "See <EMAIL> or <PHONE>, thanks")
   }
 
+  test("text_gopher_rules: rule semantics pinned, flags discriminate") {
+    import spark.implicits._
+    // hand-built docs hitting each rule edge
+    val docs = Seq(
+      (1L, ("the a " + Seq.fill(60)("word").mkString(" "))), // all pass
+      (2L, "the a short doc"),                               // fails wordcount
+      (3L, ("the " + Seq.fill(60)("word").mkString(" "))),   // fails stopwords (1 hit)
+      (4L, ("the a " + Seq.fill(60)("x").mkString(" "))),    // mean word len < 3
+      (5L, ("the a " + Seq.fill(60)("12345").mkString(" "))) // alpha ratio < 0.8
+    ).toDF("doc_id", "text")
+    val f = operators.TextAnalysis.gopherRuleFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(1L).getAs[Int]("pass") == 1)
+    assert(f(2L).getAs[Int]("r_wordcount") == 0 && f(2L).getAs[Int]("pass") == 0)
+    assert(f(3L).getAs[Long]("stop_hits") == 1 && f(3L).getAs[Int]("r_stopwords") == 0)
+    assert(f(4L).getAs[Int]("r_meanlen") == 0)
+    assert(f(5L).getAs[Int]("r_alpha") == 0 && f(5L).getAs[Int]("r_meanlen") == 1)
+    // corpus entry: flags vary (the filter actually separates docs)
+    val rows = run("text_gopher_rules").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val passes = rows.map(_.getAs[Int]("pass")).sum
+    assert(passes > 0 && passes < rows.length,
+      s"degenerate gopher pass rate: $passes/${rows.length}")
+  }
+
   test("text_paragraph_dedup surfaces the 7 planted boilerplate footers") {
     val rows = run("text_paragraph_dedup").collect()
     val nDocs = Tables.documents(spark, sf).count()
