@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.cdc.{BloomDedup, CdcApply, MatchStrategy}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Ergonomic library surface: `import graft.api._` and every engine
   * operator hangs off the DataFrame — the form a user switching from
@@ -181,6 +181,29 @@ package object api {
         textCol: String = "text",
         vocabSize: Option[Long] = None): DataFrame =
       TextAnalysis.crossentropyOver(df, idCol, textCol, vocabSize)
+
+    /** Per-doc Gopher quality-rule flags (word-count bounds, mean
+      * word length, stopword minimum, alphabetic-word ratio) plus an
+      * overall `pass` flag — the rule-based filter a pipeline applies
+      * before model-based scoring. Map-side only.
+      */
+    def gopherRuleFlags(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.gopherRuleFlags(df, idCol, textCol)
+
+    /** Hashed-linear quality classifier scores (fastText-style bag
+      * of unigrams+bigrams): (idCol, n_features, score_sum,
+      * score_milli, label). Exact integer arithmetic; swap the hash
+      * weight for a broadcast weight table to serve a trained model
+      * with the identical map-side plan.
+      */
+    def qualityClassifyScores(idCol: String, textCol: String): DataFrame =
+      Curation.qualityClassifyScores(df, idCol, textCol)
+
+    /** Learn the first `rounds` BPE merge rules from `textCol`
+      * (Sennrich et al. 2016): (rnd, lhs, rhs, merged, cnt).
+      */
+    def bpeMerges(textCol: String = "text", rounds: Int = 6): DataFrame =
+      Curation.bpeMerges(df, textCol, rounds)
 
     /** Per-doc fraction of tokens inside a word `n`-gram shared with
       * ≥1 OTHER doc — span-level dedup coverage (partial-boilerplate

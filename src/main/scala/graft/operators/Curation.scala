@@ -39,7 +39,8 @@ object Curation {
     QueryDef("cur_bm25", bm25, Some(bm25Sql)),
     QueryDef("cur_dsir", dsir, Some(dsirSql)),
     QueryDef("cur_temperature_mix", temperatureMix, Some(temperatureMixSql)),
-    QueryDef("cur_quality_classify", qualityClassify, Some(qualityClassifySql))
+    QueryDef("cur_quality_classify", qualityClassify, Some(qualityClassifySql)),
+    QueryDef("cur_bpe_train", bpeTrain, Some(bpeTrainSql))
   )
 
   // ---------------------------------------------------------------
@@ -816,42 +817,45 @@ object Curation {
   // real-model variant swaps [[classifierWeight]] for a broadcast
   // weight-table lookup with the identical plan shape.
   // ---------------------------------------------------------------
-  private val WeightCenter = 1L << 47
+  private[operators] val WeightCenter = 1L << 47
 
   /** hash-derived signed weight in [-2^47, 2^47) for a feature */
   private def classifierWeight(feat: Column): Column =
     graft.functions.DetHash.int48OfHex(md5(concat(lit("qw:"), feat))) -
       lit(WeightCenter)
 
-  /** Per-doc linear classifier score over any (id, text) frame:
-    * (id, n_features, score_sum, score_milli, label). Unsorted.
+  /** APPEND the linear-classifier columns (n_features, score_sum,
+    * score_milli, label) to any frame with a `textCol` — input
+    * columns kept, so it composes with other per-row scorers in
+    * batch or streaming plans. Entirely map-side.
     */
   def qualityClassifyScores(
       input: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
-    val input2 = input.withColumn("ws", ws)
-    val bigrams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1))))
+    val input2 = input.withColumn("__qc_ws", ws)
+    val bigrams = when(size(col("__qc_ws")) >= 2,
+      transform(sequence(lit(1), size(col("__qc_ws")) - 1),
+        i => concat(element_at(col("__qc_ws"), i), lit(" "),
+          element_at(col("__qc_ws"), i + 1))))
       .otherwise(array().cast("array<string>"))
     input2
-      .withColumn("feats", concat(col("ws"), bigrams))
-      .withColumn("n_features", size(col("feats")).cast("long"))
+      .withColumn("__qc_feats", concat(col("__qc_ws"), bigrams))
+      .withColumn("n_features", size(col("__qc_feats")).cast("long"))
       .withColumn("score_sum",
-        aggregate(col("feats"), lit(0L), (acc, f) => acc + classifierWeight(f)))
+        aggregate(col("__qc_feats"), lit(0L), (acc, f) => acc + classifierWeight(f)))
       .withColumn("score_milli",
         floor(col("score_sum").cast("double") * 1000 /
           (col("n_features").cast("double") * WeightCenter)).cast("long"))
       .withColumn("label", (col("score_sum") >= 0).cast("int"))
-      .select(col(idCol), col("n_features"), col("score_sum"),
-        col("score_milli"), col("label"))
+      .drop("__qc_ws", "__qc_feats")
   }
 
   private def qualityClassify(s: SparkSession, dir: String): DataFrame =
     qualityClassifyScores(
       Tables.documents(s, dir).select(col("doc_id"), col("text")),
       "doc_id", "text")
+      .select(col("doc_id"), col("n_features"), col("score_sum"),
+        col("score_milli"), col("label"))
       .orderBy("doc_id")
 
   private lazy val qualityClassifySql = {
@@ -877,5 +881,127 @@ object Curation {
        |       (CAST(n_features AS DOUBLE) * $WeightCenter)) AS BIGINT) AS score_milli,
        |  CAST(score_sum >= 0 AS INT) AS label
        |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // cur_bpe_train: BPE tokenizer training (Sennrich et al. 2016) —
+  // learn the first R merge rules from the corpus. The corpus
+  // collapses FIRST to its word-frequency table (the classical BPE
+  // working set: at 100 TB the vocab is millions of rows, not the
+  // corpus), words split to character symbols, then per round: count
+  // adjacent symbol pairs weighted by word frequency, take the
+  // argmax (tie → lexicographically smallest pair), and merge its
+  // occurrences left-to-right non-overlapping in every word.
+  //
+  // Scale: each round is one |vocab|-bounded aggregation (the pair
+  // explode fans ≤ word-length per vocab row) plus a map-side array
+  // fold to apply the merge; only the single winning (pair, count)
+  // row crosses the driver per round (the bounded-collect precedent
+  // of the PQ seeds). The evolving vocab is persisted per round and
+  // the predecessor unpersisted, so lineage stays one fold deep.
+  //
+  // The merge fold needs no skip flag: after a merge the list tail
+  // IS the merged symbol p||q, which can never equal p (q nonempty),
+  // so the next element can't chain-merge — exactly the left-to-
+  // right non-overlapping scan of the reference algorithm. The
+  // DuckDB oracle unrolls the R rounds as a CTE chain and folds with
+  // a plain VARCHAR[] list_reduce (a struct accumulator would trip a
+  // DuckDB 1.0 list_reduce bug that drops lambda-built struct
+  // accumulators — measured, not speculation).
+  // ---------------------------------------------------------------
+  private val BpeRounds = 6
+
+  /** Apply merge (p, q) -> pq left-to-right non-overlapping. */
+  private def bpeMergeFold(syms: Column, p: String, q: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          get(acc, size(acc) - 1) === lit(p) && s === lit(q),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(p + q))))
+        .otherwise(concat(acc, array(s))))
+
+  /** First `rounds` BPE merges over any text column:
+    * (rnd, lhs, rhs, merged, cnt). Stops early if no pair remains.
+    */
+  def bpeMerges(input: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val s = input.sparkSession
+    var vocab = input
+      .select(explode(
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+      .select("freq", "syms")
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(" "),
+              element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(p, q) = top(0).getString(0).split(" ", 2)
+        merges += ((r.toLong, p, q, top(0).getLong(1)))
+        val next = vocab
+          .withColumn("syms", bpeMergeFold(col("syms"), p, q))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("rnd", "lhs", "rhs", "cnt")
+      .select(col("rnd"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(s, dir).select(col("text")), "text", BpeRounds)
+      .orderBy("rnd")
+
+  private lazy val bpeTrainSql = {
+    val words =
+      """w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> length(x) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |v0 AS (
+        |  SELECT freq,
+        |         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+        |  FROM w)""".stripMargin
+    def pairCte(n: Int) =
+      s"""p$n AS (
+         |  SELECT split_part(pair, ' ', 1) AS p, split_part(pair, ' ', 2) AS q,
+         |         pair, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |        FROM v${n - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def vocabCte(n: Int) =
+      s"""v$n AS (
+         |  SELECT freq,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |      (acc, x) -> CASE WHEN acc[-1] = m.p AND x[1] = m.q
+         |         THEN list_concat(acc[1:len(acc)-1], [m.p || m.q])
+         |         ELSE list_concat(acc, x) END) AS syms
+         |  FROM v${n - 1} CROSS JOIN p$n m)""".stripMargin
+    val ctes = (1 to BpeRounds).map { n =>
+      if (n < BpeRounds) s"${pairCte(n)},\n${vocabCte(n)}" else pairCte(n)
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map { n =>
+      s"SELECT CAST($n AS BIGINT) AS rnd, p AS lhs, q AS rhs, p || q AS merged, cnt FROM p$n"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $words,\n$ctes\n$union\nORDER BY rnd"
   }
 }

@@ -38,7 +38,8 @@ import graft.cdc.CdcStream
 object StreamDedup {
 
   lazy val defs: Seq[QueryDef] = Seq(
-    QueryDef("dedup_stream_probe", probe, Some(probeSql)))
+    QueryDef("dedup_stream_probe", probe, Some(probeSql)),
+    QueryDef("stream_quality_gate", qualityGate, Some(qualityGateSql)))
 
   /** documents.parquet as a file stream — same dir-vs-single-file
     * dispatch as CdcStream.eventsStream (driver dirs hold one FILE,
@@ -118,5 +119,74 @@ object StreamDedup {
        |SELECT DISTINCT s.doc_id AS doc_a, i.doc_id AS doc_b
        |FROM capped s JOIN allbands_i i ON s.band = i.band AND s.sig = i.sig
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // stream_quality_gate: the OTHER streaming admission gate — quality
+  // filtering of arriving documents before they touch the corpus
+  // (rule bundle first, classifier on the survivors), the streaming
+  // face of text_gopher_rules + cur_quality_classify exactly as
+  // dedup_stream_probe is the streaming face of dedup_incremental.
+  //
+  // Both scorers are pure per-row projections (array HOFs, no
+  // aggregate), so the streaming plan needs NO state store at all —
+  // not even dropDuplicates — and the only stream-specific cost is
+  // the landing-batch repartition (md5-per-feature is compute-bound;
+  // a single landed file would otherwise score in one task, the same
+  // measured pathology the probe's repartition fixed). Admitted rows
+  // land in the parquet file sink; the driver holds a path.
+  // ---------------------------------------------------------------
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val qn = s"stream_quality_gate_${System.nanoTime()}"
+    val arriving = docStream(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val ruled = TextAnalysis.gopherRuleFlags(arriving, "doc_id", "text")
+      .filter(col("pass") === 1)
+    val admitted = Curation.qualityClassifyScores(ruled, "doc_id", "text")
+      .filter(col("label") === 1)
+      .select(col("doc_id"), col("n_words"), col("score_milli"))
+    CdcStream.runToParquetSink(s, qn, admitted)
+      .orderBy("doc_id")
+  }
+
+  private lazy val qualityGateSql = {
+    val stopSum = TextAnalysis.GopherStopwords
+      .map(w => s"CAST(list_contains(ws, '$w') AS INT)").mkString(" + ")
+    val wgt = graft.functions.DetHash.int48OfHexSql("md5('qw:' || f)")
+    val wc = Curation.WeightCenter
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), w -> length(w) > 0) AS lws
+       |  FROM documents
+       |), stats AS (
+       |  SELECT doc_id, lws,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) * 1000 / len(ws)) AS BIGINT) AS mwl_milli,
+       |    CAST($stopSum AS BIGINT) AS stop_hits,
+       |    CAST(floor(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) * 1000 / len(ws)) AS BIGINT) AS alpha_milli
+       |  FROM d
+       |), gated AS (
+       |  SELECT doc_id, lws, n_words FROM stats
+       |  WHERE n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
+       |    AND mwl_milli BETWEEN ${TextAnalysis.GopherMinMwlMilli} AND ${TextAnalysis.GopherMaxMwlMilli}
+       |    AND stop_hits >= ${TextAnalysis.GopherMinStop}
+       |    AND alpha_milli >= ${TextAnalysis.GopherMinAlphaMilli}
+       |), feats AS (
+       |  SELECT doc_id, n_words,
+       |         CASE WHEN len(lws) >= 2
+       |           THEN list_concat(lws, list_transform(range(1, len(lws)), i -> lws[i] || ' ' || lws[i+1]))
+       |           ELSE lws END AS fs
+       |  FROM gated
+       |), scored AS (
+       |  SELECT doc_id, n_words, CAST(len(fs) AS BIGINT) AS n_features,
+       |         list_reduce(list_transform(fs, f -> $wgt - $wc), (a, b) -> a + b) AS score_sum
+       |  FROM feats
+       |)
+       |SELECT doc_id, n_words,
+       |  CAST(floor(CAST(score_sum AS DOUBLE) * 1000 /
+       |       (CAST(n_features AS DOUBLE) * $wc)) AS BIGINT) AS score_milli
+       |FROM scored WHERE score_sum >= 0 ORDER BY doc_id""".stripMargin
   }
 }

@@ -778,19 +778,22 @@ object TextAnalysis {
   // doubles (< 2^53) so floor is engine-stable, and the output
   // schema stays integer for hash comparison.
   // ---------------------------------------------------------------
-  private val GopherMinWords = 50
-  private val GopherMaxWords = 100000
-  private val GopherMinMwlMilli = 3000L // mean word length >= 3
-  private val GopherMaxMwlMilli = 10000L // and <= 10
-  private val GopherMinStop = 2
-  private val GopherMinAlphaMilli = 800L // >= 80% words alphabetic
-  private val GopherStopwords = Seq("the", "a", "be", "to", "of", "and")
+  private[operators] val GopherMinWords = 50
+  private[operators] val GopherMaxWords = 100000
+  private[operators] val GopherMinMwlMilli = 3000L // mean word length >= 3
+  private[operators] val GopherMaxMwlMilli = 10000L // and <= 10
+  private[operators] val GopherMinStop = 2
+  private[operators] val GopherMinAlphaMilli = 800L // >= 80% words alphabetic
+  private[operators] val GopherStopwords = Seq("the", "a", "be", "to", "of", "and")
 
-  /** Per-doc Gopher rule flags over any (id, text) frame. Unsorted. */
+  /** APPEND the Gopher stats and rule flags to any frame with a
+    * `textCol` (input columns kept — composes with other per-row
+    * scorers, batch or streaming). Entirely map-side.
+    */
   def gopherRuleFlags(input: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     val flag = (c: Column) => c.cast("int")
-    val withStats = input
+    input
       .withColumn("n_words", size(ws).cast("long"))
       .withColumn("mwl_milli",
         floor(length(regexp_replace(col(textCol), "\\s+", "")).cast("double")
@@ -800,22 +803,21 @@ object TextAnalysis {
       .withColumn("alpha_milli",
         floor(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
           * 1000 / col("n_words")).cast("long"))
-    withStats
       .withColumn("r_wordcount", flag(col("n_words").between(GopherMinWords, GopherMaxWords)))
       .withColumn("r_meanlen", flag(col("mwl_milli").between(GopherMinMwlMilli, GopherMaxMwlMilli)))
       .withColumn("r_stopwords", flag(col("stop_hits") >= GopherMinStop))
       .withColumn("r_alpha", flag(col("alpha_milli") >= GopherMinAlphaMilli))
       .withColumn("pass",
         flag(col("r_wordcount") + col("r_meanlen") + col("r_stopwords") + col("r_alpha") === 4))
-      .select(col(idCol), col("n_words"), col("mwl_milli"), col("stop_hits"),
-        col("alpha_milli"), col("r_wordcount"), col("r_meanlen"),
-        col("r_stopwords"), col("r_alpha"), col("pass"))
   }
 
   private def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRuleFlags(
       Tables.documents(s, dir).select(col("doc_id"), col("text")),
       "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("mwl_milli"), col("stop_hits"),
+        col("alpha_milli"), col("r_wordcount"), col("r_meanlen"),
+        col("r_stopwords"), col("r_alpha"), col("pass"))
       .orderBy("doc_id")
 
   private val gopherRulesSql = {

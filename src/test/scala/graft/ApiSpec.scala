@@ -327,6 +327,33 @@ class ApiSpec extends AnyFunSuite {
     assert(top2.head.getAs[Long]("n_votes") == 1L)
   }
 
+  test("gopherRuleFlags + qualityClassifyScores + bpeMerges compose on a user table") {
+    val posts = Seq(
+      (10L, ("the a " + Seq.fill(55)("content").mkString(" "))),
+      (11L, "too short"),
+      (12L, ("the a " + Seq.fill(55)("zz").mkString(" ")))
+    ).toDF("post_id", "body")
+
+    val flags = posts.gopherRuleFlags("post_id", "body")
+      .collect().map(r => r.getAs[Long]("post_id") -> r.getAs[Int]("pass")).toMap
+    assert(flags(10L) == 1 && flags(11L) == 0 && flags(12L) == 0)
+
+    val scores = posts.qualityClassifyScores("post_id", "body").collect()
+    assert(scores.length == 3)
+    assert(scores.forall(r => Set(0, 1)(r.getAs[Int]("label"))))
+
+    // rule gate then classifier then tokenizer training — the
+    // quality-pipeline composition the recipes document
+    val admitted = posts.join(
+      posts.gopherRuleFlags("post_id", "body").filter(col("pass") === 1)
+        .select("post_id"),
+      "post_id")
+    val merges = admitted.bpeMerges("body", rounds = 3).collect()
+    assert(merges.length == 3)
+    assert(merges.forall(r =>
+      r.getAs[String]("merged") == r.getAs[String]("lhs") + r.getAs[String]("rhs")))
+  }
+
   test("cosineTopK ranks the aligned vector first") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f, 0.0f)),

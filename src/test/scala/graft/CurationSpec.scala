@@ -209,6 +209,31 @@ class CurationSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the output-sort exchange:\n$plan")
   }
 
+  test("cur_bpe_train learns the hand-traced merges, stops when pairs run out") {
+    import spark.implicits._
+    // vocab: aaab freq 2 (syms a,a,a,b), ab freq 1 (syms a,b)
+    // r1 pairs: (a,a) 2x2=4 > (a,b) 2+1=3      -> merge aa
+    // r2 vocab: [aa,a,b]x2 [a,b]: (a,b) 3 > (aa,a) 2 -> merge ab
+    // r3 vocab: [aa,ab]x2 [ab]: (aa,ab) 2           -> merge aaab
+    // r4: no pairs left -> early stop at 3 merges
+    val toy = Seq("aaab aaab ab").toDF("text")
+    val m = operators.Curation.bpeMerges(toy, "text", rounds = 4)
+      .orderBy("rnd").collect()
+      .map(r => (r.getAs[Long]("rnd"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"), r.getAs[Long]("cnt")))
+    assert(m.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+    // corpus entry: full round count, merged always lhs||rhs
+    val rows = run("cur_bpe_train").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+    }
+  }
+
   test("cur_shuffle: a stable total order, 1..50") {
     val a = run("cur_shuffle").collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
     assert(a.map(_._1).sorted.toSeq == (1 to 50))

@@ -525,6 +525,24 @@ class PipelineSpec extends AnyFunSuite {
       s"degenerate gopher pass rate: $passes/${rows.length}")
   }
 
+  test("stream_quality_gate == batch rule+classifier filter (parity)") {
+    val got = run("stream_quality_gate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("score_milli"))).toSeq
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = operators.Curation.qualityClassifyScores(
+      operators.TextAnalysis.gopherRuleFlags(docs, "doc_id", "text")
+        .filter(col("pass") === 1),
+      "doc_id", "text")
+      .filter(col("label") === 1)
+      .select("doc_id", "n_words", "score_milli").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("score_milli"))).toSeq
+    assert(got.nonEmpty, "gate admitted nothing — degenerate corpus")
+    assert(got == batch)
+  }
+
   test("text_paragraph_dedup surfaces the 7 planted boilerplate footers") {
     val rows = run("text_paragraph_dedup").collect()
     val nDocs = Tables.documents(spark, sf).count()
