@@ -43,7 +43,9 @@ object Cdc {
     QueryDef("cdc_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     QueryDef("cdc_compaction", compaction, Some(compactionSql)),
     QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
-    QueryDef("cdc_scd2", scd2, Some(scd2Sql))
+    QueryDef("cdc_scd2", scd2, Some(scd2Sql)),
+    QueryDef("cdc_incremental_snapshot", incrementalSnapshot,
+      Some(incrementalSnapshotSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -718,6 +720,95 @@ object Cdc {
        |      FROM ($changelogSql))
        |WHERE rn = 1 AND op <> 'd'
        |ORDER BY key""".stripMargin
+
+  // --- cdc_incremental_snapshot: DBLog chunked snapshot ----------
+  // The initial-snapshot problem the reference leaves to "dump +
+  // replay from position" (rust-cdc src/mysql/conn.rs binlog start
+  // offset): a 100 TB table can't be dumped atomically, so DBLog
+  // (Andreakis & Papapanagiotou 2019; Debezium's incremental
+  // snapshot) reads it in KEY-SPACE CHUNKS interleaved with log
+  // tailing — each chunk SELECTed at the log position it was read
+  // (its watermark), and any key whose change lands AFTER its
+  // chunk's watermark is served by the log, superseding the chunk
+  // row. Here the chunk assignment (deterministic md5 hash of the
+  // key, [[graft.functions.DetHash]]) and the per-chunk watermarks
+  // (evenly spaced positions in the log's FINAL stretch — the chunk
+  // phase races the tail and finishes just before cutover, so chunk
+  // c was read with (C−c)/128ths of the log still to replay; tail
+  // placement also keeps all three dedup verdicts populated on the
+  // synthetic log, whose keys stay hot to the end) are pure
+  // functions, so the
+  // whole reconciliation is ONE map-side-combined aggregate per
+  // key: the final row, the row as the chunk read saw it, and the
+  // DBLog dedup verdict (`src`): 'chunk' = chunk row survives
+  // untouched, 'log_overwrite' = chunk row superseded by a later
+  // change, 'log_new' = key appeared (or was dead at read time and
+  // resurrected) after the chunk read. At scale no coordination
+  // state exists — no chunk table, no lock; the only driver values
+  // are the two global offset bounds (bounded collect, PQ-seeds
+  // precedent). Deletes compose: a key whose final op is delete is
+  // absent, exactly as in cdc_snapshot.
+  private val SnapChunks = 8
+
+  private def incrementalSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val log = Changelog.fromEvents(s, dir)
+    val bounds = log.agg(min("offset"), max("offset")).head
+    val (minOff, maxOff) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (maxOff - minOff) / 128
+    val chunk = pmod(
+      DetHash.int48OfHex(md5(concat(lit("chunk:"), col("key")))),
+      lit(SnapChunks.toLong))
+    val wmOfChunk = lit(maxOff) - (lit(SnapChunks.toLong) - col("chunk")) * lit(step)
+    log
+      .withColumn("chunk", chunk)
+      .withColumn("wm", wmOfChunk)
+      .groupBy("key", "chunk", "wm")
+      .agg(
+        max("offset").as("last_offset"),
+        max_by(col("op"), col("offset")).as("op_f"),
+        max_by(col("event_type"), col("offset")).as("event_type"),
+        max_by(col("value"), col("offset")).as("value"),
+        max_by(col("op"), when(col("offset") <= col("wm"), col("offset")))
+          .as("op_wm"),
+        max_by(col("value"), when(col("offset") <= col("wm"), col("offset")))
+          .as("value_wm"))
+      .filter(col("op_f") =!= "d")
+      .select(col("key"), col("chunk"), col("wm").as("watermark"),
+        when(col("last_offset") <= col("wm"), "chunk")
+          .when(col("op_wm").isNotNull && col("op_wm") =!= "d", "log_overwrite")
+          .otherwise("log_new").as("src"),
+        when(col("op_wm") =!= "d", col("value_wm")).as("chunk_value"),
+        col("last_offset"), col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  private lazy val incrementalSnapshotSql = {
+    val chunkExpr = graft.functions.DetHash.int48OfHexSql("md5('chunk:' || key)")
+    s"""WITH log AS ($changelogSql),
+       |b AS (SELECT min("offset") AS minv, max("offset") AS maxv FROM log),
+       |k AS (
+       |  SELECT l.*, $chunkExpr % $SnapChunks AS chunk,
+       |         b.maxv - ($SnapChunks - $chunkExpr % $SnapChunks) *
+       |           ((b.maxv - b.minv) // 128) AS wm
+       |  FROM log l CROSS JOIN b),
+       |agg AS (
+       |  SELECT key, chunk, wm,
+       |    max("offset") AS last_offset,
+       |    arg_max(op, "offset") AS op_f,
+       |    arg_max(event_type, "offset") AS event_type,
+       |    arg_max("value", "offset") AS "value",
+       |    arg_max(op, "offset") FILTER (WHERE "offset" <= wm) AS op_wm,
+       |    arg_max("value", "offset") FILTER (WHERE "offset" <= wm) AS value_wm
+       |  FROM k GROUP BY 1, 2, 3)
+       |SELECT key, chunk, wm AS watermark,
+       |  CASE WHEN last_offset <= wm THEN 'chunk'
+       |       WHEN op_wm IS NOT NULL AND op_wm <> 'd' THEN 'log_overwrite'
+       |       ELSE 'log_new' END AS src,
+       |  CASE WHEN op_wm <> 'd' THEN value_wm END AS chunk_value,
+       |  last_offset, event_type, "value"
+       |FROM agg WHERE op_f <> 'd' ORDER BY key""".stripMargin
+  }
 
   // --- cdc_stream_window: watermarked windowed agg ---
   private def streamWindow(s: SparkSession, dir: String): DataFrame =

@@ -40,7 +40,9 @@ object Curation {
     QueryDef("cur_dsir", dsir, Some(dsirSql)),
     QueryDef("cur_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QueryDef("cur_quality_classify", qualityClassify, Some(qualityClassifySql)),
-    QueryDef("cur_bpe_train", bpeTrain, Some(bpeTrainSql))
+    QueryDef("cur_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("cur_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("cur_corpus_stats", corpusStats, Some(corpusStatsSql))
   )
 
   // ---------------------------------------------------------------
@@ -1003,5 +1005,180 @@ object Curation {
       s"SELECT CAST($n AS BIGINT) AS rnd, p AS lhs, q AS rhs, p || q AS merged, cnt FROM p$n"
     }.mkString("\nUNION ALL\n")
     s"WITH $words,\n$ctes\n$union\nORDER BY rnd"
+  }
+
+  // ---------------------------------------------------------------
+  // cur_corpus_stats: the dataset-card profiling pass — the summary
+  // every training-data release ships (per-language doc/source/token
+  // totals, length quantiles, exact-dup ratio) and the input to
+  // mixture design (cur_domain_mix / cur_temperature_mix read
+  // exactly these counts). One map-side token-count projection, one
+  // groupBy(lang) aggregate — the two count-distincts ride the same
+  // exchange via Expand (3× |corpus| narrow rows, no extra shuffle
+  // stage), the interpolated percentiles use the q24 precedent
+  // (percentile == quantile_cont, round(4) guard). Ratios exported
+  // floor-milli fixed point for engine-stable hashing. At 100 TB
+  // this is a single corpus scan with |langs| output rows.
+  // ---------------------------------------------------------------
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        expr("percentile(n_tokens, array(0.5D, 0.9D))").as("ps"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        col("n_distinct_texts"), col("total_chars"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        round(col("ps")(0), 4).as("p50_tokens"),
+        round(col("ps")(1), 4).as("p90_tokens"),
+        floor(lit(1000.0) * col("total_tokens") / col("n_docs"))
+          .cast("long").as("tokens_per_doc_milli"),
+        floor(lit(1000.0) * (col("n_docs") - col("n_distinct_texts")) /
+          col("n_docs")).cast("long").as("dup_ratio_milli"))
+      .orderBy("lang")
+
+  private val corpusStatsSql =
+    """WITH d AS (
+      |  SELECT lang, source, text, n_chars,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  count(DISTINCT source) AS n_sources,
+      |  count(DISTINCT text) AS n_distinct_texts,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+      |  ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+      |  ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+      |  CAST(floor(1000.0 * CAST(sum(n_tokens) AS BIGINT) / count(*)) AS BIGINT)
+      |    AS tokens_per_doc_milli,
+      |  CAST(floor(1000.0 * (count(*) - count(DISTINCT text)) / count(*)) AS BIGINT)
+      |    AS dup_ratio_milli
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // cur_bpe_encode: APPLY the trained tokenizer — the consumer side
+  // of cur_bpe_train and the shape of every "tokenize the corpus"
+  // job. The learned merge list is tiny (R rows, collected once per
+  // (session, dir) — the standingIndex precedent), so encoding is a
+  // pure function of the word: the distinct-word table is folded
+  // through the R merges IN TRAINING ORDER (the same left-to-right
+  // non-overlapping fold as training — chained codegen'd array
+  // aggregates, no UDF), giving word → token count at |vocab| cost,
+  // NOT corpus cost; per-doc totals are then one (word) hash join +
+  // one (doc_id) aggregate. At 100 TB this is the production BPE
+  // shape: the corpus never re-shingles, the vocab table is the
+  // working set, and the merge table broadcasts. Output per doc:
+  // word/token/char counts + chars-per-token (the compression ratio
+  // tokenizer quality metric), floor-milli fixed point. The DuckDB
+  // oracle re-derives the merges with the training CTE chain (word
+  // and freq carried through so the folded chain doubles as the
+  // encode table) and must land on identical totals.
+  // ---------------------------------------------------------------
+  private val encodeMergeCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]]
+
+  /** Learned merges for `dir`, collected once per (session, dir) —
+    * R bounded rows across the driver (PQ-seeds precedent). */
+  private[graft] def learnedMerges(
+      s: SparkSession, dir: String): Seq[(String, String)] = {
+    val perSession = encodeMergeCache.synchronized {
+      var m = encodeMergeCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+        encodeMergeCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ =>
+      bpeMerges(Tables.documents(s, dir).select(col("text")), "text", BpeRounds)
+        .orderBy("rnd").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
+
+  /** Per-doc BPE encoding stats using `merges` (training order). */
+  def bpeEncodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        w => length(w) > 0)).as("word"))
+    val vocab0 = words.select("word").distinct()
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+    val encoded = merges.foldLeft(vocab0) { case (df, (p, q)) =>
+      df.withColumn("syms", bpeMergeFold(col("syms"), p, q))
+    }.select(col("word"), size(col("syms")).as("n_tok"))
+    words.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token_milli",
+        floor(lit(1000.0) * col("n_chars") / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeStats(Tables.documents(s, dir).select("doc_id", "text"),
+      learnedMerges(s, dir))
+
+  private lazy val bpeEncodeSql = {
+    // The training chain with word+freq carried through every fold,
+    // so v{R} IS the encode table (word → merged symbol list).
+    val words =
+      """w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> length(x) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |v0 AS (
+        |  SELECT word, freq,
+        |         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+        |  FROM w)""".stripMargin
+    def pairCte(n: Int) =
+      s"""p$n AS (
+         |  SELECT split_part(pair, ' ', 1) AS p, split_part(pair, ' ', 2) AS q,
+         |         pair, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |        FROM v${n - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def vocabCte(n: Int) =
+      s"""v$n AS (
+         |  SELECT word, freq,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |      (acc, x) -> CASE WHEN acc[-1] = m.p AND x[1] = m.q
+         |         THEN list_concat(acc[1:len(acc)-1], [m.p || m.q])
+         |         ELSE list_concat(acc, x) END) AS syms
+         |  FROM v${n - 1} CROSS JOIN p$n m)""".stripMargin
+    val ctes = (1 to BpeRounds).map(n => s"${pairCte(n)},\n${vocabCte(n)}")
+      .mkString(",\n")
+    s"""WITH $words,
+       |$ctes,
+       |d AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |enc AS (SELECT word, len(syms) AS n_tok FROM v$BpeRounds)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |       CAST(floor(1000.0 * CAST(sum(length(word)) AS BIGINT) /
+       |            CAST(sum(n_tok) AS BIGINT)) AS BIGINT) AS chars_per_token_milli
+       |FROM d JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

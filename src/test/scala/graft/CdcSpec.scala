@@ -434,4 +434,50 @@ class CdcSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == want.toSeq)
   }
+  test("cdc_incremental_snapshot: DBLog chunk/log dedup reconstructs the snapshot") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: enough keys that all three dedup verdicts appear
+    // (sf0.001 has too few live keys for a post-watermark insert).
+    val sfd = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("cdc_incremental_snapshot")(spark, sfd).collect()
+    // 1. The reconstruction IS the snapshot: same live keys, same
+    //    final (offset, value) as the plain upsert fold.
+    val snap = CdcApply.snapshot(Changelog.fromEvents(spark, sfd))
+      .select(col("key"), col("offset"), col("value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.map(_.getAs[String]("key")).toSet == snap.keySet)
+    rows.foreach { r =>
+      val (o, v) = snap(r.getAs[String]("key"))
+      assert(r.getAs[Long]("last_offset") == o && r.getAs[Double]("value") == v)
+    }
+    // 2. The dedup verdict is consistent with the watermark: chunk-
+    //    served keys saw no later change; log-served keys did.
+    rows.foreach { r =>
+      val (src, lastO, wm) = (r.getAs[String]("src"),
+        r.getAs[Long]("last_offset"), r.getAs[Long]("watermark"))
+      if (src == "chunk") assert(lastO <= wm) else assert(lastO > wm)
+    }
+    // 3. Non-degenerate: the interleave produces all three verdicts
+    //    (chunk rows that survive, chunk rows superseded by the log,
+    //    keys the chunk read never saw).
+    val srcs = rows.map(_.getAs[String]("src")).toSet
+    assert(srcs == Set("chunk", "log_overwrite", "log_new"))
+    // 4. chunk_value is the key's live value AS OF its watermark —
+    //    re-derive independently for every log_overwrite key.
+    val log = Changelog.fromEvents(spark, sfd)
+      .select("key", "op", "offset", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows.filter(_.getAs[String]("src") != "chunk").foreach { r =>
+      val wm = r.getAs[Long]("watermark")
+      val atWm = log.filter(e => e._1 == r.getAs[String]("key") && e._3 <= wm)
+        .sortBy(_._3).lastOption
+      val want = atWm.filter(_._2 != "d").map(_._4)
+      assert(Option(r.getAs[java.lang.Double]("chunk_value")).map(_.toDouble) == want)
+    }
+    // 5. Watermarks are per-chunk constants strictly inside the log.
+    val byChunk = rows.groupBy(_.getAs[Long]("chunk"))
+      .view.mapValues(_.map(_.getAs[Long]("watermark")).toSet)
+    byChunk.foreach { case (_, wms) => assert(wms.size == 1) }
+    assert(byChunk.keySet.size > 1) // key space actually chunked
+  }
 }

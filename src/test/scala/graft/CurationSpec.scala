@@ -288,4 +288,55 @@ class CurationSpec extends AnyFunSuite {
     val mean = fr.sum / fr.length
     assert(math.abs(mean - 0.5) < 0.05, s"mean $mean")
   }
+  test("cur_bpe_encode: hand-traced toy encode; corpus totals consistent") {
+    import spark.implicits._
+    // merges learned in order: (a,a) then (a,b). Word "aaab" folds
+    // a,a,a,b -> [aa,a,b] (non-overlap: the merged tail aa can't
+    // re-merge) -> [aa,ab] = 2 tokens; "ab" -> [ab] = 1; "c" -> [c].
+    val toy = Seq((1L, "aaab ab c"), (2L, "aaab aaab")).toDF("doc_id", "text")
+    val got = operators.Curation.bpeEncodeStats(toy,
+        Seq(("a", "a"), ("a", "b")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("chars_per_token_milli"))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, 7L, 1750L),   // 2+1+1 tokens, 4+2+1 chars
+      (2L, 2L, 4L, 8L, 2000L)))
+    // corpus entry: tokens never exceed chars, never undercut words
+    // (each word is >=1 token, each token >=1 char), every doc present.
+    val rows = run("cur_bpe_encode").collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+    // the learned merges COMPRESS: strictly fewer tokens than chars
+    // in aggregate (the whole point of training the tokenizer).
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <
+      rows.map(_.getAs[Long]("n_chars")).sum)
+  }
+
+  test("cur_corpus_stats: per-language totals cross-check the raw corpus") {
+    val rows = run("cur_corpus_stats").collect()
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[String]("text"), r.getAs[Long]("n_chars")))
+    assert(rows.map(_.getAs[String]("lang")).toSet == docs.map(_._1).toSet)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val mine = docs.filter(_._1 == lang)
+      assert(r.getAs[Long]("n_docs") == mine.length)
+      assert(r.getAs[Long]("n_sources") == mine.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_distinct_texts") == mine.map(_._3).distinct.length)
+      assert(r.getAs[Long]("total_chars") == mine.map(_._4).sum)
+      val toks = mine.map(_._3.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+      assert(r.getAs[Long]("total_tokens") == toks.sum)
+      assert(r.getAs[Long]("min_tokens") == toks.min)
+      assert(r.getAs[Long]("max_tokens") == toks.max)
+      val p50 = r.getAs[Double]("p50_tokens")
+      assert(p50 >= toks.min && p50 <= toks.max)
+      assert(r.getAs[Long]("tokens_per_doc_milli") ==
+        math.floor(1000.0 * toks.sum / mine.length).toLong)
+    }
+  }
 }
