@@ -37,6 +37,7 @@ object Similarity {
     QueryDef("sim_rerank", rerank, Some(rerankOracle)),
     QueryDef("sim_knn_classify", knnClassify, Some(knnOracle)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqOracle)),
+    QueryDef("sim_mmr", mmr, Some(mmrOracle)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
 
@@ -719,6 +720,153 @@ object Similarity {
 
   private def foldSql(elem: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $elem), (acc, x) -> acc + x)"
+
+  // --- sim_mmr: Maximal Marginal Relevance diversified retrieval --
+  // Carbonell & Goldstein 1998: after the top-1 by pure relevance,
+  // each next slot goes to the candidate maximizing
+  //   λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+  // — the standard de-redundancy rerank for retrieval-augmented
+  // selection (a near-duplicate of an already-chosen doc scores
+  // low however relevant). λ = 0.7 is applied as the integer pair
+  // (7, 3) over the floor-micro cosine grid, so every MMR score,
+  // comparison, and tie-break is EXACT integer arithmetic — no
+  // cross-engine FP concern anywhere past the (already bit-stable)
+  // cosine fold. Scale shape: the pool is |queries|·poolK rows and
+  // the pairwise-sim table |queries|·poolK² — both bounded and
+  // persisted once (the corpus itself never re-shuffles past the
+  // cosineTopK scan); each greedy step is one bounded join + one
+  // per-query window argmax, selK−1 steps total, with the growing
+  // selection localCheckpoint'ed so plans stay one step deep.
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** MMR-diversified top-`selK` per query from a `poolK` cosine
+    * pool. Returns (q_id, pos, cand_id, rel_micro, mmr_micro) —
+    * mmr_micro NULL at pos=1 (pure-relevance seed). */
+  def mmrSelect(
+      corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      poolK: Int, selK: Int): DataFrame = {
+    val pool = cosineTopK(corpus, idCol, embCol, queries, qIdCol, qVecCol, poolK)
+      .select(col("q_id"), col("neighbor_id"), col("cos_micro").as("rel_micro"))
+      .persist()
+    pool.count() // bounded: |queries|·poolK
+    val vecs = corpus.select(col(idCol).as("vid"), col(embCol).as("v"))
+    val sims = pool.select(col("q_id"), col("neighbor_id").as("a_id"))
+      .join(pool.select(col("q_id"), col("neighbor_id").as("b_id")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .join(vecs.select(col("vid").as("a_id"), col("v").as("va")), "a_id")
+      .join(vecs.select(col("vid").as("b_id"), col("v").as("vb")), "b_id")
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        floor(cosine(col("va"), col("vb")) * lit(1e6)).as("sim_micro"))
+      .persist()
+    sims.count() // bounded: |queries|·poolK²
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rel_micro").desc, col("neighbor_id"))
+    var selected = pool.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("pos"),
+        col("rel_micro"), lit(null).cast("long").as("mmr_micro"))
+      .localCheckpoint()
+    var remaining = pool.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") > 1).select("q_id", "neighbor_id", "rel_micro")
+      .localCheckpoint()
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("mmr_micro").desc, col("neighbor_id"))
+    for (i <- 2 to selK) {
+      val picked = remaining
+        .select(col("q_id"), col("neighbor_id").as("a_id"), col("rel_micro"))
+        .join(selected.select(col("q_id"), col("neighbor_id").as("b_id")), "q_id")
+        .join(sims, Seq("q_id", "a_id", "b_id"))
+        .groupBy("q_id", "a_id", "rel_micro")
+        .agg(max("sim_micro").as("max_sim"))
+        .withColumn("mmr_micro",
+          lit(7L) * col("rel_micro") - lit(3L) * col("max_sim"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("mmr_micro").desc, col("a_id"))))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("a_id").as("neighbor_id"), lit(i).as("pos"),
+          col("rel_micro"), col("mmr_micro"))
+      selected = selected.unionByName(picked).localCheckpoint()
+      remaining = remaining.join(
+          picked.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_anti")
+        .localCheckpoint()
+    }
+    pool.unpersist(); sims.unpersist()
+    selected
+      .select(col("q_id"), col("pos"), col("neighbor_id").as("cand_id"),
+        col("rel_micro"), col("mmr_micro"))
+      .orderBy("q_id", "pos")
+  }
+
+  private def mmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("q_vec"))
+    mmrSelect(emb, "vec_id", "embedding", queries, "q_id2", "q_vec",
+      MmrPool, MmrK)
+  }
+
+  private lazy val mmrOracle: String = {
+    val steps = (2 to MmrK).map { n =>
+      s"""cand$n AS (
+         |  SELECT p.q_id, p.cand_id, p.rel, 7 * p.rel - 3 * m.msim AS mmr
+         |  FROM pool p
+         |  JOIN (SELECT s.q_id, s.a_id, max(s.sim) AS msim
+         |        FROM sims s JOIN all${n - 1} t
+         |          ON t.q_id = s.q_id AND t.cand_id = s.b_id
+         |        GROUP BY 1, 2) m
+         |    ON m.q_id = p.q_id AND m.a_id = p.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${n - 1} t
+         |                    WHERE t.q_id = p.q_id AND t.cand_id = p.cand_id)),
+         |sel$n AS (
+         |  SELECT q_id, cand_id, rel, mmr, $n AS pos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY mmr DESC, cand_id) AS rk FROM cand$n)
+         |  WHERE rk = 1),
+         |all$n AS (SELECT q_id, cand_id FROM all${n - 1}
+         |          UNION ALL SELECT q_id, cand_id FROM sel$n)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MmrK).map(n => s"SELECT * FROM sel$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |         ${cosCte("q.embedding", "c.embedding")}
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+       |), cos AS (
+       |  SELECT q_id, cand_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM scored
+       |), pool AS (
+       |  SELECT q_id, cand_id, CAST(floor(cs * 1e6) AS BIGINT) AS rel FROM (
+       |    SELECT q_id, cand_id, cs,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cand_id) AS rk
+       |    FROM cos)
+       |  WHERE rk <= $MmrPool
+       |), pairs AS (
+       |  SELECT a.q_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |         ${cosCte("ea.embedding", "eb.embedding")}
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.cand_id <> b.cand_id
+       |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+       |  JOIN embeddings eb ON eb.vec_id = b.cand_id
+       |), sims AS (
+       |  SELECT q_id, a_id, b_id,
+       |         CAST(floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END) * 1e6) AS BIGINT) AS sim
+       |  FROM pairs
+       |), sel1 AS (
+       |  SELECT q_id, cand_id, rel, CAST(NULL AS BIGINT) AS mmr, 1 AS pos FROM (
+       |    SELECT q_id, cand_id, rel,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cand_id) AS rk
+       |    FROM pool)
+       |  WHERE rk = 1),
+       |all1 AS (SELECT q_id, cand_id FROM sel1),
+       |$steps
+       |SELECT q_id, pos, cand_id, rel AS rel_micro, mmr AS mmr_micro
+       |FROM ($union) ORDER BY q_id, pos""".stripMargin
+  }
 
   private def dotSql(a: String, b: String): String =
     foldSql(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")

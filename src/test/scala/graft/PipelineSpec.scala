@@ -572,4 +572,35 @@ class PipelineSpec extends AnyFunSuite {
       .head
     assert(g.getInt(0) == 4 && g.getInt(1) == 2)
   }
+  test("sim_mmr: diversified selection is valid, exact, and actually diversifies") {
+    val rows = run("sim_mmr").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      // exactly k distinct picks, positions 1..k
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to 5))
+      assert(rs.map(_.getAs[Long]("cand_id")).distinct.length == 5)
+      val byPos = rs.sortBy(_.getAs[Int]("pos"))
+      // pos 1 is the pure-relevance argmax: rel never beaten later
+      assert(byPos.tail.forall(r =>
+        r.getAs[Long]("rel_micro") <= byPos.head.getAs[Long]("rel_micro")))
+      // mmr = 7·rel − 3·max_sim with |sim| ≤ 1e6 (a NEGATIVE
+      // nearest-selected cosine legitimately pushes mmr above 7·rel);
+      // the seed carries no mmr at all
+      assert(byPos.head.isNullAt(byPos.head.fieldIndex("mmr_micro")))
+      byPos.tail.foreach { r =>
+        val d = r.getAs[Long]("mmr_micro") - 7 * r.getAs[Long]("rel_micro")
+        assert(d.abs <= 3000000L)
+      }
+    }
+    // non-degenerate: for at least one query the MMR pick order is
+    // NOT the pure-relevance order (else the penalty did nothing on
+    // an embedding corpus that HAS planted near-dup structure)
+    val diversified = byQ.values.exists { rs =>
+      val mmrOrder = rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("cand_id")).toSeq
+      val relOrder = rs.sortBy(r =>
+        (-r.getAs[Long]("rel_micro"), r.getAs[Long]("cand_id"))).map(_.getAs[Long]("cand_id")).toSeq
+      mmrOrder != relOrder
+    }
+    assert(diversified)
+  }
 }
