@@ -45,7 +45,8 @@ object Cdc {
     QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("cdc_scd2", scd2, Some(scd2Sql)),
     QueryDef("cdc_incremental_snapshot", incrementalSnapshot,
-      Some(incrementalSnapshotSql))
+      Some(incrementalSnapshotSql)),
+    QueryDef("cdc_txn_assemble", txnAssemble, None)
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -808,6 +809,47 @@ object Cdc {
        |  CASE WHEN op_wm <> 'd' THEN value_wm END AS chunk_value,
        |  last_offset, event_type, "value"
        |FROM agg WHERE op_f <> 'd' ORDER BY key""".stripMargin
+  }
+
+  // --- cdc_txn_assemble: binlog transaction assembly --------------
+  // The reference applies row events transactionally: a MySQL
+  // transaction is BEGIN (QUERY event) … row events … XID (commit,
+  // rust-cdc src/mysql/event/mod.rs XidEvent) — the XID terminator
+  // is the atomic-apply unit a correct sink must respect (commit
+  // offsets only at XID boundaries, never mid-transaction). This
+  // entry assembles the reference's own fixture binlogs back into
+  // their transactions: each event joins the NEAREST FOLLOWING
+  // commit in its file (min-struct over an unbounded-following
+  // window — ONE exchange on file, the binlog's natural parallel
+  // unit: a file's history is serial by nature, files scale out),
+  // the chunk is then clipped to its BEGIN marker (setup DDL and
+  // GTID preambles stay outside), and per-transaction summaries
+  // (row images, tables touched, begin/commit positions) come from
+  // one more bounded aggregate. Rows-only (binary input; content
+  // hash PINNED in ContentPinSpec, boundaries asserted in
+  // BinlogSpec).
+  private def txnAssemble(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.binlog.BinlogSource
+      .events(s, "/root/reference/tests/events/*/*")
+    val w = Window.partitionBy("file").orderBy("log_pos")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val assigned = ev
+      .withColumn("commit", min(when(col("event_type") === "XID",
+        struct(col("log_pos"), col("xid")))).over(w))
+      .filter(col("commit").isNotNull)
+      .withColumn("commit_pos", col("commit.log_pos"))
+      .withColumn("txn_xid", col("commit.xid"))
+    val begins = assigned.filter(col("query") === "BEGIN")
+      .groupBy("file", "txn_xid").agg(max("log_pos").as("begin_pos"))
+    assigned.join(begins, Seq("file", "txn_xid"))
+      .filter(col("log_pos") >= col("begin_pos"))
+      .groupBy(regexp_extract(col("file"), "events/([^/]+)/", 1).as("fixture"),
+        col("txn_xid"), col("begin_pos"), col("commit_pos"))
+      .agg(count(when(col("op").isNotNull, lit(1))).as("n_row_images"),
+        countDistinct(when(col("op").isNotNull, col("table_name"))).as("n_tables"),
+        count(lit(1)).as("n_events"))
+      .orderBy("fixture", "txn_xid")
   }
 
   // --- cdc_stream_window: watermarked windowed agg ---

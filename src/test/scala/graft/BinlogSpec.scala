@@ -405,4 +405,27 @@ class BinlogSpec extends AnyFunSuite {
     val snap = graft.cdc.CdcApply.snapshot(changes, keyCols = Seq("table", "key"))
     assert(snap.count() >= 0) // materializes without error
   }
+  test("cdc_txn_assemble: fixture transactions have exact BEGIN/XID boundaries") {
+    val rows = SparkEntry.queries("cdc_txn_assemble")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("fixture"), r.getAs[Long]("txn_xid"),
+        r.getAs[Long]("begin_pos"), r.getAs[Long]("commit_pos"),
+        r.getAs[Long]("n_row_images"), r.getAs[Long]("n_events")))
+    // 19_table_map: two committed txns, xids 331/357, one row image
+    // each, BEGIN strictly before commit (hand-read from the fixture
+    // via the parser's event listing).
+    val tm = rows.filter(_._1 == "19_table_map").sortBy(_._2)
+    assert(tm.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((331L, 687L, 820L), (357L, 895L, 1028L)))
+    // every assembled txn: exactly BEGIN + TABLE_MAP(s) + row
+    // event(s) + XID between its boundaries, at least one row image,
+    // and the commit strictly after the begin
+    rows.foreach { t =>
+      assert(t._3 < t._4, s"${t._1}/${t._2}: begin !< commit")
+      assert(t._5 >= 1, s"${t._1}/${t._2}: no row images")
+      assert(t._6 >= t._5 + 2, s"${t._1}/${t._2}: missing BEGIN/XID envelope")
+    }
+    // single-txn fixture 16_xid carries MySQL's real xid 852
+    assert(rows.filter(_._1 == "16_xid").map(_._2).toSeq == Seq(852L))
+  }
 }
