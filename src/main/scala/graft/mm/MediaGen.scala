@@ -58,6 +58,46 @@ object MediaGen {
     Wav.Audio(8000, 1, samples)
   }
 
+  // --- scene-structured video (mm_scene_cut's input) --------------
+  // payload()'s APNG frames are per-frame noise — every transition
+  // would be a "cut". Shot-boundary detection needs SHOTS: runs of
+  // near-identical frames with hard content jumps between them. A
+  // separate generator path keeps payload() (and every mm_* content
+  // pin built on it) byte-stable.
+  def sceneShotLen(id: Long): Int = 2 + (id % 3).toInt
+  def sceneFrameCount(id: Long): Int = 6 + (id % 6).toInt
+
+  /** Frame f of id's scene video: content seeded by the SHOT index
+    * (frames within a shot share pixels), plus one per-frame
+    * regenerated row — small nonzero intra-shot motion (~2% mean
+    * abs diff) well under the cross-shot jump (~33%). */
+  def sceneFrame(id: Long, f: Int): Png.Image = {
+    val w = 24 + (id % 17).toInt
+    val h = 16 + (id % 13).toInt
+    val shot = f / sceneShotLen(id)
+    val jitterRow = (f * 5 + shot) % h
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (y == jitterRow) mix(id * 95279L + f * 337L + x)
+          else mix(id * 95279L + shot * 7919L + y * 131L + x)
+        val o = (y * w + x) * 3
+        px(o) = (v & 0xff).toByte
+        px(o + 1) = ((v >>> 8) & 0xff).toByte
+        px(o + 2) = ((v >>> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.Image(w, h, 3, px)
+  }
+
+  def scenePayload(id: Long): Array[Byte] =
+    Png.encodeFrames((0 until sceneFrameCount(id)).map(f => sceneFrame(id, f)))
+
   /** The encoded payload for a doc id — what a real pipeline would
     * read from an object-store column. */
   def payload(id: Long): Array[Byte] = modality(id) match {

@@ -27,7 +27,8 @@ object Multimodal {
     QueryDef("mm_frames", framePipeline, None),
     QueryDef("mm_resize", resizePipeline, None),
     QueryDef("mm_resample", resamplePipeline, None),
-    QueryDef("mm_phash", phashPipeline, None)
+    QueryDef("mm_phash", phashPipeline, None),
+    QueryDef("mm_scene_cut", sceneCutPipeline, None)
   )
 
   /** Typed metadata for one decoded asset. */
@@ -371,5 +372,55 @@ object Multimodal {
         countDistinct(col("doc_id")).as("n_assets"),
         round(avg(col("patch_mean")), 5).as("avg_patch_mean"))
       .orderBy("kind")
+  }
+  // --- mm_scene_cut: shot-boundary detection -----------------------
+  // The classic video-curation primitive (a training pipeline keeps
+  // one keyframe per shot, not every frame): consecutive-frame mean
+  // absolute pixel difference, a cut wherever it clears a threshold.
+  // Runs on scene-STRUCTURED synthetic videos ([[graft.mm.MediaGen
+  // .sceneFrame]] — shot-seeded content with one jitter row per
+  // frame), because payload()'s noise frames would make every
+  // transition a cut. Entirely partition-local: one task decodes a
+  // video's frames and folds the pairwise diffs; only the per-doc
+  // summary row (6 scalars) ever shuffles — at 100 TB of video the
+  // payload bytes never leave their input split, the same contract
+  // as every other mm_* stage. The generator's shot arithmetic is
+  // the planted ground truth: n_shots must equal
+  // ceil(frames/shotLen) exactly (spec), intra-shot jitter must
+  // stay under the threshold, cross-shot jumps over it.
+  final case class SceneDoc(
+      doc_id: Long,
+      n_frames: Int,
+      n_cuts: Int,
+      n_shots: Int,
+      max_cut_milli: Long,   // strongest shot transition
+      max_intra_milli: Long) // strongest within-shot motion
+
+  val CutThresholdMilli = 100L
+
+  private def sceneCutPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
+      .filter((id: Long) => MediaGen.modality(id) == 3) // the video slice
+      .mapPartitions(_.map { id =>
+        val d = graft.mm.Png.decode(MediaGen.scenePayload(id))
+        var cuts = 0; var maxCut = 0L; var maxIntra = 0L
+        var i = 1
+        while (i < d.frames.length) {
+          val a = d.frames(i - 1).pixels
+          val b = d.frames(i).pixels
+          var sum = 0L; var j = 0
+          while (j < a.length) {
+            sum += math.abs((a(j) & 0xff) - (b(j) & 0xff)); j += 1
+          }
+          val diffMilli = sum * 1000L / (a.length.toLong * 255L)
+          if (diffMilli >= CutThresholdMilli) {
+            cuts += 1; if (diffMilli > maxCut) maxCut = diffMilli
+          } else if (diffMilli > maxIntra) maxIntra = diffMilli
+          i += 1
+        }
+        SceneDoc(id, d.frames.length, cuts, cuts + 1, maxCut, maxIntra)
+      }).toDF()
+      .orderBy("doc_id")
   }
 }

@@ -56,4 +56,5 @@ class ContentPinSpec extends AnyFunSuite {
   pin("mm_resize", 2, "15511961665530862505")
   pin("mm_resample", 1, "-7219080678834481442")
   pin("mm_phash", 125, "-9335369518000092782")
+  pin("mm_scene_cut", 125, "16939260401471902718")
 }

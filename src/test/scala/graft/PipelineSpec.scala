@@ -603,4 +603,21 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(diversified)
   }
+  test("mm_scene_cut recovers exactly the generator's planted shot structure") {
+    val rows = run("mm_scene_cut").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val frames = graft.mm.MediaGen.sceneFrameCount(id)
+      val shotLen = graft.mm.MediaGen.sceneShotLen(id)
+      val wantShots = (frames + shotLen - 1) / shotLen
+      assert(r.getAs[Int]("n_frames") == frames)
+      assert(r.getAs[Int]("n_shots") == wantShots,
+        s"doc $id: ${r.getAs[Int]("n_shots")} shots, want $wantShots")
+      // threshold margin: within-shot jitter and cross-shot jumps
+      // must stay on opposite sides with real headroom
+      assert(r.getAs[Long]("max_intra_milli") < 70, s"doc $id intra too hot")
+      assert(r.getAs[Long]("max_cut_milli") > 250, s"doc $id cuts too soft")
+    }
+  }
 }
