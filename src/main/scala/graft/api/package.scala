@@ -69,6 +69,14 @@ package object api {
     def gtidIntervals(sourceCol: String, gnoCol: String): DataFrame =
       graft.cdc.GtidSet.intervals(df, sourceCol, gnoCol)
 
+    /** Assemble binlog events (the DSv2 source's schema) into their
+      * BEGIN…XID transactions: per-(file, txn_xid) summary rows —
+      * the atomic-apply unit a correct sink commits at (see
+      * cdc_txn_assemble).
+      */
+    def assembleTransactions(): DataFrame =
+      graft.operators.Cdc.assembleTransactions(df)
+
     // --- dedup ------------------------------------------------------
 
     /** One canonical row per distinct text (lowest id wins). */
@@ -205,6 +213,16 @@ package object api {
     def bpeMerges(textCol: String = "text", rounds: Int = 6): DataFrame =
       Curation.bpeMerges(df, textCol, rounds)
 
+    /** Apply trained BPE `merges` (training order): per-doc word/
+      * token/char totals + chars-per-token — encoding cost is
+      * |vocab|, per-doc cost one hash join (see cur_bpe_encode).
+      */
+    def bpeEncodeStats(
+        merges: Seq[(String, String)],
+        idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      Curation.bpeEncodeStats(df, merges, idCol, textCol)
+
     /** Per-doc fraction of tokens inside a word `n`-gram shared with
       * ≥1 OTHER doc — span-level dedup coverage (partial-boilerplate
       * signal doc-level near-dup misses).
@@ -273,6 +291,19 @@ package object api {
         queries: DataFrame,
         k: Int): DataFrame =
       Similarity.knnClassifyTopK(df, idCol, embCol, labelCol, queries, "q_id", "q_vec", k)
+
+    /** MMR-diversified top-`selK` per query from a `poolK` cosine
+      * pool (Carbonell & Goldstein 1998): greedy 7·rel − 3·max-sim
+      * on the floor-micro grid, exact integer arithmetic throughout
+      * (see sim_mmr). Query frame needs (q_id, q_vec) columns.
+      */
+    def mmrTopK(
+        idCol: String,
+        embCol: String,
+        queries: DataFrame,
+        poolK: Int = 20,
+        selK: Int = 5): DataFrame =
+      Similarity.mmrSelect(df, idCol, embCol, queries, "q_id", "q_vec", poolK, selK)
 
     /** Embedding-cosine near-duplicate (id_a, id_b, cos_micro) pairs
       * by LSH-signature blocking + exact verify.

@@ -828,10 +828,13 @@ object Cdc {
   // one more bounded aggregate. Rows-only (binary input; content
   // hash PINNED in ContentPinSpec, boundaries asserted in
   // BinlogSpec).
-  private def txnAssemble(s: SparkSession, dir: String): DataFrame = {
+  /** Reusable assembly over any binlog-events frame (the DSv2
+    * source's schema: file/log_pos/event_type/op/table_name/query/
+    * xid): per-transaction summary rows keyed by (file, txn_xid).
+    * Library-surface form of cdc_txn_assemble.
+    */
+  def assembleTransactions(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = graft.sources.binlog.BinlogSource
-      .events(s, "/root/reference/tests/events/*/*")
     val w = Window.partitionBy("file").orderBy("log_pos")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val assigned = ev
@@ -844,13 +847,19 @@ object Cdc {
       .groupBy("file", "txn_xid").agg(max("log_pos").as("begin_pos"))
     assigned.join(begins, Seq("file", "txn_xid"))
       .filter(col("log_pos") >= col("begin_pos"))
-      .groupBy(regexp_extract(col("file"), "events/([^/]+)/", 1).as("fixture"),
-        col("txn_xid"), col("begin_pos"), col("commit_pos"))
+      .groupBy(col("file"), col("txn_xid"), col("begin_pos"), col("commit_pos"))
       .agg(count(when(col("op").isNotNull, lit(1))).as("n_row_images"),
         countDistinct(when(col("op").isNotNull, col("table_name"))).as("n_tables"),
         count(lit(1)).as("n_events"))
-      .orderBy("fixture", "txn_xid")
   }
+
+  private def txnAssemble(s: SparkSession, dir: String): DataFrame =
+    assembleTransactions(graft.sources.binlog.BinlogSource
+        .events(s, "/root/reference/tests/events/*/*"))
+      .select(regexp_extract(col("file"), "events/([^/]+)/", 1).as("fixture"),
+        col("txn_xid"), col("begin_pos"), col("commit_pos"),
+        col("n_row_images"), col("n_tables"), col("n_events"))
+      .orderBy("fixture", "txn_xid")
 
   // --- cdc_stream_window: watermarked windowed agg ---
   private def streamWindow(s: SparkSession, dir: String): DataFrame =

@@ -1108,9 +1108,10 @@ object Curation {
   }
 
   /** Per-doc BPE encoding stats using `merges` (training order). */
-  def bpeEncodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), "\\s+"),
+  def bpeEncodeStats(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
         w => length(w) > 0)).as("word"))
     val vocab0 = words.select("word").distinct()
       .withColumn("syms",

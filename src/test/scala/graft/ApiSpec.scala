@@ -368,4 +368,52 @@ class ApiSpec extends AnyFunSuite {
     assert(nn.head.getAs[Int]("rk") == 1)
     assert(nn(1).getAs[Long]("neighbor_id") == 11L)
   }
+  test("mmrTopK diversifies a user corpus: the near-dup of pick 1 loses slot 2") {
+    // corpus: v1 closest to the query, v2 a near-copy of v1 (still
+    // 2nd by relevance), v3 orthogonal to v1 yet relevant. Pure
+    // relevance ranks (v1, v2, v3): rel ≈ (0.80, 0.76, 0.60), but
+    // MMR slot 2 compares 7·0.76 − 3·0.998 ≈ 2.34 against
+    // 7·0.60 − 3·0 = 4.2 — the near-copy must lose to diversity.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, -0.06f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val queries = Seq((100L, Array(0.8f, 0.6f, 0.0f)))
+      .toDF("q_id", "q_vec")
+    val got = corpus.mmrTopK("id", "vec", queries, poolK = 3, selK = 3)
+      .collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("cand_id")))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("bpeEncodeStats encodes a user table with custom column names") {
+    val docs = Seq((10L, "aaab ab"), (11L, "c")).toDF("k", "body")
+    val got = docs.bpeEncodeStats(Seq(("a", "a"), ("a", "b")), "k", "body")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+      .toSeq
+    assert(got == Seq((10L, 3L), (11L, 1L))) // aaab->[aa,ab], ab->[ab], c->[c]
+  }
+
+  test("assembleTransactions groups a user event frame at XID boundaries") {
+    val ev = Seq(
+      ("f1", 10L, "QUERY", null, null, "BEGIN", -1L),
+      ("f1", 20L, "TABLE_MAP", null, "t1", null, -1L),
+      ("f1", 30L, "WRITE_ROWS_V2", "c", "t1", null, -1L),
+      ("f1", 40L, "XID", null, null, null, 77L),
+      ("f1", 50L, "QUERY", null, null, "BEGIN", -1L),
+      ("f1", 60L, "UPDATE_ROWS_V2", "u", "t2", null, -1L),
+      ("f1", 65L, "DELETE_ROWS_V2", "d", "t1", null, -1L),
+      ("f1", 70L, "XID", null, null, null, 78L),
+      ("f1", 80L, "QUERY", null, null, "BEGIN", -1L) // uncommitted tail
+    ).toDF("file", "log_pos", "event_type", "op", "table_name", "query", "xid")
+    val got = ev.assembleTransactions().collect()
+      .map(r => (r.getAs[Long]("txn_xid"), r.getAs[Long]("begin_pos"),
+        r.getAs[Long]("commit_pos"), r.getAs[Long]("n_row_images"),
+        r.getAs[Long]("n_tables"), r.getAs[Long]("n_events")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (77L, 10L, 40L, 1L, 1L, 4L),
+      (78L, 50L, 70L, 2L, 2L, 4L))) // the open tail never becomes a txn
+  }
 }
