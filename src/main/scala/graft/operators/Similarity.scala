@@ -763,14 +763,19 @@ object Similarity {
     sims.count() // bounded: |queries|·poolK²
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("rel_micro").desc, col("neighbor_id"))
+    // Greedy state: ONLY `selected` (≤ |queries|·selK rows) is
+    // localCheckpoint'ed per step — one bounded job each, keeping
+    // every step's plan one fold deep (a fully lazy chain re-expands
+    // the step recursion combinatorially: measured 25.9s vs 2s at
+    // sf0.1). `remaining` derives lazily as pool ∖ selected.
     var selected = pool.withColumn("rk", row_number().over(w1))
       .filter(col("rk") === 1)
       .select(col("q_id"), col("neighbor_id"), lit(1).as("pos"),
         col("rel_micro"), lit(null).cast("long").as("mmr_micro"))
       .localCheckpoint()
-    var remaining = pool.withColumn("rk", row_number().over(w1))
-      .filter(col("rk") > 1).select("q_id", "neighbor_id", "rel_micro")
-      .localCheckpoint()
+    def remaining = pool.join(
+      selected.select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id"), "left_anti")
     val wm = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("mmr_micro").desc, col("neighbor_id"))
     for (i <- 2 to selK) {
@@ -789,10 +794,6 @@ object Similarity {
         .select(col("q_id"), col("a_id").as("neighbor_id"), lit(i).as("pos"),
           col("rel_micro"), col("mmr_micro"))
       selected = selected.unionByName(picked).localCheckpoint()
-      remaining = remaining.join(
-          picked.select("q_id", "neighbor_id"),
-          Seq("q_id", "neighbor_id"), "left_anti")
-        .localCheckpoint()
     }
     pool.unpersist(); sims.unpersist()
     selected
