@@ -233,6 +233,17 @@ package object api {
         n: Int = 8): DataFrame =
       TextAnalysis.dupSpanCoverage(df, idCol, textCol, n)
 
+    /** Remove every word inside a cross-document duplicated
+      * word-`n`-gram and rebuild the doc (single-space canonical
+      * form): (id, n_tokens, n_removed, kept_text) — the span-level
+      * dedup REWRITE of Lee et al. 2022 (see text_dedup_rewrite).
+      */
+    def dedupRewriteSpans(
+        idCol: String,
+        textCol: String,
+        n: Int = 8): DataFrame =
+      TextAnalysis.dedupRewriteSpans(df, idCol, textCol, n)
+
     /** Budget-bounded curation: rows in (scoreCol desc, idCol) order
       * until the running `weightCol` sum exceeds `budget` — the
       * global-window cumsum semantics without the global sort.

@@ -25,7 +25,8 @@ object TextAnalysis {
     QueryDef("text_compress", compress, None),
     QueryDef("text_crossentropy", crossentropy, Some(crossentropySql)),
     QueryDef("text_dup_spans", dupSpans, Some(dupSpansSql)),
-    QueryDef("text_gopher_rules", gopherRules, Some(gopherRulesSql))
+    QueryDef("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("text_dedup_rewrite", dedupRewrite, Some(dedupRewriteSql))
   )
 
   // ---------------------------------------------------------------
@@ -57,33 +58,8 @@ object TextAnalysis {
     */
   def dupSpanCoverage(
       input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val docs = input
-      .withColumn("w", split(col(textCol), "\\s+"))
-      .select(col(idCol).as("doc_id"), col("w"), size(col("w")).as("n_tokens"))
-    val SpanN = n
-    val occ = docs
-      .filter(col("n_tokens") >= SpanN)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $SpanN), i -> " +
-          s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(w, i + 1, $SpanN)))))")).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    // distinct-doc count per gram WITHOUT a join back: repartition on
-    // the hash once, then both windows (first-occurrence flag per
-    // (h, doc); sum of flags per h) ride that single exchange —
-    // hashpartitioning(h) satisfies both clusterings, so the
-    // tokenize+md5 subtree is evaluated once, vs twice for the
-    // groupBy + join-back formulation (measured 2.45s → 1.7s). State
-    // stays O(1) per row (a collect_set window would hold every
-    // doc_id of a degenerate universal gram).
-    val wFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h"), col("doc_id")).orderBy(col("pos"))
-    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val covered = occ.repartition(col("h"))
-      .withColumn("__first",
-        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .withColumn("__nd", sum(col("__first")).over(wGram))
-      .filter(col("__nd") >= 2)
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${SpanN - 1})")).as("cp"))
+    val docs = spanDocs(input, idCol, textCol)
+    val covered = coveredPositions(docs, n)
       .groupBy("doc_id")
       .agg(countDistinct(col("cp")).as("n_dup_tokens"))
     docs.select(col("doc_id"), col("n_tokens"))
@@ -93,6 +69,109 @@ object TextAnalysis {
       .withColumn("dup_fraction",
         round(col("n_dup_tokens").cast("double") / col("n_tokens"), 4))
   }
+
+  private def spanDocs(
+      input: DataFrame, idCol: String, textCol: String): DataFrame =
+    input.withColumn("w", split(col(textCol), "\\s+"))
+      .select(col(idCol).as("doc_id"), col("w"), size(col("w")).as("n_tokens"))
+
+  /** The (doc_id, cp) stream of word positions covered by a
+    * cross-document duplicated `n`-gram — the shared core of
+    * dupSpanCoverage (counts) and dedupRewriteSpans (removal).
+    *
+    * Distinct-doc count per gram WITHOUT a join back: repartition on
+    * the hash once, then both windows (first-occurrence flag per
+    * (h, doc); sum of flags per h) ride that single exchange —
+    * hashpartitioning(h) satisfies both clusterings, so the
+    * tokenize+md5 subtree is evaluated once, vs twice for the
+    * groupBy + join-back formulation (measured 2.45s → 1.7s). State
+    * stays O(1) per row (a collect_set window would hold every
+    * doc_id of a degenerate universal gram).
+    */
+  private def coveredPositions(docs: DataFrame, n: Int): DataFrame = {
+    val occ = docs
+      .filter(col("n_tokens") >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> " +
+          s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(w, i + 1, $n)))))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("doc_id")).orderBy(col("pos"))
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    occ.repartition(col("h"))
+      .withColumn("__first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("__nd", sum(col("__first")).over(wGram))
+      .filter(col("__nd") >= 2)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
+  }
+
+  // ---------------------------------------------------------------
+  // text_dedup_rewrite: span-level dedup REMOVAL — the active
+  // sibling of text_dup_spans (Lee et al. 2022 remove duplicated
+  // substrings from the corpus rather than dropping whole docs).
+  // Every word position covered by a cross-document duplicated
+  // 8-gram is cut; the doc is rebuilt from the surviving words
+  // (single-space canonical form — the corpus's own form, so
+  // untouched docs round-trip byte-identical). Same single
+  // repartition(h) exchange as the coverage entry via
+  // [[coveredPositions]]; the per-doc covered-position set is
+  // bounded by the doc's own length (it rides the SAME row the text
+  // does, so no new scale term), and the rebuild is one map-side
+  // array filter+transform. Output keeps the removal accounting a
+  // curation job logs: tokens before/after, removed count, and the
+  // surviving text.
+  // ---------------------------------------------------------------
+  /** Parametric library form: remove every word inside a shared
+    * word-`n`-gram; returns (id, n_tokens, n_removed, kept_text). */
+  def dedupRewriteSpans(
+      input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val docs = spanDocs(input, idCol, textCol)
+    val cov = coveredPositions(docs, n)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("cp"))).as("cov"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("array()")))
+      .select(col("doc_id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(" +
+          "filter(sequence(0, size(w) - 1), p -> NOT array_contains(cov, p))," +
+          " p -> w[p]))").as("kept_text"))
+  }
+
+  private def dedupRewrite(s: SparkSession, dir: String): DataFrame =
+    dedupRewriteSpans(Dedup.corpus(s, dir), "doc_id", "text", SpanN)
+      .orderBy("doc_id")
+
+  private val dedupRewriteSql =
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |docs AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM corpus),
+       |occ AS (
+       |  SELECT doc_id, g['pos'] AS pos, g['h'] AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, len(w) - ${SpanN - 1}),
+       |             i -> {'pos': i, 'h': md5(array_to_string(w[i + 1 : i + $SpanN], ' '))})) AS g
+       |    FROM docs WHERE len(w) >= $SpanN)),
+       |dup AS (
+       |  SELECT h FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT doc_id, list_sort(list(DISTINCT cp)) AS cov
+       |  FROM (SELECT o.doc_id, unnest(range(o.pos, o.pos + $SpanN)) AS cp
+       |        FROM occ o JOIN dup USING (h))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(list_transform(
+       |    list_filter(range(0, len(d.w)),
+       |      p -> NOT list_contains(COALESCE(c.cov, []), p)),
+       |    p -> d.w[p + 1]), ' '), '') AS kept_text
+       |FROM docs d LEFT JOIN cov c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private val dupSpansSql =
     s"""WITH corpus AS (${Dedup.corpusSql}),

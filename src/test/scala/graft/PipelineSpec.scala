@@ -620,4 +620,37 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_cut_milli") > 250, s"doc $id cuts too soft")
     }
   }
+  test("text_dedup_rewrite: removal accounting exact, untouched docs round-trip") {
+    val rewritten = run("text_dedup_rewrite").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // n_removed must agree with text_dup_spans' covered-token count
+    val coverage = run("text_dup_spans").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tokens")).toMap
+    rewritten.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_removed") == coverage(id), s"doc $id")
+      // surviving text has exactly n_tokens - n_removed words
+      val kept = r.getAs[String]("kept_text")
+      val nKept = kept.split("\\s+").count(_.nonEmpty).toLong
+      assert(nKept == r.getAs[Long]("n_tokens") - r.getAs[Long]("n_removed"),
+        s"doc $id: $nKept words vs accounting")
+    }
+    // untouched docs round-trip byte-identical (corpus is already
+    // single-spaced, so the canonical rebuild is the identity)
+    val texts = operators.Dedup.corpus(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val untouched = rewritten.filter(_._2.getAs[Long]("n_removed") == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, r) =>
+      assert(r.getAs[String]("kept_text") == texts(id), s"doc $id mutated")
+    }
+    // planted mutants share nearly all 8-grams with their original:
+    // both sides of each pair must be nearly emptied
+    val mutants = rewritten.keys.filter(_ >= 1000000L)
+    assert(mutants.nonEmpty)
+    val emptiedFrac = mutants.count { id =>
+      val r = rewritten(id)
+      r.getAs[Long]("n_removed") * 10 >= r.getAs[Long]("n_tokens") * 9
+    }.toDouble / mutants.size
+    assert(emptiedFrac >= 0.9, s"mutants emptied: $emptiedFrac")
+  }
 }
