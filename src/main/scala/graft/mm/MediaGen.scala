@@ -98,6 +98,52 @@ object MediaGen {
   def scenePayload(id: Long): Array[Byte] =
     Png.encodeFrames((0 until sceneFrameCount(id)).map(f => sceneFrame(id, f)))
 
+  // --- speech-structured audio (mm_audio_vad's input) -------------
+  // audio()'s continuous triangle wave is "always voiced" — VAD
+  // needs alternating silence/speech runs. Separate path, same
+  // byte-stability contract as scenePayload.
+  val VadWindow = 256 // samples per VAD analysis window
+
+  // NOTE: the audio modality slice is ids ≡ 2 (mod 4), so the run
+  // arithmetic keys on id/4 — a plain id%k would collapse to one
+  // value across every audio doc.
+  def vadSegCount(id: Long): Int = 2 + ((id / 4) % 4).toInt
+
+  /** Silence run (windows) BEFORE voiced segment k, and the voiced
+    * run's own length — both ≥1 window so runs never merge. */
+  def vadSilenceLen(id: Long, k: Int): Int = 2 + ((id / 4 + k) % 2).toInt
+  def vadVoicedLen(id: Long, k: Int): Int = 1 + ((id / 4 + k) % 3).toInt
+
+  /** Speech-shaped clip: vadSegCount voiced segments (triangle wave,
+    * ±10000 ≈ 176‰ RMS) separated by dither-only silence (±300 ≈ 9‰
+    * RMS) — two orders of margin around a 50‰ gate. */
+  def vadPayload(id: Long): Array[Byte] = {
+    val segs = vadSegCount(id)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    def silence(windows: Int, salt: Int): Unit = {
+      var i = 0
+      while (i < windows * VadWindow) {
+        out += ((mix(id * 131 + salt * 17 + i) % 601) - 300).toShort
+        i += 1
+      }
+    }
+    var k = 0
+    while (k < segs) {
+      silence(vadSilenceLen(id, k), k)
+      val period = 20 + ((id / 4 + k) % 50).toInt
+      var i = 0
+      while (i < vadVoicedLen(id, k) * VadWindow) {
+        val phase = i % period
+        val tri = if (phase < period / 2) phase else period - phase
+        out += ((tri * 20000 / math.max(1, period / 2)) - 10000).toShort
+        i += 1
+      }
+      k += 1
+    }
+    silence(2, segs) // trailing silence closes the last segment
+    Wav.encode(Wav.Audio(8000, 1, out.toArray))
+  }
+
   /** The encoded payload for a doc id — what a real pipeline would
     * read from an object-store column. */
   def payload(id: Long): Array[Byte] = modality(id) match {

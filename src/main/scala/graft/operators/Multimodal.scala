@@ -28,7 +28,8 @@ object Multimodal {
     QueryDef("mm_resize", resizePipeline, None),
     QueryDef("mm_resample", resamplePipeline, None),
     QueryDef("mm_phash", phashPipeline, None),
-    QueryDef("mm_scene_cut", sceneCutPipeline, None)
+    QueryDef("mm_scene_cut", sceneCutPipeline, None),
+    QueryDef("mm_audio_vad", audioVadPipeline, None)
   )
 
   /** Typed metadata for one decoded asset. */
@@ -420,6 +421,62 @@ object Multimodal {
           i += 1
         }
         SceneDoc(id, d.frames.length, cuts, cuts + 1, maxCut, maxIntra)
+      }).toDF()
+      .orderBy("doc_id")
+  }
+  // --- mm_audio_vad: voice-activity segmentation -------------------
+  // The audio twin of mm_scene_cut (speech curation keeps voiced
+  // segments, drops silence): per-window RMS over the decoded PCM,
+  // a window is voiced when its RMS clears the gate, consecutive
+  // voiced windows merge into segments. Speech-STRUCTURED synthetic
+  // clips ([[graft.mm.MediaGen.vadPayload]] — planted alternating
+  // silence/speech runs; audio()'s continuous wave is always-voiced
+  // and untouched, so the other mm pins hold). Partition-local: one
+  // task decodes a clip and folds its windows; 7 scalars per doc
+  // shuffle. Ground truth is the generator's run arithmetic:
+  // n_segments == vadSegCount exactly (spec), with two orders of
+  // RMS margin on each side of the gate.
+  final case class VadDoc(
+      doc_id: Long,
+      n_windows: Int,
+      n_voiced: Int,
+      n_segments: Int,
+      longest_segment: Int,
+      max_silence_rms_milli: Long, // loudest rejected window
+      min_voiced_rms_milli: Long)  // faintest admitted window
+
+  val VadGateMilli = 50L
+
+  private def audioVadPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
+      .filter((id: Long) => MediaGen.modality(id) == 2) // the audio slice
+      .mapPartitions(_.map { id =>
+        val a = graft.mm.Wav.decode(MediaGen.vadPayload(id))
+        val W = MediaGen.VadWindow
+        val nWin = a.samples.length / W
+        var voiced = 0; var segs = 0; var run = 0; var longest = 0
+        var maxSil = 0L; var minVoi = Long.MaxValue
+        var w = 0
+        while (w < nWin) {
+          var sq = 0.0; var i = 0
+          while (i < W) {
+            val v = a.samples(w * W + i).toDouble; sq += v * v; i += 1
+          }
+          val rmsMilli = (math.sqrt(sq / W) * 1000L / 32768L).toLong
+          if (rmsMilli >= VadGateMilli) {
+            voiced += 1
+            if (run == 0) segs += 1
+            run += 1; if (run > longest) longest = run
+            if (rmsMilli < minVoi) minVoi = rmsMilli
+          } else {
+            run = 0
+            if (rmsMilli > maxSil) maxSil = rmsMilli
+          }
+          w += 1
+        }
+        VadDoc(id, nWin, voiced, segs, longest,
+          maxSil, if (minVoi == Long.MaxValue) 0L else minVoi)
       }).toDF()
       .orderBy("doc_id")
   }

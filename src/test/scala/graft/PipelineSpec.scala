@@ -653,4 +653,23 @@ class PipelineSpec extends AnyFunSuite {
     }.toDouble / mutants.size
     assert(emptiedFrac >= 0.9, s"mutants emptied: $emptiedFrac")
   }
+  test("mm_audio_vad recovers exactly the generator's planted speech runs") {
+    val rows = run("mm_audio_vad").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("n_segments")).distinct.length > 1,
+      "segment counts must vary across docs")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val segs = graft.mm.MediaGen.vadSegCount(id)
+      assert(r.getAs[Int]("n_segments") == segs,
+        s"doc $id: ${r.getAs[Int]("n_segments")} segments, want $segs")
+      // voiced windows = sum of the planted voiced run lengths
+      val wantVoiced = (0 until segs)
+        .map(k => graft.mm.MediaGen.vadVoicedLen(id, k)).sum
+      assert(r.getAs[Int]("n_voiced") == wantVoiced, s"doc $id voiced windows")
+      // the gate separates with two orders of margin on each side
+      assert(r.getAs[Long]("max_silence_rms_milli") < 30, s"doc $id silence hot")
+      assert(r.getAs[Long]("min_voiced_rms_milli") > 120, s"doc $id speech faint")
+    }
+  }
 }
