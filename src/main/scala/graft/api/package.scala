@@ -223,6 +223,17 @@ package object api {
         textCol: String = "text"): DataFrame =
       Curation.bpeEncodeStats(df, merges, idCol, textCol)
 
+    /** Overlapping-window document chunking (context-window splitter):
+      * (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text)
+      * with exact tiling arithmetic — see cur_chunk_docs.
+      */
+    def chunkDocuments(
+        idCol: String,
+        textCol: String,
+        size: Int = 64,
+        overlap: Int = 16): DataFrame =
+      Curation.chunkDocuments(df, idCol, textCol, size, overlap)
+
     /** Per-doc fraction of tokens inside a word `n`-gram shared with
       * ≥1 OTHER doc — span-level dedup coverage (partial-boilerplate
       * signal doc-level near-dup misses).

@@ -42,7 +42,8 @@ object Curation {
     QueryDef("cur_quality_classify", qualityClassify, Some(qualityClassifySql)),
     QueryDef("cur_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("cur_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
-    QueryDef("cur_corpus_stats", corpusStats, Some(corpusStatsSql))
+    QueryDef("cur_corpus_stats", corpusStats, Some(corpusStatsSql)),
+    QueryDef("cur_chunk_docs", chunkDocs, Some(chunkDocsSql))
   )
 
   // ---------------------------------------------------------------
@@ -1065,6 +1066,67 @@ object Curation {
       |  CAST(floor(1000.0 * (count(*) - count(DISTINCT text)) / count(*)) AS BIGINT)
       |    AS dup_ratio_milli
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // cur_chunk_docs: overlapping-window document chunking — the
+  // long-document splitter every pretraining/RAG pipeline runs
+  // (context windows are fixed, documents aren't): chunks of
+  // ChunkTokens words starting every ChunkTokens−ChunkOverlap, the
+  // last chunk clipped to the doc tail, chunk count
+  // k = ceil(max(n−overlap, 1) / stride) in EXACT integer
+  // arithmetic. Pure map-side explode — zero shuffles before the
+  // output sort; at 100 TB this is a single scan-transform whose
+  // output is corpus-sized × the overlap factor, with provenance
+  // (doc_id, chunk_idx, start_tok) preserved for lineage-aware
+  // dedup downstream.
+  // ---------------------------------------------------------------
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+
+  /** Parametric library form over any (id, text) frame. */
+  def chunkDocuments(input: DataFrame, idCol: String, textCol: String,
+      size: Int = ChunkTokens, overlap: Int = ChunkOverlap): DataFrame = {
+    val stride = size - overlap
+    require(stride > 0, "overlap must be smaller than chunk size")
+    input
+      .withColumn("w", filter(split(col(textCol), "\\s+"), x => length(x) > 0))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("w")))
+      .select(col(idCol).as("doc_id"), col("w"), col("n"),
+        explode(expr(
+          s"sequence(0, (greatest(n - $overlap, 1) + ${stride - 1}) div $stride - 1)"))
+          .as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(size), col("n") - col("start_tok")).cast("long")
+          .as("n_chunk_tokens"),
+        expr(s"concat_ws(' ', slice(w, start_tok + 1, least($size, n - start_tok)))")
+          .as("chunk_text"))
+  }
+
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  private lazy val chunkDocsSql = {
+    val (sz, ov) = (ChunkTokens, ChunkOverlap)
+    val stride = sz - ov
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |n AS (SELECT doc_id, w, len(w) AS n FROM d),
+       |c AS (
+       |  SELECT doc_id, w, n,
+       |         unnest(range(0, (greatest(n - $ov, 1) + ${stride - 1}) // $stride)) AS chunk_idx
+       |  FROM n)
+       |SELECT doc_id, chunk_idx, chunk_idx * $stride AS start_tok,
+       |  CAST(least($sz, n - chunk_idx * $stride) AS BIGINT) AS n_chunk_tokens,
+       |  COALESCE(array_to_string(
+       |    w[chunk_idx * $stride + 1 : chunk_idx * $stride + least($sz, n - chunk_idx * $stride)],
+       |    ' '), '') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // cur_bpe_encode: APPLY the trained tokenizer — the consumer side

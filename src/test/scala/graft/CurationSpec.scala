@@ -339,4 +339,35 @@ class CurationSpec extends AnyFunSuite {
         math.floor(1000.0 * toks.sum / mine.length).toLong)
     }
   }
+  test("cur_chunk_docs: chunks tile every doc; stripped-overlap concat rebuilds it") {
+    val chunks = run("cur_chunk_docs").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty)).toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val words = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk arithmetic: stride spacing, clip at the tail, content
+      // is exactly the slice
+      sorted.foreach { case (_, idx, start, n, text) =>
+        assert(start == idx * 48)
+        assert(n == math.min(64L, words.length - start))
+        assert(text == words.slice(start.toInt, (start + n).toInt).mkString(" "))
+      }
+      // every token covered; consecutive chunks overlap by 16 (or
+      // the doc ends); overlap-stripped concat == the document
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._3 + sorted.last._4 == words.length.toLong)
+      val rebuilt = sorted.map { case (_, idx, _, _, text) =>
+        if (idx == 0) text.split(" ").toSeq
+        else text.split(" ").drop(16).toSeq
+      }.reduce(_ ++ _)
+      assert(rebuilt == words.toSeq, s"doc $id reconstruction")
+    }
+  }
 }
