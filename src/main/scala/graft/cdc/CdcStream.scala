@@ -371,6 +371,49 @@ object CdcStream {
     s.read.schema(out.schema).parquet(sinkDir)
   }
 
+  /** Streaming admission gate via foreachBatch: `score` maps the
+    * raw landing batch to a PERSISTED scored frame (the persist is
+    * the point — it pins one parallel evaluation of the heavy
+    * per-row scoring; a plain stream plan lets predicate pushdown
+    * drag the admission filters, and the whole scoring expression
+    * tree with them, below the landing repartition onto the
+    * unsplittable single-file scan), `admit` filters/projects the
+    * scored columns; admitted rows append to a parquet sink read
+    * back for the caller. The per-batch persist is released after
+    * the batch's write.
+    */
+  private[graft] def runGateForeachBatch(
+      s: SparkSession,
+      queryName: String,
+      source: DataFrame)
+      (score: DataFrame => DataFrame)
+      (admit: DataFrame => DataFrame): DataFrame = {
+    val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
+      registerStreamingSession(s)
+      val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+        val scored = score(batch)
+        try admit(scored).write.mode("append").parquet(dir)
+        finally scored.unpersist()
+      }
+      val q = source.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch(writeBatch)
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Output schema from the transforms applied to an empty batch —
+    // an empty stream commits zero data files (runToParquetSink
+    // precedent), so the read must carry its own schema.
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
+    val scoredEmpty = score(empty)
+    val outSchema = try admit(scoredEmpty).schema finally scoredEmpty.unpersist()
+    s.read.schema(outSchema).parquet(sinkDir)
+  }
+
   /** Must be called BEFORE a streaming query starts (every graft
     * start path does): registration at release time only would leave
     * a session's FIRST in-flight query invisible to the guard below,

@@ -130,24 +130,33 @@ object StreamDedup {
   //
   // Both scorers are pure per-row projections (array HOFs, no
   // aggregate), so the streaming plan needs NO state store at all —
-  // not even dropDuplicates — and the only stream-specific cost is
-  // the landing-batch repartition (md5-per-feature is compute-bound;
-  // a single landed file would otherwise score in one task, the same
-  // measured pathology the probe's repartition fixed). Admitted rows
-  // land in the parquet file sink; the driver holds a path.
+  // not even dropDuplicates. The scoring + admission filter run
+  // INSIDE foreachBatch behind a per-batch persist barrier: in the
+  // first (pure file-sink) form, predicate pushdown dragged both
+  // admission filters — and with them the ENTIRE rule+classifier
+  // expression tree — below the landing-batch repartition onto the
+  // single-file scan, so the whole gate scored on ONE task and
+  // evaluated the classifier fold twice (once in the pushed Filter,
+  // again in the output projection): measured 12.8s at sf0.1. The
+  // persist barrier pins one parallel evaluation (filters read the
+  // materialized columns) → 1.9s. Admitted rows append to the
+  // parquet sink per batch; the driver holds a path, never rows —
+  // and this is the production shape anyway (cdc_ingest precedent).
   // ---------------------------------------------------------------
   private def qualityGate(s: SparkSession, dir: String): DataFrame = {
     val qn = s"stream_quality_gate_${System.nanoTime()}"
-    val arriving = docStream(s, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val ruled = TextAnalysis.gopherRuleFlags(arriving, "doc_id", "text")
-      .filter(col("pass") === 1)
-    val admitted = Curation.qualityClassifyScores(ruled, "doc_id", "text")
-      .filter(col("label") === 1)
-      .select(col("doc_id"), col("n_words"), col("score_milli"))
-    CdcStream.runToParquetSink(s, qn, admitted)
-      .orderBy("doc_id")
+    val arriving = docStream(s, dir).select(col("doc_id"), col("text"))
+    CdcStream.runGateForeachBatch(s, qn, arriving) { batch =>
+      val spread = batch.repartition(
+        batch.sparkSession.sparkContext.defaultParallelism)
+      Curation.qualityClassifyScores(
+          TextAnalysis.gopherRuleFlags(spread, "doc_id", "text"),
+          "doc_id", "text")
+        .persist()
+    } { scored =>
+      scored.filter(col("pass") === 1 && col("label") === 1)
+        .select(col("doc_id"), col("n_words"), col("score_milli"))
+    }.orderBy("doc_id")
   }
 
   private lazy val qualityGateSql = {

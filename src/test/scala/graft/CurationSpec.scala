@@ -203,10 +203,15 @@ class CurationSpec extends AnyFunSuite {
       val m = r.getAs[Long]("score_milli")
       assert(m >= -1000 && m <= 1000, s"score_milli out of band: $m")
     }
-    // plan shape: no exchange before the output sort (map-side fold)
+    // plan shape: the scoring itself is map-side — no KEYED exchange
+    // anywhere; the only exchanges are the output sort and the
+    // deliberate round-robin spread of the unsplittable single-file
+    // scan (r9: without it the whole fold scored on one task)
     val plan = run("cur_quality_classify").queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 1, s"expected only the output-sort exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring must not shuffle on a key:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
+      s"expected only the output-sort range exchange:\n$plan")
   }
 
   test("cur_bpe_train learns the hand-traced merges, stops when pairs run out") {
@@ -368,6 +373,37 @@ class CurationSpec extends AnyFunSuite {
         else text.split(" ").drop(16).toSeq
       }.reduce(_ ++ _)
       assert(rebuilt == words.toSeq, s"doc $id reconstruction")
+    }
+  }
+  test("chunkDocuments edges: empty, short, exact-size, stride-boundary docs") {
+    import spark.implicits._
+    // lengths chosen around every boundary of the k-formula:
+    // 0 (empty), 1, 47, 48 (one stride), 63, 64 (exact), 65 (first
+    // two-chunk size), 112 (64+48 — second exact tile), 113, 200
+    val lens = Seq(0, 1, 47, 48, 63, 64, 65, 112, 113, 200)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = operators.Curation.chunkDocuments(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+      .groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val words = (1 to n).map(j => s"w$j")
+      val cs = got(i.toLong).sortBy(_._2)
+      val wantK = (math.max(n - 16, 1) + 47) / 48
+      assert(cs.length == wantK, s"len $n: ${cs.length} chunks, want $wantK")
+      cs.foreach { case (_, idx, start, m, text) =>
+        assert(start == idx * 48 && m == math.min(64L, n - start))
+        assert(text == words.slice(start.toInt, (start + m).toInt).mkString(" "))
+      }
+      val rebuilt = cs.flatMap { case (_, idx, _, _, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        if (idx == 0) ws else ws.drop(16)
+      }
+      assert(rebuilt == words, s"len $n reconstruction")
     }
   }
 }
