@@ -38,6 +38,7 @@ object Similarity {
     QueryDef("sim_knn_classify", knnClassify, Some(knnOracle)),
     QueryDef("sim_pq_adc", pqAdc, Some(pqOracle)),
     QueryDef("sim_mmr", mmr, Some(mmrOracle)),
+    QueryDef("sim_recall_eval", recallEval, Some(recallOracle)),
     QueryDef("dedup_embedding", embeddingDedup, Some(embeddingDedupOracle))
   )
 
@@ -933,6 +934,72 @@ object Similarity {
        |)
        |SELECT q_id, rk, neighbor_id, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
        |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  // --- sim_recall_eval: ANN quality evaluation ---------------------
+  // The eval every ANN deployment runs before trusting an index:
+  // recall@k of the LSH path against the exact brute-force top-k,
+  // per query. Both pipelines are deterministic here (bit-stable
+  // cosine, fixed tie-breaks), so the recall itself is EXACTLY
+  // oracle-checkable — rare for an ANN metric, and precisely why the
+  // library's recall numbers can gate `sbt test` (RecallSpec) rather
+  // than live in a notebook. Composes the two §2 entries as-is: two
+  // corpus scans, then a |queries|·k-row join — evaluation cost is
+  // retrieval cost, nothing more.
+  private def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = topk(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = lshAnn(s, dir)
+      .select(col("q_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("q_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy("q_id")
+      .agg(count(col("an")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        floor(lit(1000.0) * col("n_hits") / lit(TopK)).cast("long")
+          .as("recall_milli"))
+      .orderBy("q_id")
+  }
+
+  private lazy val recallOracle: String =
+    s"""WITH bscored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${cosCte("q.embedding", "c.embedding")}
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
+       |), bcos AS (
+       |  SELECT q_id, neighbor_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM bscored
+       |), exact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
+       |    FROM bcos) WHERE rk <= $TopK
+       |), sigs AS (
+       |  SELECT vec_id, embedding, ${sigSqlExpr("embedding")} AS sig
+       |  FROM embeddings
+       |), kept AS (
+       |  SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= $MaxBucketAnn
+       |), acand AS (
+       |  SELECT q.vec_id AS q_id, s.vec_id AS neighbor_id,
+       |         ${cosCte("q.embedding", "s.embedding")}
+       |  FROM sigs s
+       |  JOIN kept k ON s.sig = k.sig
+       |  JOIN sigs q ON q.vec_id < $QuerySetSize AND q.sig = s.sig AND s.vec_id <> q.vec_id
+       |), acos AS (
+       |  SELECT q_id, neighbor_id,
+       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
+       |  FROM acand
+       |), approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
+       |    FROM acos) WHERE rk <= $TopK
+       |)
+       |SELECT e.q_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(floor(1000.0 * count(a.neighbor_id) / $TopK) AS BIGINT) AS recall_milli
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
   /** CTE chain producing the embedding-dedup universe (`corpus`) and
     * its verified near-dup pairs (`cos` with cosine `cs`) — shared by

@@ -672,4 +672,25 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("min_voiced_rms_milli") > 120, s"doc $id speech faint")
     }
   }
+  test("sim_recall_eval: per-query recall well-formed and consistent with the entries") {
+    val rows = run("sim_recall_eval").collect()
+    assert(rows.length == 8) // one row per query
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Long]("recall_milli") == math.floor(1000.0 * h / 5).toLong)
+    }
+    // re-derive from the two §2 entries directly
+    val exact = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = run("sim_lsh_ann").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val want = exact.filter(_._1 == q).count(approx.contains)
+      assert(r.getAs[Long]("n_hits") == want, s"query $q")
+    }
+    // the LSH family actually retrieves on this corpus
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
+  }
 }
