@@ -118,14 +118,16 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  private lazy val pqOracle: String = {
+  /** The PQ encode+score CTE chain up to `ranked` — shared by the
+    * pqOracle and sim_recall_eval's PQ arm. */
+  private lazy val pqCtes: String = {
     def fold(elem: String): String =
       s"list_reduce(list_transform(range(1, ${PqDsub + 1}), i -> $elem), (acc, x) -> acc + x)"
     val dotXC = fold("CAST(x[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)")
     val dotXX = fold("CAST(x[i] AS DOUBLE) * CAST(x[i] AS DOUBLE)")
     val dotCC = fold("CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)")
     val dotQC = fold("CAST(q[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)")
-    s"""WITH codebook AS (
+    s"""codebook AS (
        |  SELECT vec_id AS code, sub,
        |         embedding[sub * $PqDsub + 1 : sub * $PqDsub + $PqDsub] AS c
        |  FROM embeddings, UNNEST(range(0, $PqSub)) AS t(sub)
@@ -163,11 +165,14 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY q_id
        |                            ORDER BY score DESC, neighbor_id) AS rk
        |  FROM scores
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val pqOracle: String =
+    s"""WITH $pqCtes
        |SELECT q_id, rk, neighbor_id,
        |       CAST(floor(score * 1000000) AS BIGINT) AS score_micro
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
-  }
 
   /** cosine(a, b): native codegen'd expression (see
     * graft.functions.CosineSimilarity). The interpreter-only
@@ -935,28 +940,37 @@ object Similarity {
        |SELECT q_id, rk, neighbor_id, CAST(floor(cs * 1e6) AS BIGINT) AS cos_micro
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
-  // --- sim_recall_eval: ANN quality evaluation ---------------------
-  // The eval every ANN deployment runs before trusting an index:
-  // recall@k of the LSH path against the exact brute-force top-k,
-  // per query. Both pipelines are deterministic here (bit-stable
-  // cosine, fixed tie-breaks), so the recall itself is EXACTLY
-  // oracle-checkable — rare for an ANN metric, and precisely why the
-  // library's recall numbers can gate `sbt test` (RecallSpec) rather
-  // than live in a notebook. Composes the two §2 entries as-is: two
-  // corpus scans, then a |queries|·k-row join — evaluation cost is
-  // retrieval cost, nothing more.
+  // --- sim_recall_eval: compressed-retrieval quality evaluation ----
+  // The eval every quantized index runs before deployment: recall@k
+  // of the two lossy representations against the exact brute-force
+  // top-k, per query — "what did compression cost", int8 (4× cut,
+  // sim_quantized) vs 4-bit PQ (64× cut, sim_pq_adc). All three
+  // pipelines are deterministic (bit-stable cosine, exact integer
+  // dots, DECIMAL term sums, fixed tie-breaks), so the recall
+  // METRIC itself is exactly oracle-checkable — rare for an ANN
+  // metric, and why the library's recall numbers can gate `sbt
+  // test` rather than live in a notebook. Measured shape on this
+  // corpus: int8 keeps recall 1.0, pq4 pays a real, per-query-
+  // varying loss — exactly the memory/recall trade the two entries
+  // exist to show. (An LSH arm was measured first and REJECTED:
+  // exact 16-bit-signature collisions almost never contain the
+  // global top-5 here, recall 0 for every query — an all-zeros eval
+  // teaches nothing.) Composes the §2 entries as-is: three corpus
+  // scans, then |queries|·k-row joins.
   private def recallEval(s: SparkSession, dir: String): DataFrame = {
     val exact = topk(s, dir).select(col("q_id"), col("neighbor_id"))
-    val approx = lshAnn(s, dir)
-      .select(col("q_id").as("aq"), col("neighbor_id").as("an"))
-    exact.join(approx,
-        col("q_id") === col("aq") && col("neighbor_id") === col("an"), "left")
-      .groupBy("q_id")
-      .agg(count(col("an")).as("n_hits"))
-      .select(col("q_id"), col("n_hits"),
-        floor(lit(1000.0) * col("n_hits") / lit(TopK)).cast("long")
-          .as("recall_milli"))
-      .orderBy("q_id")
+    def arm(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("q_id").as("aq"), col("neighbor_id").as("an")),
+          col("q_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .groupBy("q_id")
+        .agg(count(col("an")).as("n_hits"))
+        .select(col("q_id"), lit(method).as("method"), col("n_hits"),
+          floor(lit(1000.0) * col("n_hits") / lit(TopK)).cast("long")
+            .as("recall_milli"))
+    arm("int8", quantized(s, dir))
+      .unionByName(arm("pq4", pqAdc(s, dir)))
+      .orderBy("q_id", "method")
   }
 
   private lazy val recallOracle: String =
@@ -974,32 +988,46 @@ object Similarity {
        |    SELECT q_id, neighbor_id,
        |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
        |    FROM bcos) WHERE rk <= $TopK
-       |), sigs AS (
-       |  SELECT vec_id, embedding, ${sigSqlExpr("embedding")} AS sig
+       |), norms AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings
-       |), kept AS (
-       |  SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= $MaxBucketAnn
-       |), acand AS (
-       |  SELECT q.vec_id AS q_id, s.vec_id AS neighbor_id,
-       |         ${cosCte("q.embedding", "s.embedding")}
-       |  FROM sigs s
-       |  JOIN kept k ON s.sig = k.sig
-       |  JOIN sigs q ON q.vec_id < $QuerySetSize AND q.sig = s.sig AND s.vec_id <> q.vec_id
-       |), acos AS (
-       |  SELECT q_id, neighbor_id,
-       |         CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cs
-       |  FROM acand
+       |), qv AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${Dim + 1}),
+       |           i -> floor(CAST(embedding[i] AS DOUBLE) *
+       |                (CASE WHEN nrm = 0 THEN 0.0 ELSE $QBits / nrm END) + 0.5)) AS q
+       |  FROM norms
+       |), ascored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                i -> c.q[i] * q.q[i]), (acc, x) -> acc + x) AS BIGINT) AS qdot
+       |  FROM qv c JOIN qv q ON q.vec_id < $QuerySetSize AND c.vec_id <> q.vec_id
        |), approx AS (
        |  SELECT q_id, neighbor_id FROM (
        |    SELECT q_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rk
-       |    FROM acos) WHERE rk <= $TopK
-       |)
-       |SELECT e.q_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-       |  CAST(floor(1000.0 * count(a.neighbor_id) / $TopK) AS BIGINT) AS recall_milli
-       |FROM exact e LEFT JOIN approx a
-       |  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
-       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+       |           row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS rk
+       |    FROM ascored) WHERE rk <= $TopK
+       |),
+       |$pqCtes,
+       |pqapprox AS (
+       |  SELECT q_id, neighbor_id FROM ranked WHERE rk <= $TopK
+       |),
+       |int8_arm AS (
+       |  SELECT e.q_id, 'int8' AS method,
+       |    CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |    CAST(floor(1000.0 * count(a.neighbor_id) / $TopK) AS BIGINT) AS recall_milli
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.q_id),
+       |pq_arm AS (
+       |  SELECT e.q_id, 'pq4' AS method,
+       |    CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |    CAST(floor(1000.0 * count(a.neighbor_id) / $TopK) AS BIGINT) AS recall_milli
+       |  FROM exact e LEFT JOIN pqapprox a
+       |    ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.q_id)
+       |SELECT * FROM int8_arm UNION ALL SELECT * FROM pq_arm
+       |ORDER BY q_id, method""".stripMargin
 
   /** CTE chain producing the embedding-dedup universe (`corpus`) and
     * its verified near-dup pairs (`cos` with cosine `cs`) — shared by

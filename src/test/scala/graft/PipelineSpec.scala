@@ -672,25 +672,34 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("min_voiced_rms_milli") > 120, s"doc $id speech faint")
     }
   }
-  test("sim_recall_eval: per-query recall well-formed and consistent with the entries") {
-    val rows = run("sim_recall_eval").collect()
-    assert(rows.length == 8) // one row per query
+  test("sim_recall_eval: both arms re-derived from their entries; pq pays, int8 doesn't") {
+    val sfd = "/root/testdata/sf0.01"
+    def runAt(name: String) = SparkEntry.queries(name)(spark, sfd)
+    val rows = runAt("sim_recall_eval").collect()
+    assert(rows.length == 16) // 8 queries x {int8, pq4}
     rows.foreach { r =>
       val h = r.getAs[Long]("n_hits")
       assert(h >= 0 && h <= 5)
       assert(r.getAs[Long]("recall_milli") == math.floor(1000.0 * h / 5).toLong)
     }
-    // re-derive from the two §2 entries directly
-    val exact = run("sim_topk_bruteforce").collect()
+    // re-derive every hit count from the three underlying entries
+    val exact = runAt("sim_topk_bruteforce").collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val approx = run("sim_lsh_ann").collect()
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val arms = Map(
+      "int8" -> runAt("sim_quantized").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet,
+      "pq4" -> runAt("sim_pq_adc").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet)
     rows.foreach { r =>
       val q = r.getAs[Long]("q_id")
-      val want = exact.filter(_._1 == q).count(approx.contains)
-      assert(r.getAs[Long]("n_hits") == want, s"query $q")
+      val want = exact.filter(_._1 == q).count(arms(r.getAs[String]("method")).contains)
+      assert(r.getAs[Long]("n_hits") == want, s"query $q ${r.getAs[String]("method")}")
     }
-    // the LSH family actually retrieves on this corpus
-    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
+    // the trade the eval exists to show: the 64x-compressed codes
+    // lose strictly more recall than the 4x int8 grid
+    def total(m: String) = rows.filter(_.getAs[String]("method") == m)
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(total("int8") > total("pq4"), s"int8 ${total("int8")} vs pq4 ${total("pq4")}")
+    assert(total("int8") >= 8 * 4, s"int8 recall too low: ${total("int8")}/40")
   }
 }
