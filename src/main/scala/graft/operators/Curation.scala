@@ -43,7 +43,8 @@ object Curation {
     QueryDef("cur_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("cur_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("cur_corpus_stats", corpusStats, Some(corpusStatsSql)),
-    QueryDef("cur_chunk_docs", chunkDocs, Some(chunkDocsSql))
+    QueryDef("cur_chunk_docs", chunkDocs, Some(chunkDocsSql)),
+    QueryDef("cur_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql))
   )
 
   // ---------------------------------------------------------------
@@ -1076,6 +1077,128 @@ object Curation {
       |  CAST(floor(1000.0 * (count(*) - count(DISTINCT text)) / count(*)) AS BIGINT)
       |    AS dup_ratio_milli
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // cur_pipeline_funnel: the end-to-end curation funnel REPORT —
+  // the per-stage survivor accounting every production corpus run
+  // publishes (docs and tokens remaining after each gate), here
+  // composing the library's own stages over the dedup corpus:
+  //   0_raw           the landing corpus (docs ∪ planted mutants)
+  //   1_near_dedup    minhash-LSH cluster canonicals survive
+  //   2_gopher_rules  rule-bundle pass
+  //   3_classifier    linear-classifier keep
+  //   4_token_budget  score-ordered take to a fixed token budget
+  // Each stage is the §2 operator itself (minhashPairs +
+  // connectedComponents, gopherRuleFlags, qualityClassifyScores,
+  // takeByScoreBudget) — the funnel proves they COMPOSE, and its
+  // oracle re-derives the whole cascade in one DuckDB query
+  // (recursive-CTE reachability for the clusters, window cumsum for
+  // the budget). Stage frames are persisted while the five
+  // one-row aggregates run, then released (production materializes
+  // stage tables; the report is Σ|stages| ≈ one corpus scan each).
+  // ---------------------------------------------------------------
+  private val FunnelBudget = 5000L
+
+  private def pipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    val raw = Dedup.corpus(s, dir)
+      .withColumn("n_tok",
+        size(filter(split(col("text"), "\\s+"), w => length(w) > 0)).cast("long"))
+      .persist()
+    val losers = Dedup.connectedComponents(
+        Dedup.minhashPairs(raw.select("doc_id", "text"), "doc_id", "text",
+          md5Hash = true))
+      .filter(col("v") =!= col("label")).select(col("v").as("doc_id"))
+    val s1 = raw.join(losers, Seq("doc_id"), "left_anti").persist()
+    val s2 = TextAnalysis.gopherRuleFlags(s1, "doc_id", "text")
+      .filter(col("pass") === 1)
+    val s3 = qualityClassifyScores(s2, "doc_id", "text")
+      .filter(col("label") === 1)
+      .select(col("doc_id"), col("n_tok"), col("score_milli")).persist()
+    val s4 = TextAnalysis.takeByScoreBudget(
+      s3.withColumn("__sc", col("score_milli").cast("double")),
+      "doc_id", "n_tok", "__sc", FunnelBudget)
+    def stageRow(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    try
+      stageRow("0_raw", raw)
+        .unionByName(stageRow("1_near_dedup", s1))
+        .unionByName(stageRow("2_gopher_rules", s2))
+        .unionByName(stageRow("3_classifier", s3))
+        .unionByName(stageRow("4_token_budget", s4))
+        .orderBy("stage")
+        .localCheckpoint() // sever lineage before the unpersists
+    finally { raw.unpersist(); s1.unpersist(); s3.unpersist() }
+  }
+
+  private lazy val pipelineFunnelSql = {
+    val stopSum = TextAnalysis.GopherStopwords
+      .map(w => s"CAST(list_contains(ws, '$w') AS INT)").mkString(" + ")
+    val wgt = graft.functions.DetHash.int48OfHexSql("md5('qw:' || f)")
+    s"""WITH RECURSIVE
+       |corpus AS (${Dedup.corpusSql}),
+       |tok AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tok
+       |  FROM corpus),
+       |pairs AS (${Dedup.minhashPairsSqlFor(Dedup.corpusSql)}),
+       |sym AS (
+       |  SELECT doc_a AS v, doc_b AS n FROM pairs
+       |  UNION ALL SELECT doc_b AS v, doc_a AS n FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+       |  UNION
+       |  SELECT sym.v, reach.r FROM sym JOIN reach ON reach.v = sym.n),
+       |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(r)),
+       |s1 AS (SELECT t.* FROM tok t WHERE t.doc_id NOT IN (SELECT v FROM losers)),
+       |d AS (
+       |  SELECT doc_id, text, n_tok,
+       |         list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), w -> length(w) > 0) AS lws
+       |  FROM s1),
+       |stats AS (
+       |  SELECT doc_id, n_tok, lws,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) * 1000 / len(ws)) AS BIGINT) AS mwl_milli,
+       |    CAST($stopSum AS BIGINT) AS stop_hits,
+       |    CAST(floor(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) * 1000 / len(ws)) AS BIGINT) AS alpha_milli
+       |  FROM d),
+       |s2 AS (
+       |  SELECT doc_id, n_tok, lws FROM stats
+       |  WHERE n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
+       |    AND mwl_milli BETWEEN ${TextAnalysis.GopherMinMwlMilli} AND ${TextAnalysis.GopherMaxMwlMilli}
+       |    AND stop_hits >= ${TextAnalysis.GopherMinStop}
+       |    AND alpha_milli >= ${TextAnalysis.GopherMinAlphaMilli}),
+       |feats AS (
+       |  SELECT doc_id, n_tok,
+       |         CASE WHEN len(lws) >= 2
+       |           THEN list_concat(lws, list_transform(range(1, len(lws)), i -> lws[i] || ' ' || lws[i+1]))
+       |           ELSE lws END AS fs
+       |  FROM s2),
+       |scored AS (
+       |  SELECT doc_id, n_tok, CAST(len(fs) AS BIGINT) AS n_features,
+       |         list_reduce(list_transform(fs, f -> $wgt - $WeightCenter), (a, b) -> a + b) AS score_sum
+       |  FROM feats),
+       |s3 AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(floor(CAST(score_sum AS DOUBLE) * 1000 /
+       |         (CAST(n_features AS DOUBLE) * $WeightCenter)) AS BIGINT) AS score_milli
+       |  FROM scored WHERE score_sum >= 0),
+       |s4 AS (
+       |  SELECT doc_id, n_tok FROM (
+       |    SELECT doc_id, n_tok,
+       |           SUM(n_tok) OVER (ORDER BY score_milli DESC, doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM s3)
+       |  WHERE cum <= $FunnelBudget)
+       |SELECT '0_raw' AS stage, count(*) AS n_docs, CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM tok
+       |UNION ALL SELECT '1_near_dedup', count(*), CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT '2_gopher_rules', count(*), CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT '3_classifier', count(*), CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT '4_token_budget', count(*), CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM s4
+       |ORDER BY stage""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // cur_chunk_docs: overlapping-window document chunking — the

