@@ -403,7 +403,7 @@ class CurationSpec extends AnyFunSuite {
         val ws = text.split(" ").filter(_.nonEmpty).toSeq
         if (idx == 0) ws else ws.drop(16)
       }
-      assert(rebuilt == words, s"len $n reconstruction")
+      assert(rebuilt.toSeq == words.toSeq, s"len $n reconstruction")
     }
   }
   test("cur_pipeline_funnel: monotone cascade, stages re-derived from the entries") {
