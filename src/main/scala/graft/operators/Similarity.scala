@@ -33,6 +33,7 @@ object Similarity {
     QueryDef("sim_topk_bruteforce", topk, Some(topkOracle)),
     QueryDef("sim_lsh_ann", lshAnn, Some(lshOracle)),
     QueryDef("sim_ivf_ann", ivfAnn, None),
+    QueryDef("sim_ivf_probe_sweep", ivfProbeSweep, None),
     QueryDef("sim_quantized", quantized, Some(quantizedOracle)),
     QueryDef("sim_rerank", rerank, Some(rerankOracle)),
     QueryDef("sim_knn_classify", knnClassify, Some(knnOracle)),
@@ -451,10 +452,58 @@ object Similarity {
     val centroids = trainCentroids(Tables.embeddings(s, dir), maxTrainRows)
     val emb = Tables.parallelized(Tables.embeddings(s, dir))
     val indexed = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
-    // each query probes its NProbe nearest cells
-    val queries = emb.filter(col("vec_id") < QuerySetSize)
+    ivfSearch(indexed, centroids, NProbe).orderBy("q_id", "rk")
+  }
+
+  // --- sim_ivf_probe_sweep: the recall/cost tuning curve -----------
+  // The sweep every IVF deployment runs to pick nProbe: recall@k vs
+  // the exact top-k at nProbe ∈ {1,2,4,8,16}, on ONE shared index
+  // (centroids trained once, cell assignment persisted — the sweep
+  // costs |sweep| probe passes, never |sweep| index builds). Stays
+  // rows-only like sim_ivf_ann (float-avg centroids are engine-
+  // local), but the CURVE itself is property-pinned in the spec:
+  // recall is monotone non-decreasing in nProbe, and at
+  // nProbe == Cells probing is exhaustive, so recall == 1000 EXACTLY
+  // (the candidate set is the whole corpus minus self — brute force
+  // by construction, whatever the centroids did).
+  private val SweepProbes = Seq(1, 2, 4, 8, Cells)
+
+  private def ivfProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val centroids = trainCentroids(Tables.embeddings(s, dir))
+    val emb = Tables.parallelized(Tables.embeddings(s, dir))
+    val exact = {
+      val queries = emb.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("q_id2"), col("embedding").as("q_vec2"))
+      cosineTopK(emb, "vec_id", "embedding", queries, "q_id2", "q_vec2", TopK)
+        .select(col("q_id"), col("neighbor_id")).persist()
+    }
+    exact.count()
+    val indexed = emb
+      .withColumn("cell", nearestCell(col("embedding"), centroids)).persist()
+    indexed.count()
+    try SweepProbes.map { np =>
+        val approx = ivfSearch(indexed, centroids, np)
+          .select(col("q_id").as("aq"), col("neighbor_id").as("an"))
+        exact.join(approx,
+            col("q_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+          .agg(count(col("an")).as("n_hits"))
+          .select(lit(np).as("n_probe"), col("n_hits"),
+            floor(lit(1000.0) * col("n_hits") / lit(QuerySetSize * TopK))
+              .cast("long").as("recall_milli"))
+      }.reduce(_.unionByName(_)).orderBy("n_probe")
+        .localCheckpoint()
+    finally { exact.unpersist(); indexed.unpersist() }
+  }
+
+  /** The probe+rank half of the IVF pipeline over a cell-`indexed`
+    * corpus — nProbe is a parameter so sim_ivf_probe_sweep can walk
+    * the recall/cost curve on ONE shared index. */
+  private def ivfSearch(
+      indexed: DataFrame, centroids: Array[Array[Float]],
+      nProbe: Int): DataFrame = {
+    val queries = indexed.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .withColumn("cells", probedCells(col("q_vec"), centroids))
+      .withColumn("cells", probedCells(col("q_vec"), centroids, nProbe))
       .select(col("q_id"), col("q_vec"), explode(col("cells")).as("cell"))
     val cands = indexed.join(broadcast(queries),
         Seq("cell")).filter(col("vec_id") =!= col("q_id"))
@@ -467,18 +516,18 @@ object Similarity {
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("neighbor_id"),
         floor(col("cos_sim") * lit(1e6)).as("cos_micro"))
-      .orderBy("q_id", "rk")
   }
 
   /** Array of the NProbe nearest cell ids for a query vector. Ties
     * rank the SMALLER cell id first (negid trick), matching
     * nearestCell's tiebreak so a vector's own cell is always probed.
     */
-  private def probedCells(vec: Column, centroids: Array[Array[Float]]): Column = {
+  private def probedCells(vec: Column, centroids: Array[Array[Float]],
+      nProbe: Int = NProbe): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(vec, lit(c)).as("sim"), lit(-i).as("negid"))
     }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, NProbe),
+    transform(slice(reverse(array_sort(scored)), 1, nProbe),
       s => -s.getField("negid"))
   }
 

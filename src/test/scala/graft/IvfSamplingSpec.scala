@@ -54,4 +54,20 @@ class IvfSamplingSpec extends AnyFunSuite {
     // quantizer below the nProbe=4/16 contract
     assert(recall >= 0.3, s"sampled-training IVF recall $recall (expected ≥0.3)")
   }
+  test("sim_ivf_probe_sweep: recall monotone in nProbe, exhaustive probe == exact") {
+    val sfd = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("sim_ivf_probe_sweep")(spark, sfd).collect()
+      .map(r => (r.getAs[Int]("n_probe"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_milli"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // widening the probe set can only ADD candidates: monotone
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall dropped: $a -> $b")
+    }
+    // probing every cell IS brute force — exact recall, whatever the
+    // trained centroids look like
+    assert(rows.last._3 == 1000L, s"exhaustive probe not exact: ${rows.last}")
+    // and the curve is a real trade: nProbe=1 must lose something
+    assert(rows.head._3 < 1000L, s"nProbe=1 already exact — degenerate corpus?")
+  }
 }
