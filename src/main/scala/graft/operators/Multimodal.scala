@@ -29,7 +29,8 @@ object Multimodal {
     QueryDef("mm_resample", resamplePipeline, None),
     QueryDef("mm_phash", phashPipeline, None),
     QueryDef("mm_scene_cut", sceneCutPipeline, None),
-    QueryDef("mm_audio_vad", audioVadPipeline, None)
+    QueryDef("mm_audio_vad", audioVadPipeline, None),
+    QueryDef("mm_phash_cluster", phashClusterPipeline, None)
   )
 
   /** Typed metadata for one decoded asset. */
@@ -374,6 +375,27 @@ object Multimodal {
         round(avg(col("patch_mean")), 5).as("avg_patch_mean"))
       .orderBy("kind")
   }
+  // --- mm_phash_cluster: image duplicate CLUSTERS ------------------
+  // mm_phash proposes pairwise near-dups; a curation pass needs the
+  // transitive closure (one canonical per image cluster, exactly as
+  // cur_semdedup does for embeddings): min-label connected
+  // components over the phash pairs — the SAME |pairs|-bounded
+  // propagation the text/embedding dedup families use, reused as-is
+  // on multimodal fingerprints. Per image: (doc_id, component,
+  // is_canonical). Payload bytes never shuffle (the pairs carry
+  // 8-byte hashes); cluster state is |pairs|-bounded. The planted
+  // variants (re-encode, brightness-scale) must land in their
+  // original's cluster — spec-asserted; unpaired images form no
+  // row here (their cluster is themselves), matching
+  // connectedComponents' contract.
+  private def phashClusterPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+        dHashPairs(phashes(s, dir), "doc_id", "phash")
+          .select(col("doc_a"), col("doc_b")))
+      .select(col("v").as("doc_id"), col("label").as("component"),
+        (col("v") === col("label")).as("is_canonical"))
+      .orderBy("component", "doc_id")
+
   // --- mm_scene_cut: shot-boundary detection -----------------------
   // The classic video-curation primitive (a training pipeline keeps
   // one keyframe per shot, not every frame): consecutive-frame mean

@@ -702,4 +702,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(total("int8") > total("pq4"), s"int8 ${total("int8")} vs pq4 ${total("pq4")}")
     assert(total("int8") >= 8 * 4, s"int8 recall too low: ${total("int8")}/40")
   }
+  test("mm_phash_cluster: every planted variant lands in its original's cluster") {
+    val rows = run("mm_phash_cluster").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[Boolean]("is_canonical")))
+    assert(rows.nonEmpty)
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    // planted variants: id%8==0 re-encode, id%8==4 brightness-scale
+    val base = 3000000L
+    val planted = byDoc.keys.filter(_ >= base)
+    assert(planted.nonEmpty)
+    planted.foreach { v =>
+      val orig = v - base
+      assert(byDoc.get(orig).contains(byDoc(v)),
+        s"variant $v not clustered with original $orig")
+    }
+    // exactly one canonical per component, and it is the min id
+    rows.groupBy(_._2).foreach { case (comp, rs) =>
+      assert(rs.count(_._3) == 1, s"component $comp canonicals")
+      assert(rs.filter(_._3).head._1 == rs.map(_._1).min)
+      assert(comp == rs.map(_._1).min)
+    }
+  }
 }
