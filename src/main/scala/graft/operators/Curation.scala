@@ -44,7 +44,8 @@ object Curation {
     QueryDef("cur_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("cur_corpus_stats", corpusStats, Some(corpusStatsSql)),
     QueryDef("cur_chunk_docs", chunkDocs, Some(chunkDocsSql)),
-    QueryDef("cur_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql))
+    QueryDef("cur_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
+    QueryDef("cur_oov_rate", oovRate, Some(oovRateSql))
   )
 
   // ---------------------------------------------------------------
@@ -1077,6 +1078,54 @@ object Curation {
       |  CAST(floor(1000.0 * (count(*) - count(DISTINCT text)) / count(*)) AS BIGINT)
       |    AS dup_ratio_milli
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // cur_oov_rate: per-language out-of-vocabulary rate under a
+  // SHARED top-V vocabulary — the tokenizer-fairness metric (a
+  // vocab trained on the pooled corpus over-serves its dominant
+  // language; the per-language OOV spread is the standard evidence,
+  // cf. "tokenizers introduce unfairness"). V=16 against this
+  // corpus's 31 distinct tokens so the rate is non-degenerate. One
+  // token aggregate builds the vocab (|distinct tokens| rows,
+  // top-V via TakeOrderedAndProject), which BROADCASTS back against
+  // the token stream — the corpus shuffles only as (lang) partial
+  // counts. Ties in the vocab cut break on the token string, so
+  // membership is deterministic cross-engine.
+  // ---------------------------------------------------------------
+  private val OovVocabTop = 16
+
+  private def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallelized(Tables.documents(s, dir))
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0)).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(OovVocabTop)
+      .select(col("token"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_milli",
+        floor(lit(1000.0) * col("n_oov") / col("n_tokens")).cast("long"))
+      .orderBy("lang")
+  }
+
+  private val oovRateSql =
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            x -> length(x) > 0)) AS token
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS freq FROM toks GROUP BY token
+       |    ORDER BY freq DESC, token LIMIT $OovVocabTop))
+       |SELECT lang, count(*) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+       |  CAST(floor(1000.0 * count(*) FILTER (WHERE v.token IS NULL) / count(*)) AS BIGINT) AS oov_milli
+       |FROM toks t LEFT JOIN vocab v USING (token)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
   // cur_pipeline_funnel: the end-to-end curation funnel REPORT —

@@ -434,4 +434,25 @@ class CurationSpec extends AnyFunSuite {
     val minTok = 1L // any doc has >= 1 token
     assert(rows("4_token_budget")._2 + minTok > 5000L - 200L || rows("4_token_budget")._1 < rows("3_classifier")._1)
   }
+  test("cur_oov_rate: per-language accounting re-derived from a driver-side vocab") {
+    val rows = run("cur_oov_rate").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+         r.getAs[Long]("oov_milli"))).toMap
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(16).map(_._1).toSet
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.count(!vocab.contains(_))
+      val (n, o, m) = rows(lang)
+      assert(n == toks.size && o == oov, s"$lang: ($n,$o) vs (${toks.size},$oov)")
+      assert(m == math.floor(1000.0 * oov / toks.size).toLong)
+    }
+    // non-degenerate: the shared vocab leaves real OOV everywhere,
+    // but never everything
+    rows.values.foreach { case (_, _, m) => assert(m > 0 && m < 1000) }
+  }
 }
