@@ -46,7 +46,8 @@ object Cdc {
     QueryDef("cdc_scd2", scd2, Some(scd2Sql)),
     QueryDef("cdc_incremental_snapshot", incrementalSnapshot,
       Some(incrementalSnapshotSql)),
-    QueryDef("cdc_txn_assemble", txnAssemble, None)
+    QueryDef("cdc_txn_assemble", txnAssemble, None),
+    QueryDef("cdc_bloom_sweep", bloomSweep, None)
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -860,6 +861,49 @@ object Cdc {
         col("txn_xid"), col("begin_pos"), col("commit_pos"),
         col("n_row_images"), col("n_tables"), col("n_events"))
       .orderBy("fixture", "txn_xid")
+
+  // --- cdc_bloom_sweep: bloom-gate calibration ---------------------
+  // The sizing sweep behind the reference's
+  // StableBloomFilter::new_default(10_000, 0.01) (rust-cdc
+  // src/delta/mod.rs:81): measured false-positive rate vs filter
+  // bits, on a seen/probe split with NO true members on the probe
+  // side (even keys build the filter, odd keys probe it), so every
+  // positive is false by construction. Bloom bits are set by OR —
+  // order-independent — and the hashes are xxhash64, so the exact
+  // FP COUNTS are deterministic: rows-only (DuckDB has no twin of
+  // Spark's sketch) but content-hash PINNED, and the curve is
+  // property-pinned in the spec (monotone non-increasing in bits,
+  // real FPs at the small end, vanishing at the sized-right end).
+  // Per sweep point: one fixed-size sketch aggregate (bytes to the
+  // driver — the sketch is the broadcast artifact, scale-correct by
+  // design) + one scan-local probe aggregate.
+  private val BloomSweepBits = Seq(2000L, 4000L, 8000L, 20000L, 80000L)
+
+  private def bloomSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // EVENT ids, not user keys: redelivery suppression dedups event
+    // identities (cdc_dedup_exact / suppressSeen), and the event
+    // space is large enough (10³-10⁵) to exercise every regime of
+    // the curve — the 150-key space saturates nothing
+    val keys = Changelog.fromEvents(s, dir)
+      .select(col("offset").as("k")).distinct().persist()
+    val seen = keys.filter(col("k") % 2 === 0).select(col("k").cast("string").as("key"))
+    val probe = keys.filter(col("k") % 2 === 1).select(col("k").cast("string").as("key"))
+    val nSeen = seen.count()
+    try {
+      BloomSweepBits.map { bits =>
+        val bf = seen.agg(BloomDedup.bloomAgg(col("key"), nSeen, bits).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        val r = probe.agg(count(lit(1)).as("n"),
+            sum(BloomDedup.mightContain(lit(bf), col("key")).cast("long")).as("fp"))
+          .head
+        (bits, r.getLong(0), r.getLong(1))
+      }.toDF("num_bits", "n_probes", "n_fp")
+        .withColumn("fp_milli",
+          floor(lit(1000.0) * col("n_fp") / col("n_probes")).cast("long"))
+        .orderBy("num_bits")
+    } finally keys.unpersist()
+  }
 
   // --- cdc_stream_window: watermarked windowed agg ---
   private def streamWindow(s: SparkSession, dir: String): DataFrame =

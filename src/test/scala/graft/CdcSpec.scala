@@ -480,4 +480,21 @@ class CdcSpec extends AnyFunSuite {
     byChunk.foreach { case (_, wms) => assert(wms.size == 1) }
     assert(byChunk.keySet.size > 1) // key space actually chunked
   }
+  test("cdc_bloom_sweep: the calibration curve is monotone and spans both regimes") {
+    // sf0.01: 5000 probe keys exercise saturation through sized-right
+    val rows = SparkEntry.queries("cdc_bloom_sweep")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getAs[Long]("num_bits"), r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_fp"), r.getAs[Long]("fp_milli"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2000L, 4000L, 8000L, 20000L, 80000L))
+    // no true members on the probe side → every positive is false,
+    // and more bits can only clear bits' collisions: monotone
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"FP count rose with more bits: $a -> $b")
+    }
+    // saturated end hurts, sized-right end (16 bits/key) is clean —
+    // the trade the reference's new_default(10_000, 0.01) encodes
+    assert(rows.head._4 > 500, s"saturated filter too clean: ${rows.head}")
+    assert(rows.last._4 <= 1, s"sized filter too dirty: ${rows.last}")
+  }
 }

@@ -51,6 +51,7 @@ class ContentPinSpec extends AnyFunSuite {
 
   pin("cdc_type_decode", 30, "-15577089598958490676")
   pin("cdc_txn_assemble", 12, "-1796980421773832028")
+  pin("cdc_bloom_sweep", 5, "13618715941250525610")
   pin("mm_decode", 4, "-12257301918804746710")
   pin("mm_frames", 2, "-12434390873768163386")
   pin("mm_resize", 2, "15511961665530862505")
