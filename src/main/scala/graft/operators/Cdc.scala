@@ -47,7 +47,8 @@ object Cdc {
     QueryDef("cdc_incremental_snapshot", incrementalSnapshot,
       Some(incrementalSnapshotSql)),
     QueryDef("cdc_txn_assemble", txnAssemble, None),
-    QueryDef("cdc_bloom_sweep", bloomSweep, None)
+    QueryDef("cdc_bloom_sweep", bloomSweep, None),
+    QueryDef("cdc_snapshot_diff", snapshotDiff, Some(snapshotDiffSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -592,6 +593,71 @@ object Cdc {
        |      FROM ($changelogSql)
        |      WHERE "offset" <= (SELECT max(event_id) // 2 FROM events))
        |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY key""".stripMargin
+
+  // --- cdc_snapshot_diff: versioned table diff ---------------------
+  // The audit primitive versioned storage exists for: what changed
+  // between AS OF v1 and v2 — added keys, deleted keys, updated
+  // rows (same key, new offset). Exercises the TxnLog versioned
+  // read path on BOTH ends (bootstrap manifest vs latest) and diffs
+  // with ONE full-outer key join; unchanged keys are filtered
+  // before the output sort, so the result is ∝ churn, not ∝ table.
+  // At 100 TB both sides are partition-pruned parquet reads of
+  // pinned manifests and the join shuffles on the key — the same
+  // single-exchange shape as the snapshot fold itself. The oracle
+  // replays the changelog with and without the version cutoff and
+  // must land on identical verdicts.
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("key"), col("op"), col("offset"), col("event_type"), col("value"))
+    val mid = log.agg(max("offset")).head.getLong(0) / 2
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_diff_q_").toString
+    CdcSink.writeSnapshot(log.filter(col("offset") <= mid), tableDir, None)
+    CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, None)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = TxnLog.versions(fs, tableDir)
+    val v1 = TxnLog.readVersion(s, tableDir, versions.head)
+      .select(col("key"), col("offset").as("old_offset"),
+        col("value").as("old_value"))
+    val v2 = TxnLog.readVersion(s, tableDir, versions.last)
+      .select(col("key"), col("offset").as("new_offset"),
+        col("value").as("new_value"))
+    v1.join(v2, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_offset").isNull, "added")
+          .when(col("new_offset").isNull, "deleted")
+          .when(col("old_offset") =!= col("new_offset"), "updated")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("key"), col("change_type"),
+        col("old_offset"), col("new_offset"),
+        col("old_value"), col("new_value"))
+      .orderBy("key")
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH log AS ($changelogSql),
+       |v1 AS (
+       |  SELECT key, "offset" AS old_offset, "value" AS old_value
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |        FROM log WHERE "offset" <= (SELECT max(event_id) // 2 FROM events))
+       |  WHERE rn = 1 AND op <> 'd'),
+       |v2 AS (
+       |  SELECT key, "offset" AS new_offset, "value" AS new_value
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+       |        FROM log)
+       |  WHERE rn = 1 AND op <> 'd')
+       |SELECT COALESCE(v1.key, v2.key) AS key,
+       |  CASE WHEN v1.key IS NULL THEN 'added'
+       |       WHEN v2.key IS NULL THEN 'deleted'
+       |       WHEN v1.old_offset <> v2.new_offset THEN 'updated'
+       |       ELSE 'unchanged' END AS change_type,
+       |  v1.old_offset, v2.new_offset, v1.old_value, v2.new_value
+       |FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key
+       |WHERE NOT (v1.old_offset = v2.new_offset)
+       |   OR v1.key IS NULL OR v2.key IS NULL
        |ORDER BY key""".stripMargin
 
   // --- cdc_compaction: small-file compaction + manifest vacuum ----

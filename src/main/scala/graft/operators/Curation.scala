@@ -45,7 +45,8 @@ object Curation {
     QueryDef("cur_corpus_stats", corpusStats, Some(corpusStatsSql)),
     QueryDef("cur_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("cur_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
-    QueryDef("cur_oov_rate", oovRate, Some(oovRateSql))
+    QueryDef("cur_oov_rate", oovRate, Some(oovRateSql)),
+    QueryDef("cur_interleave", interleave, Some(interleaveSql))
   )
 
   // ---------------------------------------------------------------
@@ -1078,6 +1079,56 @@ object Curation {
       |  CAST(floor(1000.0 * (count(*) - count(DISTINCT text)) / count(*)) AS BIGINT)
       |    AS dup_ratio_milli
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // cur_interleave: weighted dataset interleaving — the data-loader
+  // primitive that merges per-source streams into ONE training
+  // order with target mixing rates (HF interleave_datasets /
+  // mosaic StreamingDataset semantics): a source with weight w
+  // contributes its next doc every 1/w "virtual time" units, so any
+  // prefix of the global order holds the sources in ≈w proportion —
+  // without materializing or shuffling per-source queues. Virtual
+  // time is EXACT integer arithmetic: vt = (rank−1)·(LCM/w) with
+  // weights ∈ {1,2,3} and LCM 6, ties → (source, doc). Per-source
+  // rank is one keyed window (the source is the parallel unit); the
+  // global order is a sort — at 100 TB the position column is
+  // computed lazily per epoch shard, not materialized corpus-wide.
+  // Weights derive deterministically from the source name (md5 —
+  // the DetHash precedent), standing in for a configured mix table.
+  // ---------------------------------------------------------------
+  private def interleave(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("weight",
+        (pmod(DetHash.int48OfHex(md5(concat(lit("ilw:"), col("source")))),
+          lit(3L)) + 1).cast("int"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("vt", (col("rnk") - 1).cast("long") * (lit(6L) / col("weight")).cast("long"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("vt"), col("source"), col("doc_id"))).cast("long"))
+      .select(col("pos"), col("vt"), col("source"), col("weight"), col("doc_id"))
+      .orderBy("pos")
+  }
+
+  private lazy val interleaveSql = {
+    val wexpr = graft.functions.DetHash.int48OfHexSql("md5('ilw:' || source)")
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id,
+       |         CAST($wexpr % 3 + 1 AS INT) AS weight,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+       |  FROM documents),
+       |vts AS (
+       |  SELECT source, doc_id, weight,
+       |         CAST((rnk - 1) * (6 // weight) AS BIGINT) AS vt
+       |  FROM ranked)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, doc_id) AS BIGINT) AS pos,
+       |       vt, source, weight, doc_id
+       |FROM vts ORDER BY pos""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // cur_oov_rate: per-language out-of-vocabulary rate under a

@@ -497,4 +497,29 @@ class CdcSpec extends AnyFunSuite {
     assert(rows.head._4 > 500, s"saturated filter too clean: ${rows.head}")
     assert(rows.last._4 <= 1, s"sized filter too dirty: ${rows.last}")
   }
+  test("cdc_snapshot_diff: verdicts re-derived from the raw changelog") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("cdc_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("change_type")).toMap
+    // driver-side reference: latest per key at the cutoff vs at the end
+    val log = Changelog.fromEvents(spark, sf)
+      .select("key", "op", "offset").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mid = log.map(_._3).max / 2
+    def live(upTo: Long) = log.filter(_._3 <= upTo).groupBy(_._1)
+      .view.mapValues(_.maxBy(_._3)).filter(_._2._2 != "d")
+      .mapValues(_._3).toMap
+    val v1 = live(mid); val v2 = live(Long.MaxValue)
+    val want = (v1.keySet ++ v2.keySet).flatMap { k =>
+      (v1.get(k), v2.get(k)) match {
+        case (None, Some(_))            => Some(k -> "added")
+        case (Some(_), None)            => Some(k -> "deleted")
+        case (Some(a), Some(b)) if a != b => Some(k -> "updated")
+        case _                          => None
+      }
+    }.toMap
+    assert(rows == want)
+    // all three verdicts occur on this changelog
+    assert(rows.values.toSet == Set("added", "deleted", "updated"))
+  }
 }

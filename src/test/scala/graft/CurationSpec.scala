@@ -455,4 +455,35 @@ class CurationSpec extends AnyFunSuite {
     // but never everything
     rows.values.foreach { case (_, _, m) => assert(m > 0 && m < 1000) }
   }
+  test("cur_interleave: weighted fair-share prefixes, per-source order preserved") {
+    val rows = run("cur_interleave").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"),
+        r.getAs[Int]("weight"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
+    // within each source, the interleave preserves doc order
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val ids = rs.sortBy(_._1).map(_._4)
+      assert(ids.sorted.sameElements(ids), s"$src reordered")
+      assert(rs.map(_._3).distinct.length == 1) // one weight per source
+    }
+    // fair-share: in the first half of the order, each source's
+    // contribution tracks weight/(docs available) — a weight-3
+    // source must run ahead of a weight-1 source of similar size
+    val half = rows.take(rows.length / 2)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val consumed = half.groupBy(_._2).view.mapValues(_.length).toMap
+    val w = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+    val byW = w.keys.groupBy(w)
+    for {
+      s3 <- byW.getOrElse(3, Nil)
+      s1 <- byW.getOrElse(1, Nil)
+      // compare at similar source sizes so exhaustion doesn't confound
+      if math.abs(sizes(s3) - sizes(s1)) <= sizes(s1) / 2
+    } {
+      val r3 = consumed.getOrElse(s3, 0).toDouble / sizes(s3)
+      val r1 = consumed.getOrElse(s1, 0).toDouble / sizes(s1)
+      assert(r3 >= r1 - 0.1, s"weight-3 $s3 ($r3) behind weight-1 $s1 ($r1)")
+    }
+  }
 }
