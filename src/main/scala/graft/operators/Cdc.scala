@@ -48,7 +48,8 @@ object Cdc {
       Some(incrementalSnapshotSql)),
     QueryDef("cdc_txn_assemble", txnAssemble, None),
     QueryDef("cdc_bloom_sweep", bloomSweep, None),
-    QueryDef("cdc_snapshot_diff", snapshotDiff, Some(snapshotDiffSql))
+    QueryDef("cdc_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("cdc_gtid_resume", gtidResume, Some(gtidResumeSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -927,6 +928,64 @@ object Cdc {
         col("txn_xid"), col("begin_pos"), col("commit_pos"),
         col("n_row_images"), col("n_tables"), col("n_events"))
       .orderBy("fixture", "txn_xid")
+
+  // --- cdc_gtid_resume: replica resume against the executed set ----
+  // WHY GtidSet exists (reference Gtid/PreviousGtids decode): a
+  // resuming replica must skip every transaction its executed-GTID
+  // set covers — including MID-STREAM ones a single resume offset
+  // cannot express (parallel appliers commit with gaps). Planted
+  // shape: executed = the 60% prefix PLUS every gno ≡ 3 (mod 7) in
+  // the tail, so the interval set has real holes and resume both
+  // replays the tail AND skips inside it. The executed set
+  // compacts to intervals (GtidSet — one exchange), which BROADCAST
+  // into an interval-membership left join on the replay (intervals
+  // are disjoint ⇒ no fanout; the probe side never shuffles), then
+  // one per-server aggregate. At 100 TB: the executed set is
+  // bounded resume state (the entire point), the replay pass is
+  // scan-local.
+  private def gtidResume(s: SparkSession, dir: String): DataFrame = {
+    val txns = Tables.events(s, dir).select(
+      (col("user_id") % 16).as("server_id"), col("event_id").as("gno"))
+    val bound = txns.agg(expr("max(gno) * 3 div 5")).head.getLong(0)
+    val executed = txns.filter(col("gno") <= bound || col("gno") % 7 === 3)
+    val iv = GtidSet.intervals(executed, "server_id", "gno")
+      .select(col("server_id").as("iv_server"),
+        col("gno_start"), col("gno_end"))
+    txns.join(broadcast(iv),
+        col("server_id") === col("iv_server") &&
+          col("gno").between(col("gno_start"), col("gno_end")), "left")
+      .withColumn("skip", col("iv_server").isNotNull)
+      .groupBy("server_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("skip").cast("long")).as("n_skipped"),
+        count(when(!col("skip"), lit(1))).as("n_applied"),
+        min(when(!col("skip"), col("gno"))).as("min_applied_gno"),
+        max(when(!col("skip"), col("gno"))).as("max_applied_gno"))
+      .orderBy("server_id")
+  }
+
+  private val gtidResumeSql =
+    """WITH txns AS (SELECT user_id % 16 AS server_id, event_id AS gno FROM events),
+      |b AS (SELECT max(gno) * 3 // 5 AS bound FROM txns),
+      |exec AS (SELECT server_id, gno FROM txns, b WHERE gno <= bound OR gno % 7 = 3),
+      |isl AS (
+      |  SELECT server_id, gno,
+      |         gno - ROW_NUMBER() OVER (PARTITION BY server_id ORDER BY gno) AS grp
+      |  FROM exec),
+      |iv AS (SELECT server_id, min(gno) AS s, max(gno) AS e
+      |       FROM isl GROUP BY server_id, grp),
+      |f AS (
+      |  SELECT t.server_id, t.gno,
+      |         EXISTS(SELECT 1 FROM iv
+      |                WHERE iv.server_id = t.server_id
+      |                  AND t.gno BETWEEN iv.s AND iv.e) AS skip
+      |  FROM txns t)
+      |SELECT server_id, count(*) AS n_total,
+      |  CAST(sum(CAST(skip AS INT)) AS BIGINT) AS n_skipped,
+      |  CAST(count(*) FILTER (WHERE NOT skip) AS BIGINT) AS n_applied,
+      |  min(gno) FILTER (WHERE NOT skip) AS min_applied_gno,
+      |  max(gno) FILTER (WHERE NOT skip) AS max_applied_gno
+      |FROM f GROUP BY server_id ORDER BY server_id""".stripMargin
 
   // --- cdc_bloom_sweep: bloom-gate calibration ---------------------
   // The sizing sweep behind the reference's

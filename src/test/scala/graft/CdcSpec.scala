@@ -522,4 +522,30 @@ class CdcSpec extends AnyFunSuite {
     // all three verdicts occur on this changelog
     assert(rows.values.toSet == Set("added", "deleted", "updated"))
   }
+  test("cdc_gtid_resume: skips exactly the executed set, including mid-tail holes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("cdc_gtid_resume")(spark, sf).collect()
+      .map(r => r.getAs[Long]("server_id") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_skipped"),
+         r.getAs[Long]("n_applied"))).toMap
+    // re-derive the executed set driver-side
+    val txns = Tables.events(spark, sf)
+      .select((col("user_id") % 16).as("s"), col("event_id").as("g")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bound = txns.map(_._2).max * 3 / 5
+    val executed = txns.filter(t => t._2 <= bound || t._2 % 7 == 3).toSet
+    txns.groupBy(_._1).foreach { case (srv, ts) =>
+      val (tot, skip, app) = rows(srv)
+      assert(tot == ts.length)
+      assert(skip == ts.count(executed.contains), s"server $srv skipped")
+      assert(app == tot - skip)
+    }
+    // the planted holes are real: every server both skips and applies
+    // INSIDE the tail (gnos > bound) — the case one offset can't do
+    rows.keys.foreach { srv =>
+      val tail = txns.filter(t => t._1 == srv && t._2 > bound)
+      assert(tail.exists(t => t._2 % 7 == 3) && tail.exists(t => t._2 % 7 != 3),
+        s"server $srv tail degenerate")
+    }
+  }
 }
