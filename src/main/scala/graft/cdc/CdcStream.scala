@@ -354,10 +354,16 @@ object CdcStream {
     val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
       withStatePartitions(s, statePartitions) {
         registerStreamingSession(s)
-        val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
-          batch.write
-            .mode(if (mode == OutputMode.Complete()) "overwrite" else "append")
-            .parquet(dir)
+        // Exactly-once under retry: append mode writes each batch to
+        // a batchId-named subdirectory with OVERWRITE, so a batch
+        // retried after a mid-write task failure replaces its own
+        // files instead of re-appending admitted rows. Complete mode
+        // overwrites the whole dir and is idempotent already.
+        val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+          if (mode == OutputMode.Complete())
+            batch.write.mode("overwrite").parquet(dir)
+          else
+            batch.write.mode("overwrite").parquet(f"$dir/b$batchId%08d")
         val q = out.writeStream
           .outputMode(mode)
           .foreachBatch(writeBatch)
@@ -368,7 +374,8 @@ object CdcStream {
         q.awaitTermination()
       }
     }
-    s.read.schema(out.schema).parquet(sinkDir)
+    s.read.schema(out.schema)
+      .option("recursiveFileLookup", "true").parquet(sinkDir)
   }
 
   /** Streaming admission gate via foreachBatch: `score` maps the
@@ -390,9 +397,11 @@ object CdcStream {
       (admit: DataFrame => DataFrame): DataFrame = {
     val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
       registerStreamingSession(s)
-      val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      // batchId-subdir + overwrite = exactly-once under retry (a
+      // re-run batch replaces its own subdirectory, never appends).
+      val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val scored = score(batch)
-        try admit(scored).write.mode("append").parquet(dir)
+        try admit(scored).write.mode("overwrite").parquet(f"$dir/b$batchId%08d")
         finally scored.unpersist()
       }
       val q = source.writeStream
@@ -411,7 +420,8 @@ object CdcStream {
       new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
     val scoredEmpty = score(empty)
     val outSchema = try admit(scoredEmpty).schema finally scoredEmpty.unpersist()
-    s.read.schema(outSchema).parquet(sinkDir)
+    s.read.schema(outSchema)
+      .option("recursiveFileLookup", "true").parquet(sinkDir)
   }
 
   /** Must be called BEFORE a streaming query starts (every graft

@@ -1,0 +1,198 @@
+package graft.cdc
+
+import java.util.UUID
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Delta-protocol mirror of the [[TxnLog]] manifest stream: every
+  * graft commit also appends a `_delta_log/<version>.json` of
+  * public-spec Delta actions (protocol / metaData / add / remove /
+  * commitInfo), with a full-state `<version>.checkpoint.parquet` +
+  * `_last_checkpoint` every 10 commits — the reference sink's
+  * checkpoint cadence (rust-cdc `src/delta/writer.rs:56-220`,
+  * `src/delta/mod.rs:262-285`). The snapshot store thereby IS a
+  * Delta table any delta reader can open: version 0 carries
+  * protocol(1,2) + metaData, data files are plain parquet holding
+  * every user column (partitionColumns=[] — graft's physical layout
+  * duplicates the partition column INTO the files, so foreign
+  * readers need no partition decoding), and the live-file set at
+  * each version replays exactly to the graft manifest.
+  *
+  * The DuckDB delta extension is not installable in this offline
+  * sandbox, so cross-engine reads are validated structurally
+  * instead: DeltaLogSpec replays the action log with an independent
+  * reader implementing the public protocol (JSON actions +
+  * checkpoint parquet + _last_checkpoint discovery) and asserts the
+  * reconstruction matches [[TxnLog.read]] at every version.
+  */
+object DeltaLog {
+
+  val LogDirName = "_delta_log"
+  val CheckpointEvery = 10
+
+  def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
+
+  /** Stable table id: derived from the table path so re-opens of the
+    * same table agree without any side-channel state.
+    */
+  private def tableId(tableDir: String): String =
+    UUID.nameUUIDFromBytes(
+      ("graft:" + new Path(tableDir).toUri.getPath).getBytes("UTF-8")).toString
+
+  private def protocolJson: JObject =
+    JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+
+  private def metaDataJson(tableDir: String, schema: StructType): JObject =
+    JObject("metaData" -> JObject(
+      "id" -> JString(tableId(tableDir)),
+      "format" -> JObject(
+        "provider" -> JString("parquet"),
+        "options" -> JObject()),
+      "schemaString" -> JString(schema.json),
+      "partitionColumns" -> JArray(Nil),
+      "configuration" -> JObject(),
+      "createdTime" -> JInt(BigInt(0))))
+
+  private def writeAtomic(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent,
+      s".tmp-${UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      // the graft manifest publish already serialized writers; a
+      // pre-existing delta json for this version means a previous
+      // crashed attempt got as far as the mirror — it is identical
+      // in content, so losing the rename race is benign
+    }
+  }
+
+  /** Mirror one published graft commit into the delta log.
+    * `prev` is the superseded manifest (None for the first commit).
+    */
+  def mirrorCommit(
+      fs: FileSystem,
+      tableDir: String,
+      version: Long,
+      schema: StructType,
+      entries: Seq[TxnLog.Entry],
+      prev: Option[TxnLog.Manifest]): Unit = {
+    val d = logDir(tableDir)
+    fs.mkdirs(d)
+    // delta needs a version-0 protocol+metaData commit; graft
+    // versions start at 1, so the first mirror lays down 0 first
+    if (prev.isEmpty) {
+      val v0 = Seq(protocolJson, metaDataJson(tableDir, schema))
+        .map(j => JsonMethods.compact(JsonMethods.render(j)))
+        .mkString("", "\n", "\n")
+      writeAtomic(fs, new Path(d, f"${0L}%020d.json"), v0.getBytes("UTF-8"))
+    }
+    val prevPaths = prev.map(_.entries.map(_.path)).getOrElse(Nil)
+    val newPaths = entries.map(_.path)
+    val removed = prevPaths.filterNot(newPaths.toSet)
+    val added = entries.filterNot(e => prevPaths.toSet(e.path))
+    val schemaChanged = prev.exists(_.schemaJson != schema.json)
+    val actions = Seq.newBuilder[JObject]
+    actions += JObject("commitInfo" -> JObject(
+      "operation" -> JString("WRITE"),
+      "engineInfo" -> JString("graft-txnlog")))
+    if (schemaChanged) actions += metaDataJson(tableDir, schema)
+    removed.foreach { p =>
+      actions += JObject("remove" -> JObject(
+        "path" -> JString(p),
+        "deletionTimestamp" -> JInt(BigInt(System.currentTimeMillis())),
+        "dataChange" -> JBool(true)))
+    }
+    added.foreach { e =>
+      val st = fs.getFileStatus(new Path(tableDir, e.path))
+      actions += JObject("add" -> JObject(
+        "path" -> JString(e.path),
+        "partitionValues" -> JObject(),
+        "size" -> JInt(BigInt(st.getLen)),
+        "modificationTime" -> JInt(BigInt(st.getModificationTime)),
+        "dataChange" -> JBool(true)))
+    }
+    val body = actions.result()
+      .map(j => JsonMethods.compact(JsonMethods.render(j)))
+      .mkString("", "\n", "\n")
+    writeAtomic(fs, new Path(d, f"$version%020d.json"), body.getBytes("UTF-8"))
+    if (version % CheckpointEvery == 0)
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .foreach(writeCheckpoint(_, fs, tableDir, version, schema, entries))
+  }
+
+  /** Checkpoint-file schema (public spec; txn carried as an always-
+    * null column so readers that project it find it).
+    */
+  private val checkpointSchema: StructType = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))))))
+
+  private def writeCheckpoint(
+      spark: SparkSession,
+      fs: FileSystem,
+      tableDir: String,
+      version: Long,
+      schema: StructType,
+      entries: Seq[TxnLog.Entry]): Unit = {
+    val emptyMap = Map.empty[String, String]
+    val rows = Seq(
+      Row(null, Row(1, 2), null, null, null),
+      Row(null, null,
+        Row(tableId(tableDir), Row("parquet", emptyMap), schema.json,
+          Seq.empty[String], emptyMap, 0L),
+        null, null)) ++
+      entries.map { e =>
+        val st = fs.getFileStatus(new Path(tableDir, e.path))
+        Row(null, null, null,
+          Row(e.path, emptyMap, st.getLen, st.getModificationTime, false),
+          null)
+      }
+    val d = logDir(tableDir)
+    val tmpDir = new Path(d, s".ckpt-tmp-${UUID.randomUUID().toString.take(8)}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+      .coalesce(1).write.parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+    val target = new Path(d, f"$version%020d.checkpoint.parquet")
+    part.foreach { p =>
+      if (!fs.exists(target)) fs.rename(p, target)
+    }
+    fs.delete(tmpDir, true)
+    val last = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(BigInt(version)),
+      "size" -> JInt(BigInt(rows.size)))))
+    // _last_checkpoint is overwritten in place per the spec (it is a
+    // hint; readers fall back to log listing if it is stale)
+    val out = fs.create(new Path(d, "_last_checkpoint"), true)
+    try out.write(last.getBytes("UTF-8")) finally out.close()
+  }
+}

@@ -148,6 +148,7 @@ object TxnLog {
       entries: Seq[Entry]): Unit = {
     if (crashBeforeCommit)
       throw new RuntimeException("txnlog: injected crash before manifest publish")
+    val prev = current(fs, tableDir)
     val d = logDir(tableDir)
     fs.mkdirs(d)
     val json = JObject(
@@ -166,6 +167,9 @@ object TxnLog {
       throw new java.util.ConcurrentModificationException(
         s"txnlog: version $version already committed under $d")
     }
+    // mirror the published commit into a public-spec Delta log so
+    // the table doubles as a real Delta table (see [[DeltaLog]])
+    DeltaLog.mirrorCommit(fs, tableDir, version, schema, entries, prev)
   }
 
   /** Write `df` into a fresh commit directory for `version`; returns

@@ -944,10 +944,26 @@ object Cdc {
   // bounded resume state (the entire point), the replay pass is
   // scan-local.
   private def gtidResume(s: SparkSession, dir: String): DataFrame = {
-    val txns = Tables.events(s, dir).select(
-      (col("user_id") % 16).as("server_id"), col("event_id").as("gno"))
-    val bound = txns.agg(expr("max(gno) * 3 div 5")).head.getLong(0)
-    val executed = txns.filter(col("gno") <= bound || col("gno") % 7 === 3)
+    // gno is a dense per-server sequence (row_number over event_id
+    // within server_id), mirroring real GTID numbering where each
+    // server assigns consecutive gnos. Dense gnos are what makes the
+    // executed set COMPACT to O(holes) intervals — with sparse
+    // global ids every gno is its own interval and the "bounded
+    // resume state" claim is vacuous.
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("server_id").orderBy("event_id")
+    val txns = Tables.events(s, dir)
+      .select((col("user_id") % 16).as("server_id"), col("event_id"))
+      .withColumn("gno", row_number().over(wSeq).cast("long"))
+      .select("server_id", "gno")
+    // per-server bound: each server's executed set covers the 60%
+    // prefix of ITS OWN sequence (plus the mod-7 tail holes), so
+    // every server genuinely exercises resume-with-holes
+    val executed = txns
+      .withColumn("bound", expr(
+        "max(gno) over (partition by server_id) * 3 div 5"))
+      .filter(col("gno") <= col("bound") || col("gno") % 7 === 3)
+      .select("server_id", "gno")
     val iv = GtidSet.intervals(executed, "server_id", "gno")
       .select(col("server_id").as("iv_server"),
         col("gno_start"), col("gno_end"))
@@ -965,9 +981,13 @@ object Cdc {
   }
 
   private val gtidResumeSql =
-    """WITH txns AS (SELECT user_id % 16 AS server_id, event_id AS gno FROM events),
-      |b AS (SELECT max(gno) * 3 // 5 AS bound FROM txns),
-      |exec AS (SELECT server_id, gno FROM txns, b WHERE gno <= bound OR gno % 7 = 3),
+    """WITH txns AS (
+      |  SELECT user_id % 16 AS server_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id % 16 ORDER BY event_id) AS gno
+      |  FROM events),
+      |b AS (SELECT server_id, max(gno) * 3 // 5 AS bound FROM txns GROUP BY server_id),
+      |exec AS (SELECT t.server_id, t.gno FROM txns t JOIN b ON t.server_id = b.server_id
+      |         WHERE t.gno <= b.bound OR t.gno % 7 = 3),
       |isl AS (
       |  SELECT server_id, gno,
       |         gno - ROW_NUMBER() OVER (PARTITION BY server_id ORDER BY gno) AS grp

@@ -937,47 +937,110 @@ object Curation {
 
   /** First `rounds` BPE merges over any text column:
     * (rnd, lhs, rhs, merged, cnt). Stops early if no pair remains.
+    *
+    * ONE Spark job — the |vocab|-bounded word-frequency aggregation
+    * (the classical BPE working set: millions of rows at 100 TB, not
+    * the corpus) — then the whole R-round merge loop runs
+    * driver-side over that table with incremental pair-count
+    * maintenance, so R=30k real-tokenizer training is R in-memory
+    * iterations, not R serial Spark jobs paying the scheduling
+    * floor. The learned merges broadcast back trivially (they ARE a
+    * driver Seq; bpeEncodeStats already consumes them as one).
     */
   def bpeMerges(input: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val s = input.sparkSession
-    var vocab = input
+    val wordFreq = input
       .select(explode(
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms",
-        transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))))
-      .select("freq", "syms")
-      .persist()
-    vocab.count()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var done = false
-    for (r <- 1 to rounds if !done) {
-      val top = vocab.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(
-          transform(sequence(lit(1), size(col("syms")) - 1),
-            i => concat(element_at(col("syms"), i), lit(" "),
-              element_at(col("syms"), i + 1)))).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val Array(p, q) = top(0).getString(0).split(" ", 2)
-        merges += ((r.toLong, p, q, top(0).getLong(1)))
-        val next = vocab
-          .withColumn("syms", bpeMergeFold(col("syms"), p, q))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
-      }
-    }
-    vocab.unpersist()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = bpeTrainDriver(wordFreq, rounds)
     import s.implicits._
-    merges.toSeq.toDF("rnd", "lhs", "rhs", "cnt")
+    merges.toDF("rnd", "lhs", "rhs", "cnt")
       .select(col("rnd"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+  }
+
+  /** Driver-side BPE merge loop (Sennrich et al. 2016) with
+    * incremental pair-count updates: per round, argmax over the live
+    * pair-count map (tie -> lexicographically smallest "lhs rhs"),
+    * then only the words CONTAINING the winning pair are re-split
+    * (their old adjacent-pair contributions subtracted, the merge
+    * applied left-to-right non-overlapping, new contributions
+    * added). `where` keeps candidate word indices per pair; stale
+    * indices (pair destroyed by an earlier overlapping merge) are
+    * skipped by the containment re-check. State is O(|vocab| +
+    * |live pairs|) — bounded by the vocabulary, never the corpus.
+    */
+  private[graft] def bpeTrainDriver(
+      wordFreq: Array[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[mutable.ArrayBuffer[String]] =
+      wordFreq.map { case (w, _) =>
+        mutable.ArrayBuffer.tabulate(w.length)(i => w.substring(i, i + 1))
+      }
+    val freqs: Array[Long] = wordFreq.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val pr = (w(j), w(j + 1))
+        val c = counts.getOrElse(pr, 0L) + sign * freqs(i)
+        if (c == 0L) counts.remove(pr) else counts.update(pr, c)
+        if (sign > 0) where.getOrElseUpdate(pr, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.foreach { case (pr, c) =>
+        if (c > 0 && (best == null || c > bestCnt ||
+            (c == bestCnt &&
+              (pr._1 + " " + pr._2) < (best._1 + " " + best._2)))) {
+          best = pr; bestCnt = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        val (p, q) = best
+        out += ((r.toLong, p, q, bestCnt))
+        val merged = p + q
+        val idxs = where.getOrElse(best, mutable.HashSet.empty).toArray
+        java.util.Arrays.sort(idxs)
+        idxs.foreach { i =>
+          val w = words(i)
+          var j = 0; var has = false
+          while (j < w.length - 1 && !has) {
+            if (w(j) == p && w(j + 1) == q) has = true
+            j += 1
+          }
+          if (has) {
+            addPairs(i, -1L)
+            val nw = mutable.ArrayBuffer.empty[String]
+            var k = 0
+            while (k < w.length) {
+              if (k < w.length - 1 && w(k) == p && w(k + 1) == q) {
+                nw += merged; k += 2
+              } else { nw += w(k); k += 1 }
+            }
+            words(i) = nw
+            addPairs(i, 1L)
+          }
+        }
+        counts.remove(best)
+        where.remove(best)
+        r += 1
+      }
+    }
+    out.toSeq
   }
 
   private def bpeTrain(s: SparkSession, dir: String): DataFrame =

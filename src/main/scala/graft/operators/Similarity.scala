@@ -831,8 +831,6 @@ object Similarity {
     def remaining = pool.join(
       selected.select("q_id", "neighbor_id"),
       Seq("q_id", "neighbor_id"), "left_anti")
-    val wm = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("mmr_micro").desc, col("neighbor_id"))
     for (i <- 2 to selK) {
       val picked = remaining
         .select(col("q_id"), col("neighbor_id").as("a_id"), col("rel_micro"))

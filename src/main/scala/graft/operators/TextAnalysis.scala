@@ -766,35 +766,146 @@ object TextAnalysis {
       idCol: String,
       weightCol: String,
       scoreCol: String,
-      budget: Long): DataFrame = {
-    val hist = scored.groupBy(scoreCol).agg(sum(col(weightCol)).as("__bucket_w"))
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
-      .sortBy { case (sc, _) => -sc }
-    // walk the histogram until the budget crosses: scores above the
-    // boundary are fully in; the boundary bucket takes partially
-    var cum = 0L
-    var boundary = Double.NegativeInfinity
-    var remainingAtBoundary = 0L
-    var fullyIn = Double.PositiveInfinity // scores ≥ this are all in
-    val it = hist.iterator
-    var done = false
-    while (it.hasNext && !done) {
-      val (sc, w) = it.next()
-      if (cum + w <= budget) { cum += w; fullyIn = sc }
-      else { boundary = sc; remainingAtBoundary = budget - cum; done = true }
-    }
-    val full = scored.filter(col(scoreCol) >= fullyIn)
+      budget: Long): DataFrame =
+    takeByScoreBudget(scored, idCol, weightCol, scoreCol, budget,
+      histCap = 65536L)
+
+  /** The driver bound is STRUCTURAL, not caller discipline: when the
+    * distinct-score cardinality fits `histCap` the exact per-score
+    * histogram collects (the quantized-score fast path every graft
+    * caller hits); otherwise the boundary score is located by
+    * iterative range refinement — each pass buckets the surviving
+    * [lo, hi] score interval into ≤1024 equal sub-ranges and
+    * collects ONE row per non-empty bucket, narrowing the interval
+    * ~1024x per pass — so a caller passing raw continuous doubles
+    * over a 100 TB corpus costs a few extra scans, never a
+    * corpus-cardinality collect.
+    */
+  private[graft] def takeByScoreBudget(
+      scored: DataFrame,
+      idCol: String,
+      weightCol: String,
+      scoreCol: String,
+      budget: Long,
+      histCap: Long): DataFrame = {
+    val sc0 = col(scoreCol)
+    val nDistinct = scored.agg(countDistinct(sc0)).head.getLong(0)
+    // (done, boundaryScore, remainingAtBoundary): done=false means
+    // the whole input fits the budget
+    val (done, boundary, remainingAtBoundary) =
+      if (nDistinct <= histCap) {
+        val hist = scored.groupBy(scoreCol)
+          .agg(sum(col(weightCol)).as("__bucket_w"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+          .sortBy { case (v, _) => -v }
+        var cum = 0L
+        var b = Double.NegativeInfinity
+        var rem = 0L
+        var crossed = false
+        val it = hist.iterator
+        while (it.hasNext && !crossed) {
+          val (v, w) = it.next()
+          if (cum + w <= budget) cum += w
+          else { b = v; rem = budget - cum; crossed = true }
+        }
+        (crossed, b, rem)
+      } else refineBoundary(scored, weightCol, scoreCol, budget)
+    val full =
+      if (!done) scored.filter(sc0.isNotNull)
+      else scored.filter(sc0 > boundary)
     val partial =
       if (!done) scored.limit(0)
       else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(scoreCol)).orderBy(col(idCol))
-        scored.filter(col(scoreCol) === boundary)
+          .partitionBy(sc0).orderBy(col(idCol))
+        scored.filter(sc0 === boundary)
           .withColumn("__cum", sum(col(weightCol)).over(w))
           .filter(col("__cum") <= remainingAtBoundary)
           .drop("__cum")
       }
     full.unionAll(partial).orderBy(desc(scoreCol), col(idCol))
+  }
+
+  /** Locate the budget-crossing boundary score without a data-
+    * proportional collect: s* = max score with W(>=s*) > budget.
+    * Per pass, rows with score in [lo, hi] bucket into <=1024 equal
+    * sub-ranges (one aggregated row each: weight, min/max score);
+    * walking buckets from the top, the first whose cumulative
+    * crosses the budget contains s*, and the interval narrows to
+    * that bucket's [min, max]. Terminates when the bucket holds one
+    * distinct score, or (sub-ulp interval / no-progress guard) by
+    * collecting the few representable doubles left in [lo, hi].
+    */
+  private def refineBoundary(
+      scored: DataFrame,
+      weightCol: String,
+      scoreCol: String,
+      budget: Long): (Boolean, Double, Long) = {
+    val sc0 = col(scoreCol)
+    val bounds = scored.agg(
+      sum(col(weightCol)).as("t"), min(sc0).as("lo"), max(sc0).as("hi")).head
+    if (bounds.isNullAt(0) || bounds.getLong(0) <= budget)
+      return (false, Double.NegativeInfinity, 0L)
+    var lo = bounds.getDouble(1)
+    var hi = bounds.getDouble(2)
+    var aboveHiW = 0L // W(> hi)
+    val B = 1024
+    var pass = 0
+    while (pass < 16) {
+      pass += 1
+      val step = (hi - lo) / B
+      if (lo == hi || step <= 0 || !java.lang.Double.isFinite(step) ||
+          lo + step == lo) {
+        // interval is a single score or a handful of representable
+        // doubles: the exact histogram on it is tiny by construction
+        return exactOnInterval(scored, weightCol, scoreCol, budget,
+          lo, hi, aboveHiW)
+      }
+      val buckets = scored.filter(sc0.between(lo, hi))
+        .groupBy(least(floor((sc0 - lo) / step), lit(B - 1)).as("__b"))
+        .agg(sum(col(weightCol)).as("w"), min(sc0).as("mn"), max(sc0).as("mx"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy { case (b, _, _, _) => -b }
+      var cum = aboveHiW
+      var found = false
+      val it = buckets.iterator
+      while (it.hasNext && !found) {
+        val (_, w, mn, mx) = it.next()
+        if (cum + w > budget) {
+          if (mn == mx) return (true, mn, budget - cum)
+          lo = mn; hi = mx; aboveHiW = cum; found = true
+        } else cum += w
+      }
+      if (!found) return (false, Double.NegativeInfinity, 0L) // can't happen
+    }
+    // 16 passes shrink the interval by 1024^16 — past double
+    // precision for any finite starting range; the guard above fires
+    // first. Defensive final exact scan on the (sub-ulp) interval.
+    exactOnInterval(scored, weightCol, scoreCol, budget, lo, hi, aboveHiW)
+  }
+
+  /** Exact boundary on a sub-ulp [lo, hi] interval: the histogram on
+    * it is tiny (a handful of representable doubles) by construction.
+    */
+  private def exactOnInterval(
+      scored: DataFrame, weightCol: String, scoreCol: String,
+      budget: Long, lo: Double, hi: Double,
+      aboveHiW: Long): (Boolean, Double, Long) = {
+    val tiny = scored.filter(col(scoreCol).between(lo, hi))
+      .groupBy(scoreCol).agg(sum(col(weightCol)).as("w"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (v, _) => -v }
+    var cum = aboveHiW
+    var i = 0
+    while (i < tiny.length) {
+      val (v, w) = tiny(i)
+      if (cum + w > budget) return (true, v, budget - cum)
+      cum += w
+      i += 1
+    }
+    // unreachable given the invariant aboveHiW <= budget < W(>=lo)
+    (true, lo, budget - aboveHiW)
   }
 
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {

@@ -171,6 +171,36 @@ class ApiSpec extends AnyFunSuite {
     assert(got == Set(4L, 5L, 1L), got.toString)
   }
 
+  test("takeByScoreBudget is bounded under raw continuous scores (refinement path)") {
+    import org.apache.spark.sql.functions._
+    // 20k rows of raw continuous doubles — every score distinct, so
+    // the old exact-histogram collect would pull |corpus| rows to the
+    // driver. histCap=100 forces the range-refinement path (the path
+    // a 100 TB caller with unquantized scores lands on).
+    val rows = spark.range(0, 20000).toDF("id")
+      .withColumn("w", (xxhash64(col("id")) % 7 + 8).cast("long"))
+      .withColumn("score",
+        (xxhash64(col("id"), lit(1)).cast("double") / lit(Long.MaxValue)))
+      .persist()
+    val budget = 60000L
+    val refined = operators.TextAnalysis.takeByScoreBudget(
+      rows, "id", "w", "score", budget, histCap = 100L)
+      .collect().map(_.getLong(0)).toSeq
+    // naive global window-cumsum oracle (fine at test scale)
+    val wsp = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), col("id"))
+    val naive = rows.withColumn("__cum", sum(col("w")).over(wsp))
+      .filter(col("__cum") <= budget)
+      .orderBy(desc("score"), col("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(refined == naive)
+    // and the default fast path computes the identical selection
+    val fast = rows.takeByScoreBudget("id", "w", "score", budget)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == naive)
+    rows.unpersist()
+  }
+
   test("withSplitAssignment partitions deterministically at requested rates") {
     val docs = spark.range(0, 5000).toDF("id")
     val split = docs.withSplitAssignment("id").collect()

@@ -528,12 +528,19 @@ class CdcSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("server_id") ->
         (r.getAs[Long]("n_total"), r.getAs[Long]("n_skipped"),
          r.getAs[Long]("n_applied"))).toMap
-    // re-derive the executed set driver-side
+    // re-derive the executed set driver-side (gno = dense per-server
+    // sequence ordered by event_id, as the operator defines it)
     val txns = Tables.events(spark, sf)
-      .select((col("user_id") % 16).as("s"), col("event_id").as("g")).collect()
+      .select((col("user_id") % 16).as("s"), col("event_id").as("e")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val bound = txns.map(_._2).max * 3 / 5
-    val executed = txns.filter(t => t._2 <= bound || t._2 % 7 == 3).toSet
+      .groupBy(_._1).toSeq.flatMap { case (srv, es) =>
+        es.map(_._2).sorted.zipWithIndex.map { case (_, i) => (srv, i + 1L) }
+      }.toArray
+    // per-server bound: 60% prefix of each server's own dense sequence
+    val bounds = txns.groupBy(_._1).view
+      .mapValues(ts => ts.map(_._2).max * 3 / 5).toMap
+    val executed =
+      txns.filter(t => t._2 <= bounds(t._1) || t._2 % 7 == 3).toSet
     txns.groupBy(_._1).foreach { case (srv, ts) =>
       val (tot, skip, app) = rows(srv)
       assert(tot == ts.length)
@@ -543,7 +550,7 @@ class CdcSpec extends AnyFunSuite {
     // the planted holes are real: every server both skips and applies
     // INSIDE the tail (gnos > bound) — the case one offset can't do
     rows.keys.foreach { srv =>
-      val tail = txns.filter(t => t._1 == srv && t._2 > bound)
+      val tail = txns.filter(t => t._1 == srv && t._2 > bounds(srv))
       assert(tail.exists(t => t._2 % 7 == 3) && tail.exists(t => t._2 % 7 != 3),
         s"server $srv tail degenerate")
     }

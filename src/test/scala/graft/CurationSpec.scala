@@ -239,6 +239,81 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  /** Naive BPE reference: recount ALL pairs from scratch each round.
+    * Same argmax order (cnt desc, "lhs rhs" asc) and same
+    * left-to-right non-overlapping merge as the operator — but with
+    * none of the incremental bookkeeping under test.
+    */
+  private def bpeNaive(wordFreq: Array[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Array[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) =>
+            counts.update((a, b), counts.getOrElse((a, b), 0L) + f)
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty && out.length == r - 1) {
+        val ((p, q), c) = counts.minBy { case ((a, b), n) => (-n, a + " " + b) }
+        out += ((r.toLong, p, q, c))
+        vocab = vocab.map { case (syms, f) =>
+          val nw = scala.collection.mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < syms.length) {
+            if (k < syms.length - 1 && syms(k) == p && syms(k + 1) == q) {
+              nw += (p + q); k += 2
+            } else { nw += syms(k); k += 1 }
+          }
+          (nw.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrainDriver's incremental pair counts match a naive full recount") {
+    // corpus word-freq table at sf0.001, 60 merge rounds — enough to
+    // exercise merged-symbol chaining, stale `where` indices, and
+    // count-restoring subtract/re-add cycles
+    val wf = Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val fast = operators.Curation.bpeTrainDriver(wf, 60)
+    val slow = bpeNaive(wf, 60)
+    assert(fast == slow)
+  }
+
+  test("cur_bpe_train scales to a real vocabulary: R=2000 in seconds, prefix-stable") {
+    // 20k-word synthetic vocabulary (32-hex-char words) — the
+    // sf0.001 corpus exhausts at 89 merges; this one sustains 2000
+    val docs = spark.range(0, 20000)
+      .select(md5(col("id").cast("string")).as("text"))
+    val t0 = System.nanoTime()
+    val m2000 = operators.Curation.bpeMerges(docs, "text", 2000)
+      .orderBy("rnd").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // one Spark job + an in-memory loop — NOT 2000 serial jobs. The
+    // generous bound still fails the old per-round-job design by 10x+.
+    assert(m2000.length == 2000)
+    assert(secs < 30.0, f"R=2000 took $secs%.1f s")
+    assert(m2000.exists(_.getAs[String]("merged").length >= 4))
+    // greedy BPE is prefix-stable: the oracled R=6 corpus entry must
+    // be the exact prefix of a deeper run over the same corpus
+    val deep = operators.Curation.bpeMerges(
+      Tables.documents(spark, sf).select(col("text")), "text", 500)
+      .orderBy("rnd").collect()
+    val m6 = run("cur_bpe_train").orderBy("rnd").collect()
+    assert(m6.length == 6)
+    m6.zip(deep.take(6)).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("cur_shuffle: a stable total order, 1..50") {
     val a = run("cur_shuffle").collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
     assert(a.map(_._1).sorted.toSeq == (1 to 50))

@@ -1,0 +1,220 @@
+package graft.cdc
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural conformance of the `_delta_log` mirror: an INDEPENDENT
+  * reader implementing the public Delta protocol (action-JSON replay,
+  * checkpoint-parquet + `_last_checkpoint` discovery) must
+  * reconstruct, at every version, exactly the state graft's own
+  * TxnLog resolves. The DuckDB delta extension cannot be installed
+  * offline, so this replay — which shares zero code with
+  * [[DeltaLog]]'s writer — stands in for a cross-engine read.
+  */
+class DeltaLogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def fs: FileSystem =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def changelog(rows: (String, String, Long, String, Double)*): DataFrame =
+    rows.toDF("key", "op", "offset", "part", "value")
+      .withColumn("source_file", lit("bin.1"))
+
+  // ----- independent Delta reader (public protocol only) -----------
+
+  private case class State(schemaJson: String, live: Map[String, Long])
+
+  private def readJsonActions(p: Path): Seq[JValue] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split('\n').filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+  }
+
+  private def applyActions(st: State, actions: Seq[JValue]): State = {
+    implicit val fmt: Formats = DefaultFormats
+    actions.foldLeft(st) { (s, a) =>
+      (a \ "metaData") match {
+        case JNothing => (a \ "add") match {
+          case JNothing => (a \ "remove") match {
+            case JNothing => s // commitInfo / protocol / txn
+            case r => s.copy(live = s.live - (r \ "path").extract[String])
+          }
+          case ad => s.copy(live = s.live +
+            ((ad \ "path").extract[String] -> (ad \ "size").extract[Long]))
+        }
+        case md => s.copy(schemaJson = (md \ "schemaString").extract[String])
+      }
+    }
+  }
+
+  /** Replay `_delta_log` from version 0 up to `asOf` (inclusive). */
+  private def replay(tableDir: String, asOf: Long): State = {
+    val d = new Path(tableDir, "_delta_log")
+    (0L to asOf).foldLeft(State("", Map.empty)) { (st, v) =>
+      val p = new Path(d, f"$v%020d.json")
+      assert(fs.exists(p), s"delta log version $v missing")
+      applyActions(st, readJsonActions(p))
+    }
+  }
+
+  /** Full discovery read, as a foreign engine would do it: consult
+    * `_last_checkpoint`, load the checkpoint parquet, then replay
+    * only the trailing JSON commits.
+    */
+  private def discoverLatest(tableDir: String): (Long, State) = {
+    val d = new Path(tableDir, "_delta_log")
+    val versions = fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+    val latest = versions.max
+    val lastCkpt = new Path(d, "_last_checkpoint")
+    val start: (Long, State) =
+      if (!fs.exists(lastCkpt)) (-1L, State("", Map.empty))
+      else {
+        implicit val fmt: Formats = DefaultFormats
+        val in = fs.open(lastCkpt)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val v = (JsonMethods.parse(txt) \ "version").extract[Long]
+        val ck = spark.read.parquet(
+          new Path(d, f"$v%020d.checkpoint.parquet").toString)
+        val schemaJson = ck.filter(col("metaData").isNotNull)
+          .select("metaData.schemaString").head.getString(0)
+        val adds = ck.filter(col("add").isNotNull)
+          .select("add.path", "add.size").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (v, State(schemaJson, adds))
+      }
+    val st = ((start._1 + 1) to latest).foldLeft(start._2) { (s, v) =>
+      applyActions(s, readJsonActions(new Path(d, f"$v%020d.json")))
+    }
+    (latest, st)
+  }
+
+  private def readState(st: State, tableDir: String): DataFrame = {
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (st.live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(
+        st.live.keys.map(p => new Path(tableDir, p).toString).toSeq: _*)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val ordered = df.select(df.columns.sorted.map(col): _*)
+    ordered.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  // ------------------------------------------------------------------
+
+  test("version 0 carries protocol(1,2) + metaData with the table schema") {
+    val dir = Files.createTempDirectory("graft_delta_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
+    implicit val fmt: Formats = DefaultFormats
+    val v0 = readJsonActions(new Path(dir, f"_delta_log/${0L}%020d.json"))
+    val proto = v0.flatMap(a => (a \ "protocol").toOption)
+    assert(proto.nonEmpty)
+    assert((proto.head \ "minReaderVersion").extract[Int] == 1)
+    assert((proto.head \ "minWriterVersion").extract[Int] == 2)
+    val md = v0.flatMap(a => (a \ "metaData").toOption)
+    assert(md.nonEmpty)
+    val schema = DataType.fromJson((md.head \ "schemaString").extract[String])
+      .asInstanceOf[StructType]
+    assert(schema.fieldNames.toSet ==
+      CdcSink.read(spark, dir).schema.fieldNames.toSet)
+    assert((md.head \ "partitionColumns") == JArray(Nil))
+    assert((md.head \ "format" \ "provider").extract[String] == "parquet")
+  }
+
+  test("action replay reconstructs every graft version, incl. removes + evolution") {
+    val dir = Files.createTempDirectory("graft_delta_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
+      dir, Some("part"))
+    // v2: upsert touching p1 (removes p1's old file, adds a new one)
+    CdcSink.merge(spark, changelog(("a", "u", 3, "p1", 9.0)), dir, Some("part"))
+    // v3: delete all of p2 (partition emptied — pure remove)
+    CdcSink.merge(spark, changelog(("b", "d", 4, "p2", 2.0)), dir, Some("part"))
+    // v4: schema evolution — changelog gains a column
+    val wide = changelog(("c", "c", 5, "p3", 3.0))
+      .withColumn("extra", lit(42L))
+    CdcSink.merge(spark, wide, dir, Some("part"))
+    val versions = TxnLog.versions(fs, dir)
+    assert(versions.size >= 4)
+    versions.foreach { v =>
+      val st = replay(dir, v)
+      val mine = TxnLog.readVersion(spark, dir, v)
+      assert(sortedRows(readState(st, dir)) == sortedRows(mine),
+        s"delta replay of v$v diverges from TxnLog")
+      // the replayed live set must be exactly the graft manifest
+      val manifest = TxnLog.manifestAt(fs, dir, v).get
+      assert(st.live.keySet == manifest.entries.map(_.path).toSet)
+      assert(st.schemaJson == manifest.schemaJson)
+    }
+    // evolution emitted a fresh metaData action in v4's commit json
+    val v4 = readJsonActions(
+      new Path(dir, f"_delta_log/${versions.last}%020d.json"))
+    assert(v4.exists(a => (a \ "metaData") != JNothing))
+    // add sizes match the filesystem
+    implicit val fmt: Formats = DefaultFormats
+    versions.flatMap(v => readJsonActions(new Path(dir, f"_delta_log/$v%020d.json")))
+      .flatMap(a => (a \ "add").toOption)
+      .foreach { ad =>
+        val p = new Path(dir, (ad \ "path").extract[String])
+        assert(fs.getFileStatus(p).getLen == (ad \ "size").extract[Long])
+      }
+  }
+
+  test("checkpoint at the 10-commit cadence + _last_checkpoint discovery") {
+    val dir = Files.createTempDirectory("graft_delta_").toString
+    CdcSink.writeSnapshot(changelog(("k0", "c", 1, "p1", 0.0)), dir, Some("part"))
+    (1 to 11).foreach { i =>
+      CdcSink.merge(spark,
+        changelog((s"k$i", "c", i + 1L, s"p${i % 3}", i.toDouble)),
+        dir, Some("part"))
+    }
+    val d = new Path(dir, "_delta_log")
+    assert(fs.exists(new Path(d, f"${10L}%020d.checkpoint.parquet")))
+    assert(fs.exists(new Path(d, "_last_checkpoint")))
+    // discovery read (checkpoint + trailing commits) == graft read
+    val (latest, st) = discoverLatest(dir)
+    assert(latest == TxnLog.versions(fs, dir).max)
+    assert(sortedRows(readState(st, dir)) ==
+      sortedRows(CdcSink.read(spark, dir)))
+    // checkpoint contents alone reconstruct version 10 exactly
+    val st10 = replay(dir, 10L)
+    val ck = spark.read.parquet(new Path(d, f"${10L}%020d.checkpoint.parquet").toString)
+    val ckAdds = ck.filter(col("add").isNotNull)
+      .select("add.path").collect().map(_.getString(0)).toSet
+    assert(ckAdds == st10.live.keySet)
+    assert(ck.filter(col("protocol").isNotNull).count() == 1)
+    assert(ck.filter(col("metaData").isNotNull).count() == 1)
+  }
+
+  test("vacuum keeps the delta log; current version stays readable through it") {
+    val dir = Files.createTempDirectory("graft_delta_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
+    CdcSink.merge(spark, changelog(("a", "u", 2, "p1", 5.0)), dir, Some("part"))
+    TxnLog.vacuum(fs, dir)
+    val (latest, st) = discoverLatest(dir)
+    assert(sortedRows(readState(st, dir)) ==
+      sortedRows(CdcSink.read(spark, dir)))
+    assert(latest == TxnLog.versions(fs, dir).max)
+  }
+}
