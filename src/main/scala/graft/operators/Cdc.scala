@@ -49,7 +49,8 @@ object Cdc {
     QueryDef("cdc_txn_assemble", txnAssemble, None),
     QueryDef("cdc_bloom_sweep", bloomSweep, None),
     QueryDef("cdc_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
-    QueryDef("cdc_gtid_resume", gtidResume, Some(gtidResumeSql))
+    QueryDef("cdc_gtid_resume", gtidResume, Some(gtidResumeSql)),
+    QueryDef("cdc_control_events", controlEvents, None)
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -296,6 +297,55 @@ object Cdc {
       try java.nio.file.Files.move(tmp, genDir,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { // lost the race: another process finished first
+        case _: java.io.IOException
+            if java.nio.file.Files.exists(marker) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+    }
+    genDir.toString
+  }
+
+  // --- cdc_control_events: STOP / INCIDENT / IGNORABLE surfacing ---
+  // The reference decodes the control ids too (rust-cdc
+  // src/mysql/event/mod.rs:301-338); INCIDENT in particular signals
+  // possible replica divergence and must never be silently dropped.
+  // A generated stream plants one of each after a normal row batch;
+  // the typed INCIDENT rows (number + message) are routed through
+  // the sink's dead-letter path and the summary reports, per event
+  // type, the stream count, how many of that type the DLQ holds,
+  // and the decoded incident detail. Rows-only (binary input),
+  // content-pinned in ContentPinSpec.
+  private def controlEvents(s: SparkSession, dir: String): DataFrame = {
+    val genDir = ensureControlGenerated()
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_ctrl_tbl_").toString
+    val ev = graft.sources.binlog.BinlogSource.events(s, genDir)
+    CdcSink.deadLetter(ev, tableDir, col("event_type") === "INCIDENT")
+    val dlq = s.read.parquet(CdcSink.dlqDir(tableDir))
+    val summary = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val dlqSummary = dlq.groupBy("event_type")
+      .agg(count(lit(1)).as("n_dlq"),
+        max(col("int_value")).as("incident_no"),
+        max(col("query")).as("incident_msg"))
+    summary.join(dlqSummary, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_dlq"))
+      .orderBy("event_type")
+  }
+
+  private def ensureControlGenerated(): String = {
+    val genDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_binlog_ctrl_v1")
+    val marker = genDir.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        genDir.getParent, "graft_ctrl_tmp_")
+      graft.sources.binlog.BinlogGen.writeControlFile(
+        tmp.resolve("mysql-bin.000001").toString, nRows = 10)
+      java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
+      try java.nio.file.Files.move(tmp, genDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
         case _: java.io.IOException
             if java.nio.file.Files.exists(marker) =>
           org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)

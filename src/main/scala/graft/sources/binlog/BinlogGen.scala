@@ -251,6 +251,33 @@ object BinlogGen {
     */
   val TypedTableId = 78L
 
+  /** Control-event stream: rows, then IGNORABLE, INCIDENT (possible
+    * replica divergence: number + message), STOP — the reference's
+    * control surface (rust-cdc `src/mysql/event/mod.rs:301-338`)
+    * for the typed-row decode + DLQ-surfacing specs.
+    */
+  def writeControlFile(path: String, nRows: Int = 10): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      pos = writeEvent(out, pos, 0x13, tableMapBody())
+      pos = writeEvent(out, pos, 0x1e, writeRowsBody(1, nRows))
+      pos = writeEvent(out, pos, 0x10, xidBody(1L))
+      pos = writeEvent(out, pos, 0x1c, Array.empty[Byte])
+      pos = writeEvent(out, pos, 0x1a, incidentBody(1, "binlog gap on master"))
+      pos = writeEvent(out, pos, 0x03, Array.empty[Byte])
+    } finally out.close()
+  }
+
+  private def incidentBody(num: Int, msg: String): Array[Byte] = {
+    val m = msg.getBytes("UTF-8")
+    val b = ByteBuffer.allocate(2 + 1 + m.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(num.toShort); b.put(m.length.toByte); b.put(m)
+    b.array()
+  }
+
   def writeTypedFile(path: String, n: Int): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     try {

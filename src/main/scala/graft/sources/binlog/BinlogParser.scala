@@ -56,6 +56,13 @@ object BinlogParser {
       charsets: Array[java.nio.charset.Charset] = Array.empty)
 
   val typeNames: Map[Int, String] = Map(
+    // full v4 id space of the reference's EventType::try_from_u8
+    // (rust-cdc src/mysql/event/mod.rs:301-338)
+    0x00 -> "UNKNOWN", 0x01 -> "START_V3", 0x03 -> "STOP",
+    0x06 -> "LOAD", 0x07 -> "SLAVE", 0x08 -> "CREATE_FILE",
+    0x09 -> "APPEND_BLOCK", 0x0a -> "EXEC_LOAD", 0x0b -> "DELETE_FILE",
+    0x0c -> "NEW_LOAD", 0x0d -> "RAND",
+    0x1a -> "INCIDENT", 0x1c -> "IGNORABLE",
     0x02 -> "QUERY", 0x04 -> "ROTATE", 0x05 -> "INTVAR",
     0x0e -> "USER_VAR",
     0x0f -> "FORMAT_DESCRIPTION", 0x10 -> "XID",
@@ -339,6 +346,22 @@ object BinlogParser {
         Seq(Decoded(h, typeNames(h.eventType), tableId = tableId, op = op))
       else rows.toSeq
 
+    case 0x1a => // INCIDENT (reference event/mod.rs:332): the master
+      // signals the replica that events may have been lost — decoded
+      // TYPED (incident number u16; 1 = LOST_EVENTS, plus optional
+      // 1-byte-length message) so a sink can divert possible
+      // divergence to its dead-letter path instead of dropping it.
+      val num = u16(b)
+      val msg =
+        if (b.remaining() > 0) {
+          val n = math.min(u8(b), b.remaining())
+          fixedString(b, n)
+        } else null
+      Seq(Decoded(h, "INCIDENT", intValue = num, query = msg))
+
+    // STOP (0x03, clean server shutdown) and IGNORABLE (0x1c) carry
+    // no payload — the typed name row from the table below IS their
+    // full decode.
     case t =>
       Seq(Decoded(h, typeNames.getOrElse(t, "UNKNOWN_0x%02x".format(t))))
   }

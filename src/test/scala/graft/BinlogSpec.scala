@@ -428,4 +428,32 @@ class BinlogSpec extends AnyFunSuite {
     // single-txn fixture 16_xid carries MySQL's real xid 852
     assert(rows.filter(_._1 == "16_xid").map(_._2).toSeq == Seq(852L))
   }
+
+  test("control events decode typed: STOP, IGNORABLE, INCIDENT number+message") {
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_ctrl_").toString
+    BinlogGen.writeControlFile(s"$dir/mysql-bin.000001", nRows = 5)
+    val ev = BinlogSource.events(spark, dir).collect()
+    // mirrors rust-cdc src/mysql/event/mod.rs:301-338: 0x03 STOP,
+    // 0x1a INCIDENT, 0x1c IGNORABLE all surface as typed rows
+    val byType = ev.groupBy(_.getAs[String]("event_type"))
+    assert(byType.contains("STOP"))
+    assert(byType.contains("IGNORABLE"))
+    val inc = byType("INCIDENT")
+    assert(inc.length == 1)
+    assert(inc.head.getAs[Long]("int_value") == 1L) // LOST_EVENTS
+    assert(inc.head.getAs[String]("query") == "binlog gap on master")
+    // control rows ride AFTER the data batch in log order
+    val stopPos = byType("STOP").head.getAs[Long]("log_pos")
+    val rowPos = byType("WRITE_ROWS_V2").map(_.getAs[Long]("log_pos")).max
+    assert(stopPos > rowPos)
+    // and the sink surfaces INCIDENT through its dead-letter path
+    val out = SparkEntry.queries("cdc_control_events")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_dlq"))).toMap
+    assert(out("INCIDENT") == (1L, 1L)) // counted AND dead-lettered
+    assert(out("STOP") == (1L, 0L))
+    assert(out("IGNORABLE") == (1L, 0L))
+    assert(out("WRITE_ROWS_V2")._2 == 0L)
+  }
 }

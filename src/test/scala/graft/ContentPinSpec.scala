@@ -60,4 +60,5 @@ class ContentPinSpec extends AnyFunSuite {
   pin("mm_scene_cut", 125, "16939260401471902718")
   pin("mm_audio_vad", 125, "-20136297477257002396")
   pin("mm_phash_cluster", 250, "68501466854598404257")
+  pin("cdc_control_events", 7, "-4994099265738202205")
 }
