@@ -50,7 +50,8 @@ object Cdc {
     QueryDef("cdc_bloom_sweep", bloomSweep, None),
     QueryDef("cdc_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("cdc_gtid_resume", gtidResume, Some(gtidResumeSql)),
-    QueryDef("cdc_control_events", controlEvents, None)
+    QueryDef("cdc_control_events", controlEvents, None),
+    QueryDef("cdc_replica_loop", replicaLoop, Some(replicaLoopSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -330,6 +331,131 @@ object Cdc {
     summary.join(dlqSummary, Seq("event_type"), "left")
       .na.fill(0L, Seq("n_dlq"))
       .orderBy("event_type")
+  }
+
+  // --- cdc_replica_loop: the reference's whole main loop, socketless ---
+  // rust-cdc src/mysql/conn.rs:181-268 composed end-to-end as ONE
+  // streaming query: binlog files stream in (readStream.format
+  // ("binlog"), the socketless stand-in for COM_BINLOG_DUMP) → each
+  // micro-batch assembles transactions (row event → its following
+  // XID; xid == gno by generator construction) → transactions whose
+  // gno the executed-GTID interval set covers are SKIPPED (the
+  // resume-with-holes semantics of cdc_gtid_resume, broadcast
+  // interval anti-join — the probe side never shuffles) → surviving
+  // row images MERGE into the CdcSink versioned table with offsets
+  // committed after data. The table was bootstrapped with the
+  // executed epoch's rows (epoch=0); the resumed epoch applies with
+  // epoch=1, so the final snapshot proves exactly-the-right txns
+  // were replayed. Deterministic planted stream → full DuckDB hash
+  // oracle re-derives the end state from the generator's arithmetic.
+  private val ReplicaFiles = 8
+  private val ReplicaTxnsPerFile = 400
+  private val ReplicaRowsPerTxn = 5
+  private val ReplicaTxns = ReplicaFiles * ReplicaTxnsPerFile // 3200
+  private val ReplicaBound = ReplicaTxns * 3 / 5 // 1920
+
+  private def replicaLoop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val genDir = ensureReplicaGenerated()
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_replica_tbl_").toString
+    // previous epoch's executed set: 60% prefix + every gno ≡3 mod 7
+    // in the tail — compacted to intervals (bounded resume state:
+    // ~185 rows for 3200 txns) and BROADCAST into the skip join
+    val executedGnos = s.range(1, ReplicaTxns + 1).toDF("gno")
+      .filter(col("gno") <= ReplicaBound || col("gno") % 7 === 3)
+    val intervals = GtidSet.intervals(
+        executedGnos.withColumn("server_id", lit(1L)), "server_id", "gno")
+      .select(col("gno_start"), col("gno_end")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // bootstrap: the replica's table already holds the executed epoch
+    val bootstrap = executedGnos
+      .select(col("gno"),
+        explode(sequence(lit(1), lit(ReplicaRowsPerTxn))).as("j"))
+      .select(
+        ((col("gno") - 1) * ReplicaRowsPerTxn + col("j")).as("key"),
+        lit("c").as("op"), col("gno").as("offset"),
+        concat(lit("row-"),
+          ((col("gno") - 1) * ReplicaRowsPerTxn + col("j"))
+            .cast("string")).as("title"),
+        lit(0L).as("epoch"), lit("bootstrap").as("source_file"))
+    CdcSink.writeSnapshot(bootstrap, tableDir, None)
+    // resume: stream every file; per micro-batch assemble + skip + merge
+    val qn = s"cdc_replica_loop_${System.nanoTime()}"
+    CdcStream.registerStreamingSession(s)
+    val q = s.readStream.format("binlog").load(genDir)
+      .writeStream.queryName(qn)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("cdc_replica_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val iv = broadcast(intervals.toDF("gno_start", "gno_end"))
+        // txn assembly: every event takes the xid of its nearest
+        // FOLLOWING XID in file order (files hold whole txns, and
+        // micro-batch offsets are file-granular — no split txns)
+        val wTxn = Window.partitionBy("file").orderBy("log_pos")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val rows = batch
+          .withColumn("txn_gno",
+            min(when(col("event_type") === "XID", col("xid"))).over(wTxn))
+          .filter(col("event_type") === "WRITE_ROWS_V2")
+        val live = rows.join(iv,
+          col("txn_gno").between(col("gno_start"), col("gno_end")),
+          "left_anti")
+        val changes = live.select(
+          get_json_object(col("after"), "$.col_0").cast("long").as("key"),
+          lit("c").as("op"),
+          (regexp_extract(col("file"), "mysql-bin\\.(\\d+)", 1)
+            .cast("long") * 1000000000L + col("log_pos")).as("offset"),
+          get_json_object(col("after"), "$.col_1").as("title"),
+          lit(1L).as("epoch"),
+          col("file").as("source_file"))
+        CdcSink.merge(ss, changes, tableDir, None)
+      }
+      .start()
+    q.awaitTermination()
+    CdcStream.releaseStreamResources(s)
+    CdcSink.read(s, tableDir)
+      .select(col("key").as("id"), col("title"), col("epoch"))
+      .orderBy("id")
+  }
+
+  private val replicaLoopSql = {
+    val n = ReplicaTxns; val b = ReplicaBound; val r = ReplicaRowsPerTxn
+    s"""WITH g AS (SELECT i AS gno FROM range(1, $n + 1) t(i)),
+       |rws AS (SELECT gno, (gno - 1) * $r + j + 1 AS id
+       |        FROM g, range(0, $r) s(j))
+       |SELECT id, 'row-' || CAST(id AS VARCHAR) AS title,
+       |       CAST(CASE WHEN gno <= $b OR gno % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS epoch
+       |FROM rws ORDER BY id""".stripMargin
+  }
+
+  private def ensureReplicaGenerated(): String = {
+    val genDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_binlog_replica_v1")
+    val marker = genDir.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        genDir.getParent, "graft_replica_tmp_")
+      (1 to ReplicaFiles).foreach { f =>
+        graft.sources.binlog.BinlogGen.writeReplicaFile(
+          tmp.resolve(f"mysql-bin.$f%06d").toString,
+          firstGno = (f - 1).toLong * ReplicaTxnsPerFile + 1,
+          nTxns = ReplicaTxnsPerFile, rowsPerTxn = ReplicaRowsPerTxn)
+      }
+      java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
+      try java.nio.file.Files.move(tmp, genDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.io.IOException
+            if java.nio.file.Files.exists(marker) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+    }
+    genDir.toString
   }
 
   private def ensureControlGenerated(): String = {

@@ -271,6 +271,39 @@ object BinlogGen {
     } finally out.close()
   }
 
+  /** Replica-loop stream: per transaction, GTID(uuid:gno) +
+    * TABLE_MAP + WRITE_ROWS_V2 (`rowsPerTxn` rows) + XID — with
+    * xid == gno by construction, so transaction assembly and
+    * GTID-resume skip agree on the transaction id. Row ids are
+    * globally unique across files: txn `gno` covers ids
+    * (gno-1)*rowsPerTxn+1 .. gno*rowsPerTxn.
+    */
+  def writeReplicaFile(
+      path: String, firstGno: Long, nTxns: Int, rowsPerTxn: Int): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      out.write(BinlogParser.Magic)
+      var pos = 4L
+      pos = writeEvent(out, pos, 0x0f, fdeBody())
+      (0 until nTxns).foreach { t =>
+        val gno = firstGno + t
+        pos = writeEvent(out, pos, 0x21, gtidBody(gno))
+        pos = writeEvent(out, pos, 0x13, tableMapBody())
+        val firstId = ((gno - 1) * rowsPerTxn + 1).toInt
+        pos = writeEvent(out, pos, 0x1e, writeRowsBody(firstId, rowsPerTxn))
+        pos = writeEvent(out, pos, 0x10, xidBody(gno))
+      }
+    } finally out.close()
+  }
+
+  private def gtidBody(gno: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(1 + 16 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte) // commit flag
+    b.put(new Array[Byte](15)); b.put(1.toByte) // sid ...0001
+    b.putLong(gno)
+    b.array()
+  }
+
   private def incidentBody(num: Int, msg: String): Array[Byte] = {
     val m = msg.getBytes("UTF-8")
     val b = ByteBuffer.allocate(2 + 1 + m.length).order(ByteOrder.LITTLE_ENDIAN)

@@ -555,4 +555,24 @@ class CdcSpec extends AnyFunSuite {
         s"server $srv tail degenerate")
     }
   }
+
+  test("cdc_replica_loop: stream fold applies exactly the non-executed txns") {
+    val rows = SparkEntry.queries("cdc_replica_loop")(spark, sf).collect()
+    assert(rows.length == 16000) // every generated row id present once
+    val R = 5; val bound = 1920
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val gno = (id - 1) / R + 1
+      val executed = gno <= bound || gno % 7 == 3
+      // bootstrap rows stayed (epoch 0); the stream replayed ONLY the
+      // non-executed transactions (epoch 1) — the GTID skip is exact
+      assert(r.getAs[Long]("epoch") == (if (executed) 0L else 1L),
+        s"id $id (gno $gno) wrong epoch")
+      assert(r.getAs[String]("title") == s"row-$id")
+    }
+    // the tail genuinely interleaves skip and apply
+    val tailEpochs = rows.filter(r =>
+      (r.getAs[Long]("id") - 1) / R + 1 > bound).map(_.getAs[Long]("epoch")).toSet
+    assert(tailEpochs == Set(0L, 1L))
+  }
 }
