@@ -148,9 +148,7 @@ object MediaGen {
     * read from an object-store column. */
   def payload(id: Long): Array[Byte] = modality(id) match {
     case 0 => Png.encode(image(id))
-    case 1 =>
-      val img = image(id)
-      Jpeg.encodeHeaderOnly(img.width, img.height, 3, id)
+    case 1 => Jpeg.encode(image(id), quality = 90) // real baseline DCT
     case 2 => Wav.encode(audio(id))
     case _ =>
       val frames = (0 until animationFrameCount(id)).map(f => image(id, f))

@@ -51,8 +51,8 @@ object Multimodal {
       val lum = d.frames.map(_.meanLuminance).sum / d.frames.length
       MediaMeta(docId, fmt, d.width, d.height, d.frames.length, 0, lum)
     } else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
-      val m = Jpeg.parseHeader(payload)
-      MediaMeta(docId, "jpeg", m.width, m.height, 1, 0, 0.0)
+      val d = Jpeg.decode(payload) // full baseline-DCT pixel decode
+      MediaMeta(docId, "jpeg", d.width, d.height, 1, 0, d.meanLuminance)
     } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I') {
       val a = Wav.decode(payload)
       MediaMeta(docId, "wav", 0, 0, a.nFrames, a.sampleRate, a.rms)
@@ -183,7 +183,13 @@ object Multimodal {
           val fmt = if (d.frames.length > 1) "apng" else "png"
           Iterator.single(Thumb(id, fmt, small.meanLuminance,
             math.abs(small.meanLuminance - full.meanLuminance)))
-        } else Iterator.empty // audio/jpeg-header assets have no pixels to resize
+        } else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+            (bytes(1) & 0xff) == 0xd8) {
+          val full = graft.mm.Jpeg.decode(bytes) // real DCT pixels
+          val small = graft.mm.Resize.bilinear(full, ThumbDim, ThumbDim)
+          Iterator.single(Thumb(id, "jpeg", small.meanLuminance,
+            math.abs(small.meanLuminance - full.meanLuminance)))
+        } else Iterator.empty // audio assets have no pixels to resize
     })
     thumbs.toDF()
       .groupBy("format")
@@ -293,18 +299,24 @@ object Multimodal {
     bits
   }
 
-  /** Image corpus for phash: every PNG/APNG asset, plus a planted
-    * variant per id%8∈{0,4} image — id%8==0 gets a RE-ENCODE
-    * (identical pixels, different bytes → hamming 0), id%8==4 a
-    * brightness-scale ×0.9 (monotone → hamming ≈ 0, bounded by
-    * rounding ties). Variants carry doc_id + PhashDupBase. */
+  /** Image corpus for phash: every PNG/APNG/JPEG asset, plus a
+    * planted variant per id%8∈{0,4} PNG image — id%8==0 gets a
+    * RE-ENCODE (identical pixels, different bytes → hamming 0),
+    * id%8==4 a brightness-scale ×0.9 (monotone → hamming ≈ 0,
+    * bounded by rounding ties) — and per id%8==1 JPEG a lossy
+    * RE-ENCODE at a different quality (decode → q98 encode →
+    * decode: generational loss shifts a few near-tie gradient
+    * bits → hamming ≤ 3 measured across the corpus id range,
+    * inside the banding guarantee). Variants
+    * carry doc_id + PhashDupBase. JPEG hashes come from the REAL
+    * baseline-DCT decode of the payload, not the source pixels.
+    */
   private def phashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         val m = MediaGen.modality(id)
-        if (m != 0 && m != 3) Iterator.empty
-        else {
+        if (m == 0 || m == 3) {
           val img = MediaGen.image(id)
           val base = Iterator.single(id -> dHash(img))
           val variant =
@@ -319,7 +331,18 @@ object Multimodal {
               Iterator.single((id + PhashDupBase) -> dHash(img.copy(pixels = px)))
             } else Iterator.empty
           base ++ variant
-        }
+        } else if (m == 1) {
+          val decoded = Jpeg.decode(MediaGen.payload(id))
+          val base = Iterator.single(id -> dHash(decoded))
+          val variant =
+            if (id % 8 == 1) {
+              // lossy re-encode generation: the near-dup a crawler
+              // actually produces when it transcodes a JPEG
+              Iterator.single((id + PhashDupBase) ->
+                dHash(Jpeg.decode(Jpeg.encode(decoded, quality = 98))))
+            } else Iterator.empty
+          base ++ variant
+        } else Iterator.empty
       }).toDF("doc_id", "phash")
   }
 

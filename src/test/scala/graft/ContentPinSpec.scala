@@ -52,13 +52,18 @@ class ContentPinSpec extends AnyFunSuite {
   pin("cdc_type_decode", 30, "-15577089598958490676")
   pin("cdc_txn_assemble", 12, "-1796980421773832028")
   pin("cdc_bloom_sweep", 5, "13618715941250525610")
-  pin("mm_decode", 4, "-12257301918804746710")
+  // mm_decode/mm_resize/mm_phash re-pinned r10: the JPEG modality
+  // gained a real baseline-DCT decode (MmCodecSpec round-trip pins
+  // justify the change) — jpeg assets now contribute pixels to
+  // decode features, thumbs, and the phash corpus (+ lossy
+  // re-encode planted pairs).
+  pin("mm_decode", 4, "-15644573504322140094")
   pin("mm_frames", 2, "-12434390873768163386")
-  pin("mm_resize", 2, "15511961665530862505")
+  pin("mm_resize", 3, "14730103055230714690")
   pin("mm_resample", 1, "-7219080678834481442")
-  pin("mm_phash", 125, "-9335369518000092782")
+  pin("mm_phash", 188, "-13394221605065237425")
   pin("mm_scene_cut", 125, "16939260401471902718")
   pin("mm_audio_vad", 125, "-20136297477257002396")
-  pin("mm_phash_cluster", 250, "68501466854598404257")
+  pin("mm_phash_cluster", 376, "84625292651535797446")
   pin("cdc_control_events", 7, "-4994099265738202205")
 }

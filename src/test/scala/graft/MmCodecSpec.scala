@@ -78,6 +78,86 @@ class MmCodecSpec extends AnyFunSuite {
     intercept[Exception](Jpeg.parseHeader(Png.encode(img(4, 4, 3, 0))))
   }
 
+  test("JPEG baseline DCT round-trip: RGB pixels within quantization error") {
+    // smooth gradient: the signal JPEG is designed for — q90 must
+    // reconstruct it closely (noise images bound looser, below)
+    val w = 37; val h = 23
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = (x * 6 % 256).toByte
+      px(o + 1) = (y * 9 % 256).toByte
+      px(o + 2) = ((x + y) * 4 % 256).toByte
+    }
+    val src = Png.Image(w, h, 3, px)
+    val dec = Jpeg.decode(Jpeg.encode(src, quality = 90))
+    assert(dec.width == w && dec.height == h && dec.channels == 3)
+    val maxDiff = src.pixels.zip(dec.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxDiff <= 16, s"gradient maxDiff=$maxDiff")
+    // noise image (MediaGen corpus shape): bounded mean error
+    val nz = MediaGen.image(5L)
+    val nd = Jpeg.decode(Jpeg.encode(nz, quality = 90))
+    val diffs = nz.pixels.zip(nd.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+    assert(diffs.sum.toDouble / diffs.length < 10.0)
+    // header probe agrees with the full decode
+    assert(Jpeg.parseHeader(Jpeg.encode(nz, 90)) ==
+      Jpeg.JpegMeta(nz.width, nz.height, 3))
+  }
+
+  test("JPEG grayscale round-trip + near-lossless at q100") {
+    val g = Png.Image(20, 14, 1,
+      Array.tabulate(280)(i => ((i % 20) * 12).toByte))
+    val gd = Jpeg.decode(Jpeg.encode(g, quality = 95))
+    assert(gd.channels == 1 && gd.width == 20 && gd.height == 14)
+    val maxG = g.pixels.zip(gd.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxG <= 6, s"gray maxDiff=$maxG")
+    // q100 quant tables are all ~1: DCT round-off only
+    val q100 = Jpeg.decode(Jpeg.encode(g, quality = 100))
+    val max100 = g.pixels.zip(q100.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(max100 <= 2, s"q100 maxDiff=$max100")
+  }
+
+  test("JPEG round-trip content is pinned (deterministic both ways)") {
+    // byte determinism of the encoder AND pixel determinism of the
+    // decoder, pinned — codec drift fails here before it silently
+    // shifts mm_decode/mm_phash hashes
+    val enc = Jpeg.encode(MediaGen.image(13L), quality = 90)
+    assert(enc.length == 1797, s"enc bytes ${enc.length}")
+    assert(java.util.Arrays.equals(enc, Jpeg.encode(MediaGen.image(13L), 90)))
+    val encHash = java.util.Arrays.hashCode(enc)
+    val pixHash = java.util.Arrays.hashCode(Jpeg.decode(enc).pixels)
+    assert(encHash == 1928531695, s"encoded bytes drifted: $encHash")
+    assert(pixHash == -789727150, s"decoded pixels drifted: $pixHash")
+  }
+
+  test("JPEG 4:2:0 round-trip: MCU-interleaved subsampled chroma upsamples back") {
+    // the layout virtually every camera/web encoder emits: 2x2 luma
+    // blocks + box-averaged half-res chroma per MCU — drives the
+    // decoder's general sampling-factor/upsampling path
+    val w = 37; val h = 23 // non-multiples of 16: edge MCUs exercised
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = (x * 6 % 256).toByte
+      px(o + 1) = (y * 9 % 256).toByte
+      px(o + 2) = ((x + y) * 4 % 256).toByte
+    }
+    val src = Png.Image(w, h, 3, px)
+    val e420 = Jpeg.encode(src, 90, subsample = true)
+    assert(Jpeg.parseHeader(e420) == Jpeg.JpegMeta(w, h, 3))
+    val d = Jpeg.decode(e420)
+    assert(d.width == w && d.height == h && d.channels == 3)
+    val diffs = src.pixels.zip(d.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+    assert(diffs.max <= 20, s"4:2:0 gradient maxDiff=${diffs.max}")
+    // and 4:2:0 genuinely pays off in bytes on chroma-smooth content
+    assert(e420.length < Jpeg.encode(src, 90).length)
+  }
+
   test("MediaGen payloads decode under container sniffing for all modalities") {
     (0L until 32L).foreach { id =>
       val meta = operators.Multimodal.decodeMeta(id, MediaGen.payload(id))

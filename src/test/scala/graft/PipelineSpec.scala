@@ -168,11 +168,13 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
     val dupBase = graft.operators.Multimodal.PhashDupBase
-    val planted = docs.filter(id => id % 8 == 0 || id % 8 == 4)
+    // %8∈{0,4}: PNG re-encode / brightness variants; %8==1: JPEG
+    // lossy re-encode variants (real baseline-DCT generation loss)
+    val planted = docs.filter(id => id % 8 == 0 || id % 8 == 4 || id % 8 == 1)
       .map(id => (id, id + dupBase)).toSet
     assert(pairs.map(p => (p._1, p._2)).toSet == planted,
       s"expected exactly the ${planted.size} planted pairs, got ${pairs.length}")
-    // re-encoded variants are bit-identical
+    // PNG re-encoded variants are bit-identical; JPEG ones are lossy
     pairs.filter(_._1 % 8 == 0).foreach(p => assert(p._3 == 0, p.toString))
     pairs.foreach(p =>
       assert(p._3 <= graft.operators.Multimodal.PhashMaxHamming, p.toString))
