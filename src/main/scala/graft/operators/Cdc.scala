@@ -51,7 +51,8 @@ object Cdc {
     QueryDef("cdc_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("cdc_gtid_resume", gtidResume, Some(gtidResumeSql)),
     QueryDef("cdc_control_events", controlEvents, None),
-    QueryDef("cdc_replica_loop", replicaLoop, Some(replicaLoopSql))
+    QueryDef("cdc_replica_loop", replicaLoop, Some(replicaLoopSql)),
+    QueryDef("cdc_wire_handshake", wireHandshake, None)
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -430,6 +431,46 @@ object Cdc {
        |SELECT id, 'row-' || CAST(id AS VARCHAR) AS title,
        |       CAST(CASE WHEN gno <= $b OR gno % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS epoch
        |FROM rws ORDER BY id""".stripMargin
+  }
+
+  // --- cdc_wire_handshake: connection-phase codec inventory ---------
+  // The byte half of the reference's replica transport (rust-cdc
+  // handshake.rs/handshake_response.rs/auth.rs/com_binlog_dump.rs)
+  // exercised socketlessly: a fleet of deterministic server
+  // greetings (plugin/caps/version variants) each runs the full
+  // client connection phase — HandshakeV10 decode → auth scramble
+  // (native sha1 / caching_sha2) → HandshakeResponse41 build →
+  // COM_BINLOG_DUMP encode — partition-locally (pure per-row byte
+  // work; trivially embarrassing parallelism at any scale). Output
+  // is fully deterministic → content-pinned; WireSpec carries the
+  // per-packet layout fixtures.
+  private def wireHandshake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.mysql.Wire
+    s.range(0, 8).map { i =>
+      val plugin =
+        if (i % 2 == 0) "caching_sha2_password" else "mysql_native_password"
+      val caps = Wire.ClientMysql | Wire.Protocol41 | Wire.SecureConnection |
+        Wire.PluginAuth | Wire.PluginAuthLenencData |
+        (if (i % 3 == 0) Wire.ConnectWithDb else 0L)
+      val nonce = Array.tabulate(20)(j => ((i * 31 + j * 7 + 1) & 0x7f).toByte)
+      val greeting = Wire.encodeHandshake(Wire.Handshake(
+        10, s"8.0.$i-graft", 1000 + i, caps, 0xff, 2, nonce,
+        Some(plugin)))
+      val (resp, chosen) = Wire.connectionPhase(
+        greeting, s"repl$i", s"pw-$i",
+        if (i % 3 == 0) Some("appdb") else None)
+      val dump = Wire.encodeComBinlogDump(4L + i * 1000, 33675L + i,
+        f"mysql-bin.$i%06d")
+      val framed = Wire.framePackets(resp, firstSeq = 1)
+      (i, chosen,
+        Wire.decodeHandshake(greeting).serverVersion,
+        nonce.length, resp.length, framed.length, dump.length,
+        Wire.scrambleNative(s"pw-$i", nonce).map("%02x".format(_)).mkString.take(16),
+        Wire.scrambleCachingSha2(s"pw-$i", nonce).map("%02x".format(_)).mkString.take(16))
+    }.toDF("server", "plugin", "server_version", "nonce_len",
+      "response_len", "framed_len", "dump_len", "sha1_prefix", "sha256_prefix")
+      .orderBy("server")
   }
 
   private def ensureReplicaGenerated(): String = {

@@ -66,4 +66,5 @@ class ContentPinSpec extends AnyFunSuite {
   pin("mm_audio_vad", 125, "-20136297477257002396")
   pin("mm_phash_cluster", 376, "84625292651535797446")
   pin("cdc_control_events", 7, "-4994099265738202205")
+  pin("cdc_wire_handshake", 8, "6504737114276586359")
 }

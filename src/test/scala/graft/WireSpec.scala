@@ -1,0 +1,158 @@
+package graft
+
+import graft.sources.mysql.Wire
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connection-phase wire codec fixtures — the byte half of the
+  * reference's replica transport (rust-cdc handshake.rs /
+  * handshake_response.rs / auth.rs / com_binlog_dump.rs), validated
+  * against hand-built packets following the public protocol layout.
+  */
+class WireSpec extends AnyFunSuite {
+
+  private val nonce20: Array[Byte] = Array.tabulate(20)(i => (i + 1).toByte)
+
+  private def mysql8Greeting: Array[Byte] = Wire.encodeHandshake(Wire.Handshake(
+    protocolVersion = 10,
+    serverVersion = "8.0.34",
+    connectionId = 7777,
+    capabilities = Wire.ClientMysql | Wire.Protocol41 | Wire.SecureConnection |
+      Wire.PluginAuth | Wire.PluginAuthLenencData | Wire.ConnectWithDb,
+    collation = 0xff,
+    status = 2,
+    authPluginData = nonce20,
+    authPlugin = Some("caching_sha2_password")))
+
+  test("HandshakeV10 round-trips every field incl. split nonce and caps") {
+    val h = Wire.decodeHandshake(mysql8Greeting)
+    assert(h.protocolVersion == 10)
+    assert(h.serverVersion == "8.0.34")
+    assert(h.connectionId == 7777)
+    assert(h.collation == 0xff && h.status == 2)
+    assert((h.capabilities & Wire.PluginAuth) != 0)
+    assert((h.capabilities & Wire.SecureConnection) != 0)
+    assert(h.authPlugin.contains("caching_sha2_password"))
+    // nonce is split 8 + 13-with-NUL on the wire; decode rejoins it
+    assert(h.authPluginData.toSeq == nonce20.toSeq)
+  }
+
+  test("HandshakeV10 without PLUGIN_AUTH / SECURE_CONNECTION decodes the short form") {
+    val h0 = Wire.Handshake(10, "5.5.5-older", 3, Wire.ClientMysql | Wire.Protocol41,
+      8, 0, Array.tabulate(8)(i => (i + 1).toByte), None)
+    val h = Wire.decodeHandshake(Wire.encodeHandshake(h0))
+    assert(h.serverVersion == "5.5.5-older")
+    assert(h.authPlugin.isEmpty)
+    assert(h.authPluginData.length == 8)
+  }
+
+  test("mysql_native_password scramble: SHA1(pw) XOR SHA1(nonce||SHA1(SHA1(pw)))") {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val pw = md.digest("secret".getBytes("UTF-8"))
+    val pwpw = md.digest(pw)
+    md.update(nonce20); md.update(pwpw)
+    val rhs = md.digest()
+    val want = pw.zip(rhs).map { case (a, b) => (a ^ b).toByte }
+    val got = Wire.scrambleNative("secret", nonce20)
+    assert(got.length == 20)
+    assert(got.toSeq == want.toSeq)
+    // sensitive to every input
+    assert(Wire.scrambleNative("secret2", nonce20).toSeq != got.toSeq)
+    assert(Wire.scrambleNative("secret", nonce20.reverse).toSeq != got.toSeq)
+  }
+
+  test("caching_sha2 scramble: SHA256 construction, 32 bytes") {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val pw = md.digest("secret".getBytes("UTF-8"))
+    val pwpw = md.digest(pw)
+    md.update(nonce20); md.update(pwpw)
+    val rhs = md.digest()
+    val want = pw.zip(rhs).map { case (a, b) => (a ^ b).toByte }
+    assert(Wire.scrambleCachingSha2("secret", nonce20).toSeq == want.toSeq)
+  }
+
+  test("connectionPhase builds a spec-layout HandshakeResponse41") {
+    val (resp, plugin) = Wire.connectionPhase(
+      mysql8Greeting, "repl", "secret", Some("appdb"))
+    assert(plugin == "caching_sha2_password")
+    // SSL-request prefix: caps u32 LE, max packet u32 LE, collation,
+    // then 23 zero bytes
+    val b = java.nio.ByteBuffer.wrap(resp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val caps = b.getInt.toLong & 0xffffffffL
+    assert((caps & Wire.Protocol41) != 0)
+    assert((caps & Wire.PluginAuth) != 0)
+    assert(b.getInt == 16777216) // max packet
+    b.get() // collation
+    (0 until 23).foreach(_ => assert(b.get() == 0))
+    // username NUL-terminated
+    val user = new Array[Byte](4); b.get(user)
+    assert(new String(user, "UTF-8") == "repl" && b.get() == 0)
+    // lenenc auth response of 32 bytes (sha256 scramble)
+    assert((b.get() & 0xff) == 32)
+    val scr = new Array[Byte](32); b.get(scr)
+    assert(scr.toSeq == Wire.scrambleCachingSha2("secret", nonce20).toSeq)
+    // database + plugin name NUL strings
+    val db = new Array[Byte](5); b.get(db)
+    assert(new String(db, "UTF-8") == "appdb" && b.get() == 0)
+    val pl = new Array[Byte]("caching_sha2_password".length); b.get(pl)
+    assert(new String(pl, "UTF-8") == "caching_sha2_password")
+  }
+
+  test("AuthSwitchRequest decode + fast-auth results") {
+    val payload = Array(0xfe.toByte) ++
+      "mysql_native_password".getBytes("UTF-8") ++ Array(0.toByte) ++
+      nonce20 ++ Array(0.toByte)
+    val sw = Wire.decodeAuthSwitch(payload)
+    assert(sw.plugin == "mysql_native_password")
+    assert(sw.nonce.toSeq == nonce20.toSeq)
+    assert(Wire.fastAuthOk(Array(0x01, 0x03)).contains(true))
+    assert(Wire.fastAuthOk(Array(0x01, 0x04)).contains(false))
+    assert(Wire.fastAuthOk(Array(0x00)).isEmpty)
+  }
+
+  test("OK / ERR / EOF result decode") {
+    // OK: header 0, affected=3 (lenenc), insert id=0, status, warnings
+    val ok = Wire.decodeOk(Array[Byte](0, 3, 0, 2, 0, 1, 0))
+    assert(ok.affectedRows == 3 && ok.status == 2 && ok.warnings == 1)
+    val err = Wire.decodeErr(Array(0xff.toByte, 0x15.toByte, 0x04.toByte) ++
+      "#28000".getBytes("US-ASCII") ++
+      "Access denied".getBytes("UTF-8"))
+    assert(err.code == 0x0415 && err.sqlState == "28000")
+    assert(err.message == "Access denied")
+    assert(Wire.isEof(Array(0xfe.toByte, 0, 0, 2, 0)))
+    assert(!Wire.isEof(Array(0xfe.toByte) ++ new Array[Byte](10)))
+  }
+
+  test("COM_BINLOG_DUMP bytes match the reference encode exactly") {
+    // com_binlog_dump.rs:15-22: 0x12, pos u32 LE, flags u16(0),
+    // server_id u32 LE, filename raw
+    val got = Wire.encodeComBinlogDump(981L, 33675L, "mysql-bin.000007")
+    val want = Array[Byte](0x12,
+      (981 & 0xff).toByte, (981 >> 8).toByte, 0, 0,
+      0, 0,
+      (33675 & 0xff).toByte, ((33675 >> 8) & 0xff).toByte, 0, 0) ++
+      "mysql-bin.000007".getBytes("UTF-8")
+    assert(got.toSeq == want.toSeq)
+    val reg = Wire.encodeComRegisterSlave(33675L)
+    assert((reg(0) & 0xff) == 0x15 && reg.length == 18)
+  }
+
+  test("packet framing: 16MB continuation chunking round-trips") {
+    // small payload: one packet
+    val small = Array.tabulate(100)(_.toByte)
+    val framedSmall = Wire.framePackets(small, firstSeq = 1)
+    assert(framedSmall.length == 104 && framedSmall(3) == 1)
+    val (p1, used1, seq1) = Wire.readPacket(framedSmall, 0)
+    assert(p1.toSeq == small.toSeq && used1 == 104 && seq1 == 1)
+    // exactly one full chunk: terminator empty packet required
+    val full = new Array[Byte](Wire.MaxChunk)
+    val framedFull = Wire.framePackets(full, 0)
+    assert(framedFull.length == Wire.MaxChunk + 8) // 2 headers + empty
+    val (p2, used2, seq2) = Wire.readPacket(framedFull, 0)
+    assert(p2.length == Wire.MaxChunk && used2 == framedFull.length && seq2 == 1)
+    // full chunk + tail
+    val big = new Array[Byte](Wire.MaxChunk + 5)
+    java.util.Arrays.fill(big, 7.toByte)
+    val (p3, _, _) = Wire.readPacket(Wire.framePackets(big, 0), 0)
+    assert(p3.length == big.length && p3.forall(_ == 7))
+  }
+}
