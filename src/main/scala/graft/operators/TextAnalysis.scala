@@ -789,14 +789,21 @@ object TextAnalysis {
       budget: Long,
       histCap: Long): DataFrame = {
     val sc0 = col(scoreCol)
-    val nDistinct = scored.agg(countDistinct(sc0)).head.getLong(0)
+    // ONE aggregation job decides the path AND (usually) delivers the
+    // whole histogram: collect at most histCap+1 grouped rows — a
+    // result of exactly histCap+1 rows means the histogram overflowed
+    // the driver bound (arbitrary-truncation rows are discarded) and
+    // the range-refinement path takes over; fewer rows IS the
+    // complete exact histogram.
+    val probe = scored.groupBy(scoreCol)
+      .agg(sum(col(weightCol)).as("__bucket_w"))
+      .limit(math.min(histCap, Int.MaxValue - 1L).toInt + 1)
+      .collect()
     // (done, boundaryScore, remainingAtBoundary): done=false means
     // the whole input fits the budget
     val (done, boundary, remainingAtBoundary) =
-      if (nDistinct <= histCap) {
-        val hist = scored.groupBy(scoreCol)
-          .agg(sum(col(weightCol)).as("__bucket_w"))
-          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      if (probe.length <= histCap) {
+        val hist = probe.map(r => (r.getDouble(0), r.getLong(1)))
           .sortBy { case (v, _) => -v }
         var cum = 0L
         var b = Double.NegativeInfinity
