@@ -125,6 +125,128 @@ object DeltaLog {
         .foreach(writeCheckpoint(_, fs, tableDir, version, schema, entries))
   }
 
+  // ---- reader: open a Delta table via the public protocol ----------
+
+  private final case class LogState(schemaJson: String, live: Map[String, Long])
+
+  private def parseActions(fs: FileSystem, p: Path): Seq[JValue] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split('\n').filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+  }
+
+  private def applyActions(st: LogState, actions: Seq[JValue]): LogState = {
+    implicit val fmt: Formats = DefaultFormats
+    actions.foldLeft(st) { (s, a) =>
+      (a \ "metaData") match {
+        case JNothing => (a \ "add") match {
+          case JNothing => (a \ "remove") match {
+            case JNothing => s
+            case r => s.copy(live = s.live - (r \ "path").extract[String])
+          }
+          case ad => s.copy(live = s.live +
+            ((ad \ "path").extract[String] -> (ad \ "size").extract[Long]))
+        }
+        case md =>
+          val parts = (md \ "partitionColumns") match {
+            case JArray(items) => items
+            case _ => Nil
+          }
+          require(parts.isEmpty,
+            "delta read: partitioned foreign tables are not supported " +
+              "(data files must carry every column)")
+          s.copy(schemaJson = (md \ "schemaString").extract[String])
+      }
+    }
+  }
+
+  private def jsonVersions(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val d = logDir(tableDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(_.stripSuffix(".json").toLongOption).sorted.toSeq
+  }
+
+  /** Protocol-standard discovery state at the latest version:
+    * `_last_checkpoint` hint → checkpoint parquet → trailing JSON
+    * commits. Falls back to a full JSON replay when no checkpoint
+    * exists. Works on any parquet-backed unpartitioned Delta table,
+    * graft-written or foreign.
+    */
+  private def currentState(
+      spark: SparkSession, fs: FileSystem, tableDir: String): (Long, LogState) = {
+    val d = logDir(tableDir)
+    val versions = jsonVersions(fs, tableDir)
+    require(versions.nonEmpty, s"delta read: no _delta_log under $tableDir")
+    val latest = versions.max
+    implicit val fmt: Formats = DefaultFormats
+    val lastCkpt = new Path(d, "_last_checkpoint")
+    val (startV, startState): (Long, LogState) =
+      if (!fs.exists(lastCkpt)) (-1L, LogState("", Map.empty))
+      else {
+        val in = fs.open(lastCkpt)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val v = (JsonMethods.parse(txt) \ "version").extract[Long]
+        val ckPath = new Path(d, f"$v%020d.checkpoint.parquet")
+        if (!fs.exists(ckPath)) (-1L, LogState("", Map.empty)) // stale hint
+        else {
+          val ck = spark.read.parquet(ckPath.toString)
+          val md = ck.filter(org.apache.spark.sql.functions.col("metaData").isNotNull)
+            .select("metaData.schemaString", "metaData.partitionColumns").head
+          require(md.getSeq[String](1).isEmpty,
+            "delta read: partitioned foreign tables are not supported")
+          val adds = ck.filter(org.apache.spark.sql.functions.col("add").isNotNull)
+            .select("add.path", "add.size").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          (v, LogState(md.getString(0), adds))
+        }
+      }
+    val st = ((startV + 1) to latest).foldLeft(startState) { (s, v) =>
+      applyActions(s, parseActions(fs, new Path(d, f"$v%020d.json")))
+    }
+    (latest, st)
+  }
+
+  /** Read a Delta table at its latest version through the PUBLIC
+    * protocol (checkpoint + JSON actions), independent of graft's
+    * own `_graft_log` manifests — the cross-engine read path.
+    */
+  def read(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, st) = currentState(spark, fs, tableDir)
+    stateFrame(spark, tableDir, st)
+  }
+
+  /** Read AS OF `version` by replaying the JSON action log from 0 —
+    * delta time travel over graft-written history.
+    */
+  def readVersion(spark: SparkSession, tableDir: String,
+      version: Long): org.apache.spark.sql.DataFrame = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = logDir(tableDir)
+    val st = (0L to version).foldLeft(LogState("", Map.empty)) { (s, v) =>
+      val p = new Path(d, f"$v%020d.json")
+      require(fs.exists(p), s"delta read: version $v missing under $tableDir")
+      applyActions(s, parseActions(fs, p))
+    }
+    stateFrame(spark, tableDir, st)
+  }
+
+  private def stateFrame(spark: SparkSession, tableDir: String,
+      st: LogState): org.apache.spark.sql.DataFrame = {
+    require(st.schemaJson.nonEmpty, "delta read: no metaData action found")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (st.live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(
+        st.live.keys.map(p => new Path(tableDir, p).toString).toSeq: _*)
+  }
+
   /** Checkpoint-file schema (public spec; txn carried as an always-
     * null column so readers that project it find it).
     */

@@ -52,7 +52,8 @@ object Cdc {
     QueryDef("cdc_gtid_resume", gtidResume, Some(gtidResumeSql)),
     QueryDef("cdc_control_events", controlEvents, None),
     QueryDef("cdc_replica_loop", replicaLoop, Some(replicaLoopSql)),
-    QueryDef("cdc_wire_handshake", wireHandshake, None)
+    QueryDef("cdc_wire_handshake", wireHandshake, None),
+    QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -432,6 +433,32 @@ object Cdc {
        |       CAST(CASE WHEN gno <= $b OR gno % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS epoch
        |FROM rws ORDER BY id""".stripMargin
   }
+
+  // --- cdc_delta_read: cross-engine read through the _delta_log -----
+  // The interop proof in the inventory: a sink table built by
+  // bootstrap + merge is re-opened through DeltaLog.read — the
+  // PUBLIC Delta protocol (checkpoint discovery + JSON action
+  // replay), zero use of graft's own _graft_log manifests — and
+  // must reproduce the exact snapshot the oracle computes from the
+  // changelog. This is the read path any foreign engine would take
+  // on graft's tables (and graft on theirs).
+  private def deltaRead(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromEvents(s, dir)
+      .select(col("key"), col("op"), col("offset"), col("event_type"), col("value"))
+    val mid = log.agg(max("offset")).head.getLong(0) / 2
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_delta_q_").toString
+    CdcSink.writeSnapshot(log.filter(col("offset") <= mid), tableDir, None)
+    CdcSink.merge(s, log.filter(col("offset") > mid), tableDir, None)
+    DeltaLog.read(s, tableDir)
+      .select(col("key"), col("offset").as("last_offset"),
+        col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  // lazy: sinkSql is declared later in this object; a strict val here
+  // would capture null at object init
+  private lazy val deltaReadSql = sinkSql
 
   // --- cdc_wire_handshake: connection-phase codec inventory ---------
   // The byte half of the reference's replica transport (rust-cdc

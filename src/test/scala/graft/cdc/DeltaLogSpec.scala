@@ -207,6 +207,27 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(ck.filter(col("metaData").isNotNull).count() == 1)
   }
 
+  test("DeltaLog.read/readVersion (library reader) agree with TxnLog and the replay") {
+    val dir = Files.createTempDirectory("graft_delta_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("b", "c", 2, "p2", 2.0)),
+      dir, Some("part"))
+    CdcSink.merge(spark, changelog(("a", "u", 3, "p1", 9.0)), dir, Some("part"))
+    CdcSink.merge(spark, changelog(("c", "c", 4, "p3", 7.0)), dir, Some("part"))
+    // latest through the public protocol == graft's own read
+    assert(sortedRows(DeltaLog.read(spark, dir)) ==
+      sortedRows(CdcSink.read(spark, dir)))
+    // every historical version == TxnLog versioned read AND the
+    // test-side independent replay
+    TxnLog.versions(fs, dir).foreach { v =>
+      val lib = DeltaLog.readVersion(spark, dir, v)
+      assert(sortedRows(lib) == sortedRows(TxnLog.readVersion(spark, dir, v)),
+        s"library delta reader diverges from TxnLog at v$v")
+      assert(sortedRows(lib) == sortedRows(readState(replay(dir, v), dir)),
+        s"library delta reader diverges from replay at v$v")
+    }
+  }
+
   test("vacuum keeps the delta log; current version stays readable through it") {
     val dir = Files.createTempDirectory("graft_delta_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
