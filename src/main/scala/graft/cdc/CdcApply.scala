@@ -12,18 +12,50 @@ import org.apache.spark.sql.functions._
   * delete = remove. Materializing a snapshot therefore reduces to
   * "latest change per key wins, deletes drop the key".
   *
-  * Spark-first: a single `row_number` window partitioned by the key
-  * ordered by offset descending. ONE shuffle on the key; map-side
-  * nothing to pre-aggregate (we need arbitrary payload columns, not
-  * an algebraic agg). At 100 TB this is the canonical
-  * compaction shape: AQE splits skewed keys' partitions, and the
-  * shuffle is keyed exactly like the downstream merge target so a
+  * Spark-first: an algebraic argmax — `max_by(struct(payload),
+  * offset)` per key — NOT a `row_number` window. The two are
+  * result-identical (latest event wins; a trailing delete drops the
+  * key), but only the aggregate is skew-proof: a window's
+  * ClusteredDistribution puts EVERY row of a key in one task, and
+  * AQE's skew splitting applies to joins and rebalance only, never
+  * to a window — one hot key (a celebrity row updated in every
+  * batch) is one straggler task at 100 TB. The aggregate gets
+  * map-side PARTIAL combining instead: each input partition
+  * collapses its slice of the hot key to ONE buffer row before the
+  * shuffle, so post-shuffle work per key is ≤ the map-partition
+  * count regardless of how hot the key is (SkewSpec measures this —
+  * 50%-hot changelog folds within 2× of uniform). ONE shuffle on
+  * the key, keyed exactly like the downstream merge target so a
   * writer can bucket by the same key with no extra exchange.
   */
 object CdcApply {
 
-  /** Latest surviving row per key: last-writer-wins, deletes removed. */
+  /** Latest surviving row per key: last-writer-wins, deletes removed.
+    * Output schema = input schema (column order preserved; payload
+    * columns come back nullable — they ride an aggregate buffer).
+    */
   def snapshot(
+      changelog: DataFrame,
+      keyCols: Seq[String] = Seq("key"),
+      offsetCol: String = "offset",
+      opCol: String = "op"): DataFrame = {
+    val payload = changelog.columns.filterNot(keyCols.contains).toSeq
+    changelog
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(offsetCol)).as("__last"))
+      .select(changelog.columns.toSeq.map { c =>
+        if (keyCols.contains(c)) col(c) else col("__last").getField(c).as(c)
+      }: _*)
+      .filter(col(opCol) =!= Op.Delete)
+  }
+
+  /** The window formulation of [[snapshot]] — kept as the semantic
+    * twin SkewSpec checks the aggregate against, and as the shape to
+    * reach for when the caller needs rank &gt; 1 (version history)
+    * rather than just the survivor. NOT skew-proof: all rows of a
+    * key land in one task (see object doc).
+    */
+  private[graft] def snapshotWindowed(
       changelog: DataFrame,
       keyCols: Seq[String] = Seq("key"),
       offsetCol: String = "offset",

@@ -53,6 +53,7 @@ object Cdc {
     QueryDef("cdc_control_events", controlEvents, None),
     QueryDef("cdc_replica_loop", replicaLoop, Some(replicaLoopSql)),
     QueryDef("cdc_wire_handshake", wireHandshake, None),
+    QueryDef("cdc_wire_command", wireCommand, None),
     QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql))
   )
 
@@ -497,6 +498,52 @@ object Cdc {
         Wire.scrambleCachingSha2(s"pw-$i", nonce).map("%02x".format(_)).mkString.take(16))
     }.toDF("server", "plugin", "server_version", "nonce_len",
       "response_len", "framed_len", "dump_len", "sha1_prefix", "sha256_prefix")
+      .orderBy("server")
+  }
+
+  // --- cdc_wire_command: pre-dump command-phase codec inventory -----
+  // The OTHER half of the replica transport's byte work (rust-cdc
+  // conn.rs:367-460, protocol/text/*.rs, protocol/row.rs,
+  // ssl_request.rs), socketless: each deterministic "server" answers
+  // COM_PING and the checksum COM_QUERY with OK and `show master
+  // status` with a full text resultset (ColumnDefinition41 fleet,
+  // EOF-delimited lenenc rows incl. NULLs); the client runs the
+  // whole phase — decode the resultset, parse (file, pos, gtid_set),
+  // build COM_BINLOG_DUMP from it — plus the SSLRequest prefix and
+  // COM_QUIT encodes. Pure partition-local byte work, fully
+  // deterministic → content-pinned; per-packet layouts in WireSpec.
+  private def wireCommand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.mysql.Wire
+    s.range(0, 8).map { i =>
+      val okPayload = Array[Byte](0, 0, 0, 2, 0, 0, 0)
+      val cols = Seq("File", "Position", "Binlog_Do_DB",
+        "Binlog_Ignore_DB", "Executed_Gtid_Set").map(n =>
+        Wire.ColumnDef("def", "", "", "", n, n, 33, 256, 0xfd, 0, 0))
+      val gtid = s"3e11fa47-71ca-11e1-9e33-c80aa9429562:1-${100 + i * 7}"
+      val row = Seq(
+        Some(f"mysql-bin.$i%06d"), Some((4L + i * 12345L).toString),
+        if (i % 2 == 0) None else Some("appdb"), None, Some(gtid))
+      val statusReply = Wire.encodeResultSet(
+        Wire.ResultSet(cols, Seq(row)), firstSeq = 1)
+      val phase = Wire.commandPhase(
+        Wire.framePackets(okPayload, 1),
+        Wire.framePackets(okPayload, 1),
+        statusReply, serverId = 33675L + i)
+      val (decoded, _) = Wire.decodeResultSet(statusReply, 0)
+      val rs = decoded.toOption.get
+      val ssl = Wire.encodeSslRequest(
+        Wire.ClientMysql | Wire.Protocol41 | Wire.Ssl, 16777216L, 0xff)
+      (i, phase.status.file, phase.status.pos, phase.status.gtidSet,
+        rs.columnNames.mkString(","),
+        rs.rows.head.count(_.isEmpty),
+        phase.ping.length, phase.checksumQuery.length,
+        phase.statusQuery.length, phase.dump.length,
+        phase.dump.map("%02x".format(_)).mkString.take(24),
+        ssl.length, Wire.encodeComQuit().head.toInt)
+    }.toDF("server", "file", "pos", "gtid_set", "column_names",
+      "n_null_cells", "ping_len", "checksum_len", "status_len",
+      "dump_len", "dump_hex", "ssl_len", "quit_cmd")
       .orderBy("server")
   }
 

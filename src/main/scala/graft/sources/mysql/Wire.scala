@@ -28,7 +28,11 @@ import java.security.MessageDigest
   *    (SHA1/SHA256 XOR constructions);
   *  - AuthSwitchRequest decode / AuthMoreData fast-auth results;
   *  - OK/ERR/EOF result decode;
-  *  - COM_BINLOG_DUMP / COM_REGISTER_SLAVE command encode.
+  *  - COM_BINLOG_DUMP / COM_REGISTER_SLAVE command encode;
+  *  - the COMMAND phase (conn.rs:367-460): COM_PING / COM_QUERY /
+  *    COM_QUIT, SSLRequest, ColumnDefinition41 + text-resultset
+  *    decode, and the `show master status` → COM_BINLOG_DUMP
+  *    composition.
   *
   * A real deployment attaches these to a socket; graft's streaming
   * ingestion instead replays binlog FILES (the DSv2 source), which
@@ -356,6 +360,220 @@ object Wire {
       Protocol41 // PROTOCOL_41 is mandatory for a 4.1+ response
     (encodeHandshakeResponse(clientCaps, 16777216L, hs.collation,
       username, scramble, database, Some(plugin)), plugin)
+  }
+
+  // ---- text protocol (command phase) ---------------------------------
+  // The reference's pre-dump command phase (rust-cdc `conn.rs:367-460`):
+  // COM_PING → OK, `set @master_binlog_checksum=...` via COM_QUERY →
+  // OK, `show master status` → a TEXT RESULTSET (column count, N
+  // ColumnDefinition41 packets, EOF, lenenc-string rows, EOF) whose
+  // first row carries the (file, pos, gtid_set) that seed
+  // COM_BINLOG_DUMP. All of it is pure byte work; the codec lives
+  // here (protocol/text/{query,ping,quit}.rs, protocol/row.rs,
+  // event/decode.rs:42-69, ssl_request.rs).
+
+  /** COM_QUERY (0x03) — the statement text follows raw. */
+  def encodeComQuery(sql: String): Array[Byte] =
+    0x03.toByte +: sql.getBytes("UTF-8")
+
+  /** COM_PING (0x0e) / COM_QUIT (0x01) — single-byte commands. */
+  def encodeComPing(): Array[Byte] = Array(0x0e.toByte)
+  def encodeComQuit(): Array[Byte] = Array(0x01.toByte)
+
+  /** SSLRequest — the HandshakeResponse41 PREFIX sent alone to
+    * request TLS upgrade: caps u32, max packet u32, collation,
+    * 19 reserved bytes, then 4 reserved bytes under CLIENT_MYSQL or
+    * the MariaDB extended-capability word otherwise.
+    */
+  def encodeSslRequest(capabilities: Long, maxPacketSize: Long, collation: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val b = new LeWriter(out)
+    b.u32(capabilities & 0xffffffffL)
+    b.u32(maxPacketSize)
+    b.u8(collation)
+    (0 until 19).foreach(_ => b.u8(0))
+    if ((capabilities & ClientMysql) != 0) (0 until 4).foreach(_ => b.u8(0))
+    else b.u32((capabilities >> 32) & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** ColumnDefinition41 — result-set metadata, one packet per output
+    * column. The result name prefers the alias when non-empty
+    * (reference `recv_next_result_column`).
+    */
+  final case class ColumnDef(
+      catalog: String, schema: String, tableAlias: String, table: String,
+      alias: String, name: String, charSet: Int, maxSize: Long,
+      typeId: Int, flags: Int, decimals: Int) {
+    def resultName: String = if (alias.nonEmpty) alias else name
+  }
+
+  def decodeColumnDef(payload: Array[Byte]): ColumnDef = {
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def lstr(): String = {
+      val n = readLenenc(b).toInt
+      val a = new Array[Byte](n); b.get(a); new String(a, "UTF-8")
+    }
+    val catalog = lstr(); val schema = lstr(); val tableAlias = lstr()
+    val table = lstr(); val alias = lstr(); val name = lstr()
+    readLenenc(b) // fixed-length-fields marker, always 0x0c
+    val charSet = b.getShort & 0xffff
+    val maxSize = b.getInt.toLong & 0xffffffffL
+    val typeId = b.get() & 0xff
+    val flags = b.getShort & 0xffff
+    val decimals = b.get() & 0xff
+    ColumnDef(catalog, schema, tableAlias, table, alias, name,
+      charSet, maxSize, typeId, flags, decimals)
+  }
+
+  def encodeColumnDef(d: ColumnDef): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val b = new LeWriter(out)
+    def lstr(s: String): Unit = {
+      val a = s.getBytes("UTF-8"); b.lenenc(a.length); out.write(a, 0, a.length)
+    }
+    lstr(d.catalog); lstr(d.schema); lstr(d.tableAlias)
+    lstr(d.table); lstr(d.alias); lstr(d.name)
+    b.lenenc(0x0c)
+    b.u16(d.charSet)
+    b.u32(d.maxSize)
+    b.u8(d.typeId)
+    b.u16(d.flags)
+    b.u8(d.decimals)
+    b.u16(0) // filler
+    out.toByteArray
+  }
+
+  /** One text-protocol row: NULL is 0xfb, every other value a
+    * lenenc-string (reference `protocol/row.rs:22-44`).
+    */
+  def decodeTextRow(payload: Array[Byte], nCols: Int): Seq[Option[String]] = {
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until nCols).map { _ =>
+      if ((b.get(b.position()) & 0xff) == 0xfb) { b.get(); None }
+      else {
+        val n = readLenenc(b).toInt
+        val a = new Array[Byte](n); b.get(a)
+        Some(new String(a, "UTF-8"))
+      }
+    }
+  }
+
+  def encodeTextRow(values: Seq[Option[String]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val b = new LeWriter(out)
+    values.foreach {
+      case None => b.u8(0xfb)
+      case Some(v) =>
+        val a = v.getBytes("UTF-8"); b.lenenc(a.length); out.write(a, 0, a.length)
+    }
+    out.toByteArray
+  }
+
+  final case class ResultSet(columns: Seq[ColumnDef], rows: Seq[Seq[Option[String]]]) {
+    def columnNames: Seq[String] = columns.map(_.resultName)
+    def apply(row: Int, column: String): Option[String] =
+      rows(row)(columnNames.indexOf(column))
+  }
+
+  /** Server-side fixture: frame a complete text resultset — column
+    * count, column definitions, EOF, rows, EOF — as consecutive wire
+    * packets.
+    */
+  def encodeResultSet(rs: ResultSet, firstSeq: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = firstSeq
+    def put(payload: Array[Byte]): Unit = {
+      val f = framePackets(payload, seq)
+      out.write(f, 0, f.length)
+      seq += 1 // all command-phase payloads are < 16 MB here
+    }
+    val count = new java.io.ByteArrayOutputStream()
+    new LeWriter(count).lenenc(rs.columns.length)
+    put(count.toByteArray)
+    rs.columns.foreach(d => put(encodeColumnDef(d)))
+    put(Array(0xfe.toByte, 0, 0, 2, 0)) // EOF after metadata
+    rs.rows.foreach(r => put(encodeTextRow(r)))
+    put(Array(0xfe.toByte, 0, 0, 2, 0)) // EOF after rows
+    out.toByteArray
+  }
+
+  /** Client side: read one statement reply at `off` — an OK packet
+    * (row-less statement) or a full text resultset. Returns the
+    * decoded reply and the bytes consumed.
+    */
+  def decodeResultSet(data: Array[Byte], off: Int): (Either[Ok, ResultSet], Int) = {
+    var p = off
+    def next(): Array[Byte] = {
+      val (payload, used, _) = readPacket(data, p); p += used; payload
+    }
+    val first = next()
+    if (isOk(first)) (Left(decodeOk(first)), p - off)
+    else if (isErr(first)) {
+      val e = decodeErr(first)
+      throw new IllegalStateException(s"wire: server error ${e.code}: ${e.message}")
+    } else {
+      val b = ByteBuffer.wrap(first).order(ByteOrder.LITTLE_ENDIAN)
+      val nCols = readLenenc(b).toInt
+      val columns = (0 until nCols).map(_ => decodeColumnDef(next()))
+      val afterMeta = next()
+      require(isEof(afterMeta), "wire: expected EOF after result metadata")
+      val rows = Iterator.continually(next())
+        .takeWhile(pk => !isEof(pk) && !isOk(pk))
+        .map(decodeTextRow(_, nCols))
+        .toSeq
+      (Right(ResultSet(columns, rows)), p - off)
+    }
+  }
+
+  final case class MasterStatus(file: String, pos: Long, gtidSet: String)
+
+  /** Parse the `show master status` reply the reference uses to seed
+    * the dump (conn.rs:419-446: column 0 = file, 1 = position,
+    * 4 = Executed_Gtid_Set).
+    */
+  def masterStatus(rs: ResultSet): MasterStatus = {
+    require(rs.rows.nonEmpty, "wire: empty show-master-status result")
+    val r = rs.rows.head
+    MasterStatus(
+      r(0).getOrElse(sys.error("binlog file name parse error")),
+      r(1).getOrElse(sys.error("binlog pos parse error")).toLong,
+      r.lift(4).flatten.getOrElse(""))
+  }
+
+  final case class CommandPhase(
+      ping: Array[Byte],
+      checksumQuery: Array[Byte],
+      statusQuery: Array[Byte],
+      status: MasterStatus,
+      dump: Array[Byte])
+
+  /** The reference's whole pre-dump command phase, socketless
+    * (conn.rs:367-460): COM_PING (server must OK), the checksum
+    * COM_QUERY (server must OK), `show master status` decode, then
+    * COM_BINLOG_DUMP built from the returned (file, pos). Inputs are
+    * the server's framed byte replies; output is every client
+    * command payload plus the parsed position.
+    */
+  def commandPhase(
+      pingReply: Array[Byte],
+      checksumReply: Array[Byte],
+      statusReply: Array[Byte],
+      serverId: Long): CommandPhase = {
+    val (pingPk, _, _) = readPacket(pingReply, 0)
+    require(isOk(pingPk), "wire: ping not acknowledged")
+    val (ckPk, _, _) = readPacket(checksumReply, 0)
+    require(isOk(ckPk), "wire: checksum set not acknowledged")
+    val (reply, _) = decodeResultSet(statusReply, 0)
+    val rs = reply.getOrElse(
+      throw new IllegalStateException("wire: show master status returned no resultset"))
+    val st = masterStatus(rs)
+    CommandPhase(
+      encodeComPing(),
+      encodeComQuery("set @master_binlog_checksum= @@global.binlog_checksum"),
+      encodeComQuery("show master status"),
+      st,
+      encodeComBinlogDump(st.pos, serverId, st.file))
   }
 
   // ---- low-level helpers -------------------------------------------

@@ -67,4 +67,5 @@ class ContentPinSpec extends AnyFunSuite {
   pin("mm_phash_cluster", 376, "84625292651535797446")
   pin("cdc_control_events", 7, "-4994099265738202205")
   pin("cdc_wire_handshake", 8, "6504737114276586359")
+  pin("cdc_wire_command", 8, "3009857077118845075")
 }

@@ -155,4 +155,91 @@ class WireSpec extends AnyFunSuite {
     val (p3, _, _) = Wire.readPacket(Wire.framePackets(big, 0), 0)
     assert(p3.length == big.length && p3.forall(_ == 7))
   }
+
+  // ---- command phase (conn.rs:367-460) -------------------------------
+
+  test("COM_QUERY / COM_PING / COM_QUIT single-command encodes") {
+    val q = Wire.encodeComQuery("show master status")
+    assert((q(0) & 0xff) == 0x03)
+    assert(new String(q.drop(1), "UTF-8") == "show master status")
+    assert(Wire.encodeComPing().toSeq == Seq(0x0e.toByte))
+    assert(Wire.encodeComQuit().toSeq == Seq(0x01.toByte))
+  }
+
+  test("SSLRequest: caps + max-packet + collation + 19 reserved + mysql tail") {
+    val caps = Wire.ClientMysql | Wire.Protocol41 | Wire.Ssl
+    val ssl = Wire.encodeSslRequest(caps, 16777216L, 0xff)
+    assert(ssl.length == 32) // 4 + 4 + 1 + 19 + 4
+    val gotCaps = (ssl(0) & 0xffL) | ((ssl(1) & 0xffL) << 8) |
+      ((ssl(2) & 0xffL) << 16) | ((ssl(3) & 0xffL) << 24)
+    assert(gotCaps == caps)
+    assert((ssl(8) & 0xff) == 0xff) // collation
+    assert(ssl.drop(9).forall(_ == 0)) // reserved
+    // non-MYSQL (MariaDB) form carries the extended-caps word instead
+    val ext = Wire.encodeSslRequest(Wire.Protocol41 | (5L << 32), 1L, 8)
+    assert(ext.length == 32 && (ext(28) & 0xff) == 5)
+  }
+
+  test("ColumnDefinition41 round-trips; result name prefers the alias") {
+    val d = Wire.ColumnDef("def", "appdb", "t_alias", "users",
+      "uid", "user_id", 33, 11, 0x03, 0x4003, 0)
+    val back = Wire.decodeColumnDef(Wire.encodeColumnDef(d))
+    assert(back == d)
+    assert(back.resultName == "uid")
+    assert(Wire.ColumnDef("def", "", "", "", "", "n", 33, 1, 0, 0, 0)
+      .resultName == "n")
+  }
+
+  test("text row: lenenc strings with 0xfb NULL round-trip") {
+    val row = Seq(Some("mysql-bin.000001"), Some("157"), None, None,
+      Some("uuid:1-99"))
+    val back = Wire.decodeTextRow(Wire.encodeTextRow(row), 5)
+    assert(back == row)
+    // a 300-byte value exercises the 0xfc lenenc form
+    val long = Seq(Some("x" * 300))
+    assert(Wire.decodeTextRow(Wire.encodeTextRow(long), 1) == long)
+  }
+
+  test("text resultset round-trips: metadata, EOFs, rows; OK for row-less") {
+    val cols = Seq("File", "Position").map(n =>
+      Wire.ColumnDef("def", "", "", "", n, n, 33, 256, 0xfd, 0, 0))
+    val rs = Wire.ResultSet(cols,
+      Seq(Seq(Some("mysql-bin.000042"), Some("4711")),
+        Seq(None, Some("0"))))
+    val (decoded, used) = Wire.decodeResultSet(Wire.encodeResultSet(rs, 1), 0)
+    assert(decoded == Right(rs) && used == Wire.encodeResultSet(rs, 1).length)
+    assert(decoded.toOption.get(0, "File").contains("mysql-bin.000042"))
+    // an OK reply (no resultset) decodes to Left
+    val okReply = Wire.framePackets(Array[Byte](0, 0, 0, 2, 0, 0, 0), 1)
+    val (okDec, _) = Wire.decodeResultSet(okReply, 0)
+    assert(okDec.isLeft)
+    // an ERR reply raises with the server message
+    val errPayload = Array[Byte](0xff.toByte, 0x28, 0x04) ++
+      "#HY000denied".getBytes("UTF-8")
+    val e = intercept[IllegalStateException](
+      Wire.decodeResultSet(Wire.framePackets(errPayload, 1), 0))
+    assert(e.getMessage.contains("1064") && e.getMessage.contains("denied"))
+  }
+
+  test("commandPhase: show-master-status seeds COM_BINLOG_DUMP exactly") {
+    val cols = Seq("File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB",
+      "Executed_Gtid_Set").map(n =>
+      Wire.ColumnDef("def", "", "", "", n, n, 33, 256, 0xfd, 0, 0))
+    val statusReply = Wire.encodeResultSet(Wire.ResultSet(cols, Seq(Seq(
+      Some("mysql-bin.000007"), Some("981"), None, None,
+      Some("uuid:1-50")))), 1)
+    val ok = Wire.framePackets(Array[Byte](0, 0, 0, 2, 0, 0, 0), 1)
+    val phase = Wire.commandPhase(ok, ok, statusReply, serverId = 33675L)
+    assert(phase.status == Wire.MasterStatus("mysql-bin.000007", 981L, "uuid:1-50"))
+    // the dump must be byte-identical to encoding from the parsed pos
+    assert(phase.dump.toSeq ==
+      Wire.encodeComBinlogDump(981L, 33675L, "mysql-bin.000007").toSeq)
+    assert(new String(phase.checksumQuery.drop(1), "UTF-8")
+      .startsWith("set @master_binlog_checksum"))
+    // a non-OK ping reply fails the phase
+    val err = Wire.framePackets(Array[Byte](0xff.toByte, 1, 0) ++
+      "#HY000x".getBytes("UTF-8"), 1)
+    assertThrows[IllegalArgumentException](
+      Wire.commandPhase(err, ok, statusReply, 1L))
+  }
 }
