@@ -127,13 +127,33 @@ object DeltaLog {
 
   // ---- reader: open a Delta table via the public protocol ----------
 
-  private final case class LogState(schemaJson: String, live: Map[String, Long])
+  /** Per-file partition values: column → Some(string value) | None
+    * (a JSON-null / absent value means a NULL partition value per the
+    * spec). graft-written tables always carry an empty map — their
+    * files hold every column physically.
+    */
+  private final case class LogState(
+      schemaJson: String,
+      partitionCols: Seq[String],
+      live: Map[String, Map[String, Option[String]]])
+
+  private object LogState {
+    val empty: LogState = LogState("", Nil, Map.empty)
+  }
 
   private def parseActions(fs: FileSystem, p: Path): Seq[JValue] = {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     txt.split('\n').filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+  }
+
+  private def partValues(jv: JValue): Map[String, Option[String]] = jv match {
+    case JObject(fields) => fields.map {
+      case (k, JString(v)) => k -> Some(v)
+      case (k, _) => k -> None
+    }.toMap
+    case _ => Map.empty
   }
 
   private def applyActions(st: LogState, actions: Seq[JValue]): LogState = {
@@ -146,17 +166,15 @@ object DeltaLog {
             case r => s.copy(live = s.live - (r \ "path").extract[String])
           }
           case ad => s.copy(live = s.live +
-            ((ad \ "path").extract[String] -> (ad \ "size").extract[Long]))
+            ((ad \ "path").extract[String] -> partValues(ad \ "partitionValues")))
         }
         case md =>
           val parts = (md \ "partitionColumns") match {
-            case JArray(items) => items
+            case JArray(items) => items.collect { case JString(c) => c }
             case _ => Nil
           }
-          require(parts.isEmpty,
-            "delta read: partitioned foreign tables are not supported " +
-              "(data files must carry every column)")
-          s.copy(schemaJson = (md \ "schemaString").extract[String])
+          s.copy(schemaJson = (md \ "schemaString").extract[String],
+            partitionCols = parts)
       }
     }
   }
@@ -172,8 +190,9 @@ object DeltaLog {
   /** Protocol-standard discovery state at the latest version:
     * `_last_checkpoint` hint → checkpoint parquet → trailing JSON
     * commits. Falls back to a full JSON replay when no checkpoint
-    * exists. Works on any parquet-backed unpartitioned Delta table,
-    * graft-written or foreign.
+    * exists. Works on any parquet-backed Delta table, graft-written
+    * or foreign, including foreign PARTITIONED tables (partition
+    * columns materialized from each add action's partitionValues).
     */
   private def currentState(
       spark: SparkSession, fs: FileSystem, tableDir: String): (Long, LogState) = {
@@ -184,24 +203,27 @@ object DeltaLog {
     implicit val fmt: Formats = DefaultFormats
     val lastCkpt = new Path(d, "_last_checkpoint")
     val (startV, startState): (Long, LogState) =
-      if (!fs.exists(lastCkpt)) (-1L, LogState("", Map.empty))
+      if (!fs.exists(lastCkpt)) (-1L, LogState.empty)
       else {
         val in = fs.open(lastCkpt)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val v = (JsonMethods.parse(txt) \ "version").extract[Long]
         val ckPath = new Path(d, f"$v%020d.checkpoint.parquet")
-        if (!fs.exists(ckPath)) (-1L, LogState("", Map.empty)) // stale hint
+        if (!fs.exists(ckPath)) (-1L, LogState.empty) // stale hint
         else {
           val ck = spark.read.parquet(ckPath.toString)
           val md = ck.filter(org.apache.spark.sql.functions.col("metaData").isNotNull)
             .select("metaData.schemaString", "metaData.partitionColumns").head
-          require(md.getSeq[String](1).isEmpty,
-            "delta read: partitioned foreign tables are not supported")
           val adds = ck.filter(org.apache.spark.sql.functions.col("add").isNotNull)
-            .select("add.path", "add.size").collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          (v, LogState(md.getString(0), adds))
+            .select("add.path", "add.partitionValues").collect()
+            .map { r =>
+              val pv = Option(r.getMap[String, String](1))
+                .map(_.toMap.map { case (k, v2) => k -> Option(v2) })
+                .getOrElse(Map.empty[String, Option[String]])
+              r.getString(0) -> pv
+            }.toMap
+          (v, LogState(md.getString(0), md.getSeq[String](1), adds))
         }
       }
     val st = ((startV + 1) to latest).foldLeft(startState) { (s, v) =>
@@ -227,7 +249,7 @@ object DeltaLog {
       version: Long): org.apache.spark.sql.DataFrame = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d = logDir(tableDir)
-    val st = (0L to version).foldLeft(LogState("", Map.empty)) { (s, v) =>
+    val st = (0L to version).foldLeft(LogState.empty) { (s, v) =>
       val p = new Path(d, f"$v%020d.json")
       require(fs.exists(p), s"delta read: version $v missing under $tableDir")
       applyActions(s, parseActions(fs, p))
@@ -242,9 +264,33 @@ object DeltaLog {
     if (st.live.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
+    else if (st.partitionCols.isEmpty)
       spark.read.schema(schema).parquet(
         st.live.keys.map(p => new Path(tableDir, p).toString).toSeq: _*)
+    else {
+      // Foreign PARTITIONED table: data files physically hold the
+      // schema minus the partition columns; each file's partition
+      // values come from its add action. Files group by their value
+      // tuple — one scan per DISTINCT combination (bounded by the
+      // table's partition count, the same cardinality any reader's
+      // file index carries), partition columns re-attached as typed
+      // literals, so downstream filters on them constant-fold per
+      // branch and unselected branches prune away.
+      import org.apache.spark.sql.functions.lit
+      val physical = StructType(
+        schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+      val byCombo = st.live.toSeq
+        .groupBy { case (_, pv) => st.partitionCols.map(pv.get(_).flatten) }
+      val frames = byCombo.toSeq.map { case (combo, files) =>
+        val base = spark.read.schema(physical).parquet(
+          files.map { case (p, _) => new Path(tableDir, p).toString }: _*)
+        st.partitionCols.zip(combo).foldLeft(base) { case (df, (c, v)) =>
+          val t = schema(c).dataType
+          df.withColumn(c, v.map(lit(_).cast(t)).getOrElse(lit(null).cast(t)))
+        }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      }
+      frames.reduce(_.unionByName(_))
+    }
   }
 
   /** Checkpoint-file schema (public spec; txn carried as an always-

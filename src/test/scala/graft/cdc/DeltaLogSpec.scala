@@ -228,6 +228,54 @@ class DeltaLogSpec extends AnyFunSuite {
     }
   }
 
+  test("foreign PARTITIONED delta table: partition columns materialize from add actions") {
+    // Hand-built table the way another engine writes it: data files
+    // physically hold only (key, value); the partition column p lives
+    // in partitionColumns + each add's partitionValues (incl. a JSON
+    // null for the null-partition file).
+    val dir = Files.createTempDirectory("foreign_delta_").toString
+    def writeFile(name: String, rows: Seq[(String, Double)]): Unit =
+      rows.toDF("key", "value").coalesce(1).write.parquet(s"$dir/.stage_$name")
+    def promote(name: String): Unit = {
+      val staged = fs.listStatus(new Path(s"$dir/.stage_$name"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(staged, new Path(dir, name))
+      fs.delete(new Path(s"$dir/.stage_$name"), true)
+    }
+    writeFile("f1.parquet", Seq(("a", 1.0), ("b", 2.0))); promote("f1.parquet")
+    writeFile("f2.parquet", Seq(("c", 3.0))); promote("f2.parquet")
+    writeFile("f3.parquet", Seq(("d", 4.0))); promote("f3.parquet")
+    val schemaJson = StructType.fromDDL(
+      "key string, value double, p int").json
+      .replace("\"", "\\\"")
+    val log = new Path(dir, "_delta_log")
+    fs.mkdirs(log)
+    def writeLog(name: String, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(log, name), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    writeLog("00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"1"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"p":"2"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{"p":null},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val df = DeltaLog.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("key", "value", "p"))
+    assert(df.schema("p").dataType.typeName == "integer")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got == Set(("a", 1.0, Some(1)), ("b", 2.0, Some(1)),
+      ("c", 3.0, Some(2)), ("d", 4.0, None)))
+    // a remove in a later version drops its partition's rows
+    writeLog("00000000000000000001.json", Seq(
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    assert(DeltaLog.read(spark, dir).filter(col("p") === 2).count() == 0)
+    assert(DeltaLog.readVersion(spark, dir, 0).count() == 4)
+  }
+
   test("vacuum keeps the delta log; current version stays readable through it") {
     val dir = Files.createTempDirectory("graft_delta_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))

@@ -68,6 +68,42 @@ class SkewSpec extends AnyFunSuite {
       s"snapshot fold regressed to a window (not skew-splittable):\n$plan")
   }
 
+  test("join-side skew: AQE splits the hot partition (skew=true in executed plan)") {
+    // The complementary claim: where a join IS the operator (merge
+    // against a snapshot, enrichment against a dim), AQE's skew-join
+    // genuinely does split the hot key's sort-merge partition —
+    // demonstrated with the thresholds scaled to test data (the
+    // defaults fire at 256 MB partitions).
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = changelog(2000000L, 100000L, hot = true)
+      val dim = spark.range(0, 100000L)
+        .select(col("id").cast("string").as("key"),
+          concat(lit("d"), col("id")).as("dim_value"))
+      val joined = fact.join(dim, "key")
+      // run the join's OWN plan (count() would plan a different,
+      // aggregate-rewritten query and leave this one un-finalized)
+      assert(joined.queryExecution.toRdd.count() == 2000000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot join partition skewed:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("50%-hot changelog folds within 2x of uniform keys") {
     val n = 4000000L
     def wall(hot: Boolean): Double = {
