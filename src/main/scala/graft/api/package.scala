@@ -438,13 +438,21 @@ package object api {
     /** Connected components over a candidate-pair frame
       * (doc_a, doc_b): returns (v, label) with label = min id of the
       * component — duplicate clusters from pairwise candidates.
-      * If no fixpoint is reached within `maxIter` rounds the labels
-      * are partial: warns by default, throws with
+      * If no fixpoint is reached within `maxIter` propagation rounds
+      * the call escalates to star contraction (O(log n) rounds, exact
+      * labels at any diameter), or throws with
       * `failOnNonConvergence`.
       */
     def connectedComponents(maxIter: Int = 8,
         failOnNonConvergence: Boolean = false): DataFrame =
       Dedup.connectedComponents(df, maxIter, failOnNonConvergence)
+
+    /** Connected components by alternating large-star/small-star
+      * contraction — O(log n) rounds on any graph; reach for it
+      * directly when the pair graph is known to have long paths.
+      */
+    def connectedComponentsStar(maxRounds: Int = 40): DataFrame =
+      Dedup.connectedComponentsStar(df, maxRounds)
 
     /** Flag rows sharing any `n`-gram of `textCol` with `evalSet`'s
       * text — benchmark decontamination. Returns (idCol,

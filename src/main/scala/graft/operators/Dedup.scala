@@ -904,17 +904,17 @@ object Dedup {
     * round is one shuffle of (vertex, label) pairs — edges and
     * labels, never documents. The driver loop is bounded by maxIter
     * and stops at the first fixpoint (an isEmpty probe per round).
-    * At 100 TB-scale graphs with long paths, swap the round body for
-    * alternating large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce") — same join shape,
-    * O(log n) rounds; plain propagation is the right trade for
-    * near-dup graphs whose diameter is 2-3.
+    * Plain propagation is the right trade for near-dup graphs whose
+    * diameter is 2-3 (one cheap round each).
     *
-    * If maxIter rounds pass without a fixpoint the labels are NOT
-    * final components (a chain longer than maxIter is still
-    * converging): with `failOnNonConvergence` the call throws;
-    * otherwise it logs a warning to stderr and returns the partial
-    * labels (each still an upper bound on the true min label).
+    * If maxIter rounds pass without a fixpoint (a path longer than
+    * maxIter is still converging): with `failOnNonConvergence` the
+    * call throws; otherwise it ESCALATES to
+    * [[connectedComponentsStar]] — alternating large-star/small-star
+    * contraction, O(log n) rounds regardless of diameter — so the
+    * returned labels are always exact. At 100 TB a pathological
+    * long-path graph costs log-n star rounds instead of silently
+    * returning partial labels.
     *
     * The returned frame is backed by the final round's persisted
     * cache (vertex-count sized — (v, label, prev) triples only, never
@@ -971,15 +971,92 @@ object Dedup {
     }
     sym.unpersist()
     if (!done) {
-      val msg = s"connectedComponents: no fixpoint after $maxIter rounds — " +
-        "labels are partial (graph diameter exceeds maxIter); raise maxIter " +
-        "or switch to star-contraction for long-path graphs"
-      if (failOnNonConvergence) { cached.unpersist(); throw new IllegalStateException(msg) }
-      System.err.println(s"[graft] WARN $msg")
+      val msg = s"connectedComponents: no fixpoint after $maxIter rounds " +
+        "(graph diameter exceeds maxIter)"
+      cached.unpersist()
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      System.err.println(
+        s"[graft] WARN $msg — escalating to star contraction")
+      return connectedComponentsStar(pairs)
     }
     // the final round's cache backs the result (vertex-count sized);
     // it lives until the session drops it or the caller re-persists
     labels
+  }
+
+  /** Min-label connected components by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014): each round rewires every
+    * vertex's strictly-larger (large-star) or strictly-smaller
+    * (small-star) neighbors onto its neighborhood minimum, which
+    * HALVES component height per alternation — O(log n) rounds on
+    * ANY graph, where label propagation needs O(diameter). The
+    * long-path safety net behind [[connectedComponents]]: same
+    * (v, label) output contract, edge-proportional shuffles, never
+    * documents; each round's edge set is canonical-deduped so it
+    * only shrinks toward the final star. Worth its ~2 shuffles per
+    * round only when the diameter is genuinely large — near-dup
+    * graphs (diameter 2-3) converge faster under plain propagation.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+    def canon(x: Column, y: Column)(e: DataFrame): DataFrame =
+      e.filter(x =!= y)
+        .select(least(x, y).as("a"), greatest(x, y).as("b"))
+        .distinct()
+    def symm(e: DataFrame): DataFrame =
+      e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    // large-star(v): connect every LARGER neighbor to m = min(N(v)∪{v})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s0 = symm(e)
+      val mins = s0.groupBy("v").agg(min(col("n")).as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("m"))
+      canon(col("n"), col("m"))(
+        s0.join(mins, "v").filter(col("n") > col("v"))
+          .select(col("n"), col("m")))
+    }
+    // small-star(v): connect every SMALLER neighbor (and v) to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val s0 = symm(e).filter(col("n") < col("v"))
+      val mins = s0.groupBy("v").agg(min(col("n")).as("m"))
+      canon(col("x"), col("y"))(
+        s0.join(mins, "v").select(col("n").as("x"), col("m").as("y"))
+          .unionAll(mins.select(col("v").as("x"), col("m").as("y"))))
+    }
+    var cur = canon(col("doc_a"), col("doc_b"))(
+      pairs.select(col("doc_a"), col("doc_b"))).persist()
+    val nEdges0 = cur.count() // materialize before the loop rebases
+    var round = 0
+    var done = nEdges0 == 0L
+    while (!done) {
+      if (round >= maxRounds) {
+        cur.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
+      }
+      val stepPlan = smallStar(largeStar(cur))
+      // rebase on the materialized RDD per round — same exponential-
+      // lineage guard as the propagation loop (cur appears 4× in the
+      // two-star composition)
+      val step = spark.createDataFrame(stepPlan.rdd, stepPlan.schema).persist()
+      val nNext = step.count()
+      // fixpoint: the canonical edge set is unchanged (count equality
+      // plus an empty one-sided difference — sets, both deduped)
+      done = nNext == cur.count() &&
+        step.exceptAll(cur).limit(1).count() == 0L
+      cur.unpersist()
+      cur = step
+      round += 1
+    }
+    // at the fixpoint every component is a star on its minimum:
+    // label(v) = min(v, min neighbor)
+    val labels = symm(cur).groupBy("v").agg(min(col("n")).as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("label"))
+    val out = spark.createDataFrame(labels.rdd, labels.schema).persist()
+    out.count()
+    cur.unpersist()
+    out
   }
 
   private def cluster(s: SparkSession, dir: String): DataFrame = {

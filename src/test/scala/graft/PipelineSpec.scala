@@ -396,27 +396,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((900L, 901L)), pairs.toString)
   }
 
-  test("connectedComponents surfaces non-convergence on a long chain") {
+  test("connectedComponents escalates to star contraction on a long chain") {
     import spark.implicits._
-    // a 12-vertex path graph has diameter 11: maxIter=2 cannot reach
-    // the fixpoint, and the declared behavior is warn-and-return
-    // partial labels (each an upper bound), or throw when strict
+    // a 12-vertex path graph has diameter 11: maxIter=2 propagation
+    // cannot reach the fixpoint — the declared behavior is to
+    // escalate to star contraction (labels stay EXACT), or throw
+    // when strict
     val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val partial = graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
+    val viaFallback = graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // upper bound property holds even unconverged, but the far end
-    // cannot have reached label 0 in 2 rounds
-    assert(partial.values.forall(_ >= 0L))
-    assert(partial(11L) > 0L, "a 2-round propagation cannot close diameter 11")
+    assert(viaFallback.keySet == (0L to 11L).toSet)
+    assert(viaFallback.values.toSet == Set(0L),
+      "the star-contraction fallback must close diameter 11 exactly")
     intercept[IllegalStateException] {
       graft.operators.Dedup.connectedComponents(chain, maxIter = 2,
         failOnNonConvergence = true).collect()
     }
-    // enough rounds → exact components, converged, no warning path
+    // enough rounds → propagation converges on its own, same labels
     val full = graft.operators.Dedup.connectedComponents(chain, maxIter = 16,
       failOnNonConvergence = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(full.values.toSet == Set(0L))
+    assert(full == viaFallback)
+  }
+
+  test("star contraction == propagation on a random graph; O(log n) on a 512-path") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 600 vertices, ~900 edges
+    val rnd = (0L until 900L).map { i =>
+      val a = (i * 179) % 600; val b = (i * i * 31 + 7) % 600
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val pairs = rnd.toDF("doc_a", "doc_b")
+    val prop = graft.operators.Dedup.connectedComponents(pairs, maxIter = 32,
+      failOnNonConvergence = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = graft.operators.Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, "star contraction diverges from label propagation")
+    // a 512-vertex path (diameter 511, far beyond any propagation
+    // budget) must converge within the O(log n) round bound — the
+    // maxRounds=12 ceiling IS the assertion (2*log2(512)=18 with
+    // margin below it; propagation would need 511 rounds)
+    val path = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.connectedComponentsStar(path, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 511L).toSet)
+    assert(labels.values.toSet == Set(0L))
   }
 
   test("dedup_cluster closes 3-chains transitively with one canonical each") {
