@@ -518,8 +518,11 @@ object Wire {
       val columns = (0 until nCols).map(_ => decodeColumnDef(next()))
       val afterMeta = next()
       require(isEof(afterMeta), "wire: expected EOF after result metadata")
+      // rows terminate ONLY on the classic EOF (0xfe, len < 9): a row
+      // whose first column is an empty string legitimately starts
+      // with 0x00 (lenenc length 0) and must not read as OK
       val rows = Iterator.continually(next())
-        .takeWhile(pk => !isEof(pk) && !isOk(pk))
+        .takeWhile(pk => !isEof(pk))
         .map(decodeTextRow(_, nCols))
         .toSeq
       (Right(ResultSet(columns, rows)), p - off)

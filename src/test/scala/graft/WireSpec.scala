@@ -209,6 +209,14 @@ class WireSpec extends AnyFunSuite {
     val (decoded, used) = Wire.decodeResultSet(Wire.encodeResultSet(rs, 1), 0)
     assert(decoded == Right(rs) && used == Wire.encodeResultSet(rs, 1).length)
     assert(decoded.toOption.get(0, "File").contains("mysql-bin.000042"))
+    // a row whose FIRST column is an empty string starts with byte
+    // 0x00 (lenenc length 0) — it must decode as a row, not be
+    // misread as an OK terminator truncating the resultset
+    val tricky = Wire.ResultSet(cols,
+      Seq(Seq(Some(""), Some("1")), Seq(Some("after"), Some("2"))))
+    val (trickyDec, _) = Wire.decodeResultSet(Wire.encodeResultSet(tricky, 1), 0)
+    assert(trickyDec == Right(tricky),
+      "empty-string first column misread as a resultset terminator")
     // an OK reply (no resultset) decodes to Left
     val okReply = Wire.framePackets(Array[Byte](0, 0, 0, 2, 0, 0, 0), 1)
     val (okDec, _) = Wire.decodeResultSet(okReply, 0)
