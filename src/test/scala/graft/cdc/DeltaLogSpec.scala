@@ -276,6 +276,79 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.readVersion(spark, dir, 0).count() == 4)
   }
 
+  test("foreign partitioned table via CHECKPOINT discovery (partitionValues in parquet)") {
+    // Same foreign-partitioned shape, but state discovered through a
+    // checkpoint parquet + _last_checkpoint. The v0 JSON deliberately
+    // lists an extra nonexistent file: a reader honoring the
+    // checkpoint starts AFTER it and never sees that add — reading
+    // correct rows proves the checkpoint branch (incl. its
+    // partitionValues decode) was taken, not the JSON replay.
+    val dir = Files.createTempDirectory("foreign_delta_ck_").toString
+    def writeFile(name: String, rows: Seq[(String, Double)]): Unit = {
+      rows.toDF("key", "value").coalesce(1).write.parquet(s"$dir/.stage_$name")
+      val staged = fs.listStatus(new Path(s"$dir/.stage_$name"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(staged, new Path(dir, name))
+      fs.delete(new Path(s"$dir/.stage_$name"), true)
+    }
+    writeFile("f1.parquet", Seq(("a", 1.0)))
+    writeFile("f2.parquet", Seq(("b", 2.0)))
+    val schemaJson = StructType.fromDDL("key string, value double, p int").json
+    val log = new Path(dir, "_delta_log")
+    fs.mkdirs(log)
+    def put(name: String, body: String): Unit = {
+      val out = fs.create(new Path(log, name), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    put("00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"1"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"MISSING.parquet","partitionValues":{"p":"9"},"size":1,"modificationTime":0,"dataChange":true}}"""
+    ).mkString("", "\n", "\n"))
+    put("00000000000000000001.json", Seq(
+      """{"remove":{"path":"MISSING.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"p":"2"},"size":1,"modificationTime":0,"dataChange":true}}"""
+    ).mkString("", "\n", "\n"))
+    // checkpoint at v1 = exactly the correct live state
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, MapType, StringType, StructField}
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val ckRows = Seq(
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(1, 2), null, null),
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row("t2", schemaJson, Seq("p"), 0L), null),
+      org.apache.spark.sql.Row(null, null,
+        org.apache.spark.sql.Row("f1.parquet", Map("p" -> "1"), 1L, 0L, false)),
+      org.apache.spark.sql.Row(null, null,
+        org.apache.spark.sql.Row("f2.parquet", Map("p" -> "2"), 1L, 0L, false)))
+    val tmpCk = new Path(log, ".ck-tmp")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(ckRows, 1), ckSchema)
+      .coalesce(1).write.parquet(tmpCk.toString)
+    val part = fs.listStatus(tmpCk).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(log, "00000000000000000001.checkpoint.parquet"))
+    fs.delete(tmpCk, true)
+    put("_last_checkpoint", """{"version":1,"size":4}""")
+    val got = DeltaLog.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got == Set(("a", 1.0, 1), ("b", 2.0, 2)))
+  }
+
   test("vacuum keeps the delta log; current version stays readable through it") {
     val dir = Files.createTempDirectory("graft_delta_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
