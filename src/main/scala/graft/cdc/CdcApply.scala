@@ -33,6 +33,11 @@ object CdcApply {
   /** Latest surviving row per key: last-writer-wins, deletes removed.
     * Output schema = input schema (column order preserved; payload
     * columns come back nullable — they ride an aggregate buffer).
+    * `offsetCol` must be NON-NULL: `max_by` ignores null ordering
+    * values, so a key whose rows all carry null offsets is dropped
+    * (the windowed twin would keep an arbitrary row). Every graft
+    * changelog assigns offsets from the source position — a null
+    * offset is a malformed feed, not an ordering.
     */
   def snapshot(
       changelog: DataFrame,

@@ -33,6 +33,28 @@ object DeltaLog {
   val LogDirName = "_delta_log"
   val CheckpointEvery = 10
 
+  /** Partitioned reads union one scan per distinct partition-value
+    * combination up to this many (simple plan, per-branch pruning);
+    * beyond it they switch to ONE scan joined against a broadcast
+    * file→partition-values map, keeping the plan O(1) in partition
+    * count. A var only so DeltaLogSpec can force the join path on a
+    * small fixture.
+    */
+  @volatile private[graft] var UnionComboMax = 64
+
+  // Delta action paths are RFC 2396 percent-encoded URIs relative to
+  // the table root (the protocol's `path` spec): encode when WRITING
+  // actions, decode only when RESOLVING to the filesystem — the
+  // log-space strings stay encoded so add/remove set operations match
+  // exactly. Simple names (alnum, '=', '-') are fixpoints of both.
+  private[graft] def encodePath(p: String): String =
+    new java.net.URI(null, null, p, null).toASCIIString
+  private[graft] def decodePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      Option(u.getPath).getOrElse(p)
+    } catch { case _: java.net.URISyntaxException => p }
+
   def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
 
   /** Stable table id: derived from the table path so re-opens of the
@@ -103,14 +125,14 @@ object DeltaLog {
     if (schemaChanged) actions += metaDataJson(tableDir, schema)
     removed.foreach { p =>
       actions += JObject("remove" -> JObject(
-        "path" -> JString(p),
+        "path" -> JString(encodePath(p)),
         "deletionTimestamp" -> JInt(BigInt(System.currentTimeMillis())),
         "dataChange" -> JBool(true)))
     }
     added.foreach { e =>
       val st = fs.getFileStatus(new Path(tableDir, e.path))
       actions += JObject("add" -> JObject(
-        "path" -> JString(e.path),
+        "path" -> JString(encodePath(e.path)),
         "partitionValues" -> JObject(),
         "size" -> JInt(BigInt(st.getLen)),
         "modificationTime" -> JInt(BigInt(st.getModificationTime)),
@@ -261,35 +283,64 @@ object DeltaLog {
       st: LogState): org.apache.spark.sql.DataFrame = {
     require(st.schemaJson.nonEmpty, "delta read: no metaData action found")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    def resolve(p: String): Path = new Path(tableDir, decodePath(p))
     if (st.live.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (st.partitionCols.isEmpty)
       spark.read.schema(schema).parquet(
-        st.live.keys.map(p => new Path(tableDir, p).toString).toSeq: _*)
+        st.live.keys.map(resolve(_).toString).toSeq: _*)
     else {
       // Foreign PARTITIONED table: data files physically hold the
       // schema minus the partition columns; each file's partition
-      // values come from its add action. Files group by their value
-      // tuple — one scan per DISTINCT combination (bounded by the
-      // table's partition count, the same cardinality any reader's
-      // file index carries), partition columns re-attached as typed
-      // literals, so downstream filters on them constant-fold per
-      // branch and unselected branches prune away.
-      import org.apache.spark.sql.functions.lit
+      // values come from its add action.
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit}
       val physical = StructType(
         schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
       val byCombo = st.live.toSeq
         .groupBy { case (_, pv) => st.partitionCols.map(pv.get(_).flatten) }
-      val frames = byCombo.toSeq.map { case (combo, files) =>
-        val base = spark.read.schema(physical).parquet(
-          files.map { case (p, _) => new Path(tableDir, p).toString }: _*)
-        st.partitionCols.zip(combo).foldLeft(base) { case (df, (c, v)) =>
-          val t = schema(c).dataType
-          df.withColumn(c, v.map(lit(_).cast(t)).getOrElse(lit(null).cast(t)))
-        }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      if (byCombo.size <= UnionComboMax) {
+        // one scan per DISTINCT value tuple, partition columns
+        // re-attached as typed literals — downstream filters on them
+        // constant-fold per branch and unselected branches prune away
+        val frames = byCombo.toSeq.map { case (combo, files) =>
+          val base = spark.read.schema(physical).parquet(
+            files.map { case (p, _) => resolve(p).toString }: _*)
+          st.partitionCols.zip(combo).foldLeft(base) { case (df, (c, v)) =>
+            val t = schema(c).dataType
+            df.withColumn(c, v.map(lit(_).cast(t)).getOrElse(lit(null).cast(t)))
+          }.select(schema.fieldNames.map(col): _*)
+        }
+        frames.reduce(_.unionByName(_))
+      } else {
+        // high-cardinality partitioning: a union-per-combo plan would
+        // carry one parquet relation per partition — O(partitions)
+        // analysis cost. Instead: ONE scan of every live file joined
+        // against a broadcast (file → partition values) map, keyed by
+        // the exact url-encoded path string input_file_name() reports
+        // (SparkPath.fromPath of the qualified path — same encoding
+        // Spark's scan sets per file).
+        val fs = new Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mapRows = st.live.toSeq.map { case (p, pv) =>
+          Row.fromSeq(
+            org.apache.spark.paths.SparkPath
+              .fromPath(fs.makeQualified(resolve(p))).urlEncoded +:
+            st.partitionCols.map(c => pv.get(c).flatten.orNull))
+        }
+        val mapSchema = StructType(
+          StructField("__file", StringType) +:
+          st.partitionCols.map(c => StructField(s"__pv_$c", StringType)))
+        val mapDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+        val base = spark.read.schema(physical)
+          .parquet(st.live.keys.map(resolve(_).toString).toSeq: _*)
+          .withColumn("__file", input_file_name())
+          .join(broadcast(mapDf), "__file")
+        st.partitionCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(s"__pv_$c").cast(schema(c).dataType))
+        }.select(schema.fieldNames.map(col): _*)
       }
-      frames.reduce(_.unionByName(_))
     }
   }
 
@@ -340,7 +391,7 @@ object DeltaLog {
       entries.map { e =>
         val st = fs.getFileStatus(new Path(tableDir, e.path))
         Row(null, null, null,
-          Row(e.path, emptyMap, st.getLen, st.getModificationTime, false),
+          Row(encodePath(e.path), emptyMap, st.getLen, st.getModificationTime, false),
           null)
       }
     val d = logDir(tableDir)

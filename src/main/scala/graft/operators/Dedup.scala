@@ -1050,9 +1050,17 @@ object Dedup {
       round += 1
     }
     // at the fixpoint every component is a star on its minimum:
-    // label(v) = min(v, min neighbor)
-    val labels = symm(cur).groupBy("v").agg(min(col("n")).as("mn"))
+    // label(v) = min(v, min neighbor). The label frame must cover the
+    // SAME vertex universe as propagation: canon() drops self-pairs
+    // (x, x), so a vertex whose only edges are self-pairs would
+    // vanish from the star edge set — re-attach the full universe
+    // with a left join and label such vertices themselves.
+    val universe = pairs.select(col("doc_a").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("v"))).distinct()
+    val starLabels = symm(cur).groupBy("v").agg(min(col("n")).as("mn"))
       .select(col("v"), least(col("v"), col("mn")).as("label"))
+    val labels = universe.join(starLabels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
     val out = spark.createDataFrame(labels.rdd, labels.schema).persist()
     out.count()
     cur.unpersist()

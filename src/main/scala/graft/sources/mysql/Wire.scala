@@ -520,10 +520,21 @@ object Wire {
       require(isEof(afterMeta), "wire: expected EOF after result metadata")
       // rows terminate ONLY on the classic EOF (0xfe, len < 9): a row
       // whose first column is an empty string legitimately starts
-      // with 0x00 (lenenc length 0) and must not read as OK
+      // with 0x00 (lenenc length 0) and must not read as OK. An ERR
+      // packet MAY arrive mid-stream (query killed, net timeout) and
+      // must surface as the server's error, not a garbled row — 0xff
+      // cannot open a real row (lenenc 0xff is not a valid length
+      // prefix), so the check is unambiguous.
       val rows = Iterator.continually(next())
         .takeWhile(pk => !isEof(pk))
-        .map(decodeTextRow(_, nCols))
+        .map { pk =>
+          if (isErr(pk)) {
+            val e = decodeErr(pk)
+            throw new IllegalStateException(
+              s"wire: server error ${e.code} mid-resultset: ${e.message}")
+          }
+          decodeTextRow(pk, nCols)
+        }
         .toSeq
       (Right(ResultSet(columns, rows)), p - off)
     }

@@ -442,6 +442,16 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet == (0L to 511L).toSet)
     assert(labels.values.toSet == Set(0L))
+    // a vertex whose ONLY edge is a self-pair must keep its own
+    // label under BOTH algorithms (canon() drops self-loops from the
+    // star edge set; the universe re-attach covers it)
+    val withSelf = Seq((1L, 2L), (9L, 9L)).toDF("doc_a", "doc_b")
+    val starSelf = graft.operators.Dedup.connectedComponentsStar(withSelf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val propSelf = graft.operators.Dedup.connectedComponents(withSelf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starSelf == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    assert(starSelf == propSelf)
   }
 
   test("dedup_cluster closes 3-chains transitively with one canonical each") {

@@ -227,6 +227,19 @@ class WireSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](
       Wire.decodeResultSet(Wire.framePackets(errPayload, 1), 0))
     assert(e.getMessage.contains("1064") && e.getMessage.contains("denied"))
+    // an ERR arriving MID-STREAM (query killed) surfaces the server
+    // error instead of being misparsed as a row
+    val killed = Array[Byte](0xff.toByte, 0x25, 0x05) ++ // 1317
+      "#70100interrupted".getBytes("UTF-8")
+    val head = Wire.encodeResultSet(Wire.ResultSet(cols,
+      Seq(Seq(Some("mysql-bin.000001"), Some("4")))), 1)
+    // splice: metadata + first row, then ERR in place of the rows EOF
+    val lastEofLen = 4 + 5
+    val truncated = head.dropRight(lastEofLen) ++ Wire.framePackets(killed, 9)
+    val mid = intercept[IllegalStateException](
+      Wire.decodeResultSet(truncated, 0))
+    assert(mid.getMessage.contains("1317") &&
+      mid.getMessage.contains("interrupted"), mid.getMessage)
   }
 
   test("commandPhase: show-master-status seeds COM_BINLOG_DUMP exactly") {

@@ -276,6 +276,51 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.readVersion(spark, dir, 0).count() == 4)
   }
 
+  test("percent-encoded action paths + the broadcast-join read path") {
+    // Delta action paths are RFC 2396 percent-encoded: a partition
+    // value with a space lives on disk as 'p=a b/…' but in the log
+    // as 'p=a%20b/…'. Also forces the high-cardinality read plan
+    // (one scan + broadcast file→values join keyed on the exact
+    // input_file_name() string) on the same fixture.
+    assert(DeltaLog.encodePath("p=a b/f.parquet") == "p=a%20b/f.parquet")
+    assert(DeltaLog.decodePath("p=a%20b/f.parquet") == "p=a b/f.parquet")
+    assert(DeltaLog.decodePath("part-0001.parquet") == "part-0001.parquet")
+    val dir = Files.createTempDirectory("foreign_delta_enc_").toString
+    def writeFile(rel: String, rows: Seq[(String, Double)]): Unit = {
+      val stage = s"$dir/.stage"
+      rows.toDF("key", "value").coalesce(1).write.mode("overwrite").parquet(stage)
+      val staged = fs.listStatus(new Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val target = new Path(dir, rel)
+      fs.mkdirs(target.getParent)
+      fs.rename(staged, target)
+      fs.delete(new Path(stage), true)
+    }
+    writeFile("p=a b/f1.parquet", Seq(("a", 1.0)))
+    writeFile("p=c/f2.parquet", Seq(("b", 2.0)))
+    val schemaJson = StructType.fromDDL("key string, value double, p string").json
+      .replace("\"", "\\\"")
+    val log = new Path(dir, "_delta_log")
+    fs.mkdirs(log)
+    val out = fs.create(new Path(log, "00000000000000000000.json"), true)
+    try out.write(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t3","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"p=a%20b/f1.parquet","partitionValues":{"p":"a b"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p=c/f2.parquet","partitionValues":{"p":"c"},"size":1,"modificationTime":0,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    def readSet() = DeltaLog.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val want = Set(("a", 1.0, "a b"), ("b", 2.0, "c"))
+    assert(readSet() == want) // union path (2 combos <= max)
+    val saved = DeltaLog.UnionComboMax
+    try {
+      DeltaLog.UnionComboMax = 0 // force the broadcast-join plan
+      assert(readSet() == want,
+        "join-path read diverged (input_file_name key mismatch?)")
+    } finally DeltaLog.UnionComboMax = saved
+  }
+
   test("foreign partitioned table via CHECKPOINT discovery (partitionValues in parquet)") {
     // Same foreign-partitioned shape, but state discovered through a
     // checkpoint parquet + _last_checkpoint. The v0 JSON deliberately

@@ -111,10 +111,11 @@ class SkewSpec extends AnyFunSuite {
       CdcApply.snapshot(changelog(n, 200000L, hot)).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both shapes once (codegen + JIT), then min-of-2 each
+    // warm both shapes once (codegen + JIT), then min-of-3 each —
+    // min absorbs a GC pause or host-load blip in any single pass
     wall(hot = false); wall(hot = true)
-    val uni = math.min(wall(hot = false), wall(hot = false))
-    val hot = math.min(wall(hot = true), wall(hot = true))
+    val uni = Seq.fill(3)(wall(hot = false)).min
+    val hot = Seq.fill(3)(wall(hot = true)).min
     info(f"uniform $uni%.2fs hot $hot%.2fs ratio ${hot / uni}%.2f")
     // floor guards the ratio when the uniform pass is sub-scheduling
     assert(hot <= 2.0 * math.max(uni, 0.25),
