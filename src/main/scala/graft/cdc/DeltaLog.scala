@@ -95,6 +95,17 @@ object DeltaLog {
 
   /** Mirror one published graft commit into the delta log.
     * `prev` is the superseded manifest (None for the first commit).
+    *
+    * Self-healing: the mirror write happens AFTER the graft manifest
+    * publish, so a crash in between leaves the delta log one (or
+    * more) versions behind — a gap that would make every contiguous
+    * replay throw forever. When this call finds missing versions
+    * below `version` it backfills each as an empty (commitInfo-only)
+    * commit and computes this version's add/remove diff against the
+    * delta log's own replayed live set instead of the graft `prev`
+    * manifest, so the mirrored state re-converges exactly at
+    * `version` (backfilled versions read as the pre-gap state — the
+    * honest answer for commits whose mirror was lost).
     */
   def mirrorCommit(
       fs: FileSystem,
@@ -105,18 +116,39 @@ object DeltaLog {
       prev: Option[TxnLog.Manifest]): Unit = {
     val d = logDir(tableDir)
     fs.mkdirs(d)
+    val existing = jsonVersions(fs, tableDir)
     // delta needs a version-0 protocol+metaData commit; graft
     // versions start at 1, so the first mirror lays down 0 first
-    if (prev.isEmpty) {
+    if (existing.isEmpty) {
       val v0 = Seq(protocolJson, metaDataJson(tableDir, schema))
         .map(j => JsonMethods.compact(JsonMethods.render(j)))
         .mkString("", "\n", "\n")
       writeAtomic(fs, new Path(d, f"${0L}%020d.json"), v0.getBytes("UTF-8"))
     }
-    val prevPaths = prev.map(_.entries.map(_.path)).getOrElse(Nil)
+    val mirroredMax = if (existing.isEmpty) 0L else existing.max
+    val holes = (mirroredMax + 1) until version
+    val prevPaths: Seq[String] =
+      if (holes.isEmpty) prev.map(_.entries.map(_.path)).getOrElse(Nil)
+      else {
+        // crash window: backfill, then diff against what the delta
+        // log actually replays to (decoded back to manifest space)
+        holes.foreach { u =>
+          val body = JsonMethods.compact(JsonMethods.render(JObject(
+            "commitInfo" -> JObject(
+              "operation" -> JString("WRITE"),
+              "engineInfo" -> JString("graft-txnlog"),
+              "backfill" -> JBool(true))))) + "\n"
+          writeAtomic(fs, new Path(d, f"$u%020d.json"), body.getBytes("UTF-8"))
+        }
+        val replayed = (0L to mirroredMax).foldLeft(LogState.empty) { (s, v) =>
+          applyActions(s, parseActions(fs, new Path(d, f"$v%020d.json")))
+        }
+        replayed.live.keys.map(decodePath).toSeq
+      }
     val newPaths = entries.map(_.path)
     val removed = prevPaths.filterNot(newPaths.toSet)
-    val added = entries.filterNot(e => prevPaths.toSet(e.path))
+    val prevSet = prevPaths.toSet
+    val added = entries.filterNot(e => prevSet(e.path))
     val schemaChanged = prev.exists(_.schemaJson != schema.json)
     val actions = Seq.newBuilder[JObject]
     actions += JObject("commitInfo" -> JObject(

@@ -168,8 +168,17 @@ object TxnLog {
         s"txnlog: version $version already committed under $d")
     }
     // mirror the published commit into a public-spec Delta log so
-    // the table doubles as a real Delta table (see [[DeltaLog]])
-    DeltaLog.mirrorCommit(fs, tableDir, version, schema, entries, prev)
+    // the table doubles as a real Delta table (see [[DeltaLog]]).
+    // The graft manifest above IS durable at this point: a mirror
+    // failure must not report the commit as failed — warn instead;
+    // the next commit's mirror backfills the gap (self-healing).
+    try DeltaLog.mirrorCommit(fs, tableDir, version, schema, entries, prev)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] WARN delta mirror for version $version failed " +
+            s"(${e.getMessage}); the next commit backfills the gap")
+    }
   }
 
   /** Write `df` into a fresh commit directory for `version`; returns

@@ -164,6 +164,28 @@ object Jpeg {
     (n, bitsVal)
   }
 
+  // Precomputed StrictMath cosine table: cos((2i+1)·k·π/16) for the
+  // 64 (i, k) pairs both DCT directions use. StrictMath (fdlibm) is
+  // bit-identical on every JVM/arch, where Math.cos is only 1-ulp
+  // bounded and may use platform intrinsics — a single ulp at a
+  // quantization tie would flip encoded bytes and break the pinned
+  // content hashes cross-platform. Also removes 2048 transcendental
+  // calls per block from the decode/encode hot path.
+  private val Cos: Array[Double] = {
+    val t = new Array[Double](64)
+    var i = 0
+    while (i < 8) {
+      var k = 0
+      while (k < 8) {
+        t(i * 8 + k) = StrictMath.cos((2 * i + 1) * k * StrictMath.PI / 16)
+        k += 1
+      }
+      i += 1
+    }
+    t
+  }
+  private val InvSqrt2 = StrictMath.sqrt(0.5)
+
   private def fdct(block: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
     val tmp = new Array[Double](64)
@@ -175,10 +197,10 @@ object Jpeg {
         var s = 0.0
         var x = 0
         while (x < 8) {
-          s += block(y * 8 + x) * math.cos((2 * x + 1) * u * math.Pi / 16)
+          s += block(y * 8 + x) * Cos(x * 8 + u)
           x += 1
         }
-        tmp(y * 8 + u) = s * (if (u == 0) math.sqrt(0.5) else 1.0) / 2
+        tmp(y * 8 + u) = s * (if (u == 0) InvSqrt2 else 1.0) / 2
         u += 1
       }
       y += 1
@@ -191,10 +213,10 @@ object Jpeg {
         var s = 0.0
         var yy = 0
         while (yy < 8) {
-          s += tmp(yy * 8 + u) * math.cos((2 * yy + 1) * v * math.Pi / 16)
+          s += tmp(yy * 8 + u) * Cos(yy * 8 + v)
           yy += 1
         }
-        out(v * 8 + u) = s * (if (v == 0) math.sqrt(0.5) else 1.0) / 2
+        out(v * 8 + u) = s * (if (v == 0) InvSqrt2 else 1.0) / 2
         v += 1
       }
       u += 1
@@ -212,8 +234,7 @@ object Jpeg {
         var s = 0.0
         var u = 0
         while (u < 8) {
-          s += (if (u == 0) math.sqrt(0.5) else 1.0) * block(y * 8 + u) *
-            math.cos((2 * x + 1) * u * math.Pi / 16)
+          s += (if (u == 0) InvSqrt2 else 1.0) * block(y * 8 + u) * Cos(x * 8 + u)
           u += 1
         }
         tmp(y * 8 + x) = s / 2
@@ -228,8 +249,7 @@ object Jpeg {
         var s = 0.0
         var v = 0
         while (v < 8) {
-          s += (if (v == 0) math.sqrt(0.5) else 1.0) * tmp(v * 8 + x) *
-            math.cos((2 * yy + 1) * v * math.Pi / 16)
+          s += (if (v == 0) InvSqrt2 else 1.0) * tmp(v * 8 + x) * Cos(yy * 8 + v)
           v += 1
         }
         out(yy * 8 + x) = s / 2

@@ -273,6 +273,38 @@ object Cdc {
     * temp dir, rename into place, then drop a completion marker so a
     * crashed/concurrent generation can never be half-read).
     */
+  /** Generate-once publish for a derived binlog corpus: write into a
+    * temp dir, stamp `_COMPLETE`, ATOMIC_MOVE into place. Losing the
+    * rename race to a concurrent generator is benign (the winner's
+    * output is identical); any other failure deletes the temp dir
+    * before rethrowing, so a crashed generation never leaks. Shared
+    * by the three generated-corpus entries (was three copies of this
+    * block that would have drifted).
+    */
+  private def ensureGenerated(name: String)(
+      write: java.nio.file.Path => Unit): String = {
+    val genDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), name)
+    val marker = genDir.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      // stale partial dir from a crashed/pre-marker generation
+      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        genDir.getParent, s"${name}_tmp_")
+      try {
+        write(tmp)
+        java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
+        java.nio.file.Files.move(tmp, genDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: java.io.IOException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+          if (!java.nio.file.Files.exists(marker)) throw e
+      }
+    }
+    genDir.toString
+  }
+
   def ensureBinlogGenerated(dir: String): String = {
     // binlogs cannot be split at arbitrary offsets (length-prefixed
     // events, no sync markers), so DSv2 parallelism = file count;
@@ -285,28 +317,12 @@ object Cdc {
       case _ => 625
     }
     val nFiles = 32
-    val genDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_binlog_gen_$rowsPerFile")
-    val marker = genDir.resolve("_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
-      // stale partial dir from a crashed/pre-marker generation
-      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
-      val tmp = java.nio.file.Files.createTempDirectory(
-        genDir.getParent, s"graft_binlog_tmp_")
+    ensureGenerated(s"graft_binlog_gen_$rowsPerFile") { tmp =>
       (1 to nFiles).foreach { i =>
         graft.sources.binlog.BinlogGen.writeFile(
           tmp.resolve(f"mysql-bin.$i%06d").toString, rowsPerFile)
       }
-      java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
-      try java.nio.file.Files.move(tmp, genDir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost the race: another process finished first
-        case _: java.io.IOException
-            if java.nio.file.Files.exists(marker) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-      }
     }
-    genDir.toString
   }
 
   // --- cdc_control_events: STOP / INCIDENT / IGNORABLE surfacing ---
@@ -547,53 +563,21 @@ object Cdc {
       .orderBy("server")
   }
 
-  private def ensureReplicaGenerated(): String = {
-    val genDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_binlog_replica_v1")
-    val marker = genDir.resolve("_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
-      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
-      val tmp = java.nio.file.Files.createTempDirectory(
-        genDir.getParent, "graft_replica_tmp_")
+  private def ensureReplicaGenerated(): String =
+    ensureGenerated("graft_binlog_replica_v1") { tmp =>
       (1 to ReplicaFiles).foreach { f =>
         graft.sources.binlog.BinlogGen.writeReplicaFile(
           tmp.resolve(f"mysql-bin.$f%06d").toString,
           firstGno = (f - 1).toLong * ReplicaTxnsPerFile + 1,
           nTxns = ReplicaTxnsPerFile, rowsPerTxn = ReplicaRowsPerTxn)
       }
-      java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
-      try java.nio.file.Files.move(tmp, genDir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.io.IOException
-            if java.nio.file.Files.exists(marker) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-      }
     }
-    genDir.toString
-  }
 
-  private def ensureControlGenerated(): String = {
-    val genDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_binlog_ctrl_v1")
-    val marker = genDir.resolve("_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
-      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
-      val tmp = java.nio.file.Files.createTempDirectory(
-        genDir.getParent, "graft_ctrl_tmp_")
+  private def ensureControlGenerated(): String =
+    ensureGenerated("graft_binlog_ctrl_v1") { tmp =>
       graft.sources.binlog.BinlogGen.writeControlFile(
         tmp.resolve("mysql-bin.000001").toString, nRows = 10)
-      java.nio.file.Files.writeString(tmp.resolve("_COMPLETE"), "ok")
-      try java.nio.file.Files.move(tmp, genDir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.io.IOException
-            if java.nio.file.Files.exists(marker) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-      }
     }
-    genDir.toString
-  }
 
   private def binlogThroughput(s: SparkSession, dir: String): DataFrame = {
     val genDir = ensureBinlogGenerated(dir)

@@ -789,13 +789,18 @@ object TextAnalysis {
       budget: Long,
       histCap: Long): DataFrame = {
     val sc0 = col(scoreCol)
+    // null scores are uniformly NEVER selected (they cannot rank):
+    // dropping them up front keeps every path consistent — the exact
+    // histogram would NPE on a null group and the refinement pass
+    // would count null weights in the total but never in a bucket
+    val ranked = scored.filter(sc0.isNotNull)
     // ONE aggregation job decides the path AND (usually) delivers the
     // whole histogram: collect at most histCap+1 grouped rows — a
     // result of exactly histCap+1 rows means the histogram overflowed
     // the driver bound (arbitrary-truncation rows are discarded) and
     // the range-refinement path takes over; fewer rows IS the
     // complete exact histogram.
-    val probe = scored.groupBy(scoreCol)
+    val probe = ranked.groupBy(scoreCol)
       .agg(sum(col(weightCol)).as("__bucket_w"))
       .limit(math.min(histCap, Int.MaxValue - 1L).toInt + 1)
       .collect()
@@ -816,16 +821,16 @@ object TextAnalysis {
           else { b = v; rem = budget - cum; crossed = true }
         }
         (crossed, b, rem)
-      } else refineBoundary(scored, weightCol, scoreCol, budget)
+      } else refineBoundary(ranked, weightCol, scoreCol, budget)
     val full =
-      if (!done) scored.filter(sc0.isNotNull)
-      else scored.filter(sc0 > boundary)
+      if (!done) ranked
+      else ranked.filter(sc0 > boundary)
     val partial =
-      if (!done) scored.limit(0)
+      if (!done) ranked.limit(0)
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(sc0).orderBy(col(idCol))
-        scored.filter(sc0 === boundary)
+        ranked.filter(sc0 === boundary)
           .withColumn("__cum", sum(col(weightCol)).over(w))
           .filter(col("__cum") <= remainingAtBoundary)
           .drop("__cum")

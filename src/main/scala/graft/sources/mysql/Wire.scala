@@ -144,9 +144,17 @@ object Wire {
       collation, status, auth1 ++ auth2, plugin)
   }
 
-  /** Encode a HandshakeV10 greeting (test-fixture/server side). */
+  /** Encode a HandshakeV10 greeting (test-fixture/server side).
+    * The nonce must be 8 bytes (pre-4.1 short form) or 20 bytes
+    * (every modern server: 8 + 12-byte part 2 + NUL): the wire
+    * format pads part 2 to a 13-byte minimum INCLUDING its NUL, so
+    * a length between 9 and 19 cannot round-trip — the decoder's
+    * spec-mandated `max(12, len-9)` part-2 read would swallow the
+    * padding ambiguity into the nonce.
+    */
   def encodeHandshake(h: Handshake): Array[Byte] = {
-    require(h.authPluginData.length >= 8, "nonce must be >= 8 bytes")
+    require(h.authPluginData.length == 8 || h.authPluginData.length == 20,
+      "nonce must be 8 (short form) or 20 bytes (8 + 12 + NUL wire layout)")
     val out = new java.io.ByteArrayOutputStream()
     val b = new LeWriter(out)
     b.u8(h.protocolVersion)
@@ -199,7 +207,13 @@ object Wire {
     } else if ((caps & SecureConnection) != 0) {
       b.u8(authResponse.length)
       out.write(authResponse, 0, authResponse.length)
-    } else b.u8(0)
+    } else {
+      // neither capability: the protocol's oldest layout is
+      // auth-response as string<NUL> — the scramble still goes on
+      // the wire, not an empty string
+      out.write(authResponse, 0, authResponse.length)
+      b.u8(0)
+    }
     if ((caps & ConnectWithDb) != 0) {
       database match {
         case Some(d) => b.strNul(d)

@@ -394,6 +394,29 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(got == Set(("a", 1.0, 1), ("b", 2.0, 2)))
   }
 
+  test("a lost mirror write self-heals: next commit backfills the gap") {
+    // Simulate the crash window (graft manifest published, delta json
+    // not) by deleting one mirrored version, then commit again: the
+    // log must be contiguous afterwards and the public-protocol read
+    // must land on the current snapshot.
+    val dir = Files.createTempDirectory("graft_delta_heal_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
+    CdcSink.merge(spark, changelog(("b", "c", 2, "p2", 2.0)), dir, Some("part"))
+    val log = new Path(dir, "_delta_log")
+    assert(fs.delete(new Path(log, f"${2L}%020d.json"), false)) // the hole
+    CdcSink.merge(spark, changelog(("a", "u", 3, "p1", 9.0)), dir, Some("part"))
+    val versions = fs.listStatus(log).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(_.stripSuffix(".json").toLongOption).sorted
+    assert(versions.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"delta log not contiguous after heal: ${versions.mkString(",")}")
+    // the backfilled v2 is commitInfo-only; v3 re-converges the state
+    val v2 = readJsonActions(new Path(log, f"${2L}%020d.json"))
+    assert(v2.forall(a => (a \ "add") == JNothing && (a \ "remove") == JNothing))
+    assert(sortedRows(DeltaLog.read(spark, dir)) ==
+      sortedRows(CdcSink.read(spark, dir)))
+  }
+
   test("vacuum keeps the delta log; current version stays readable through it") {
     val dir = Files.createTempDirectory("graft_delta_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
