@@ -58,6 +58,32 @@ class SkewSpec extends AnyFunSuite {
     } finally log.unpersist()
   }
 
+  test("aggregate fold == window fold over randomized changelog shapes") {
+    // deterministic pseudo-random sweep: key cardinality, delete
+    // ratio, and payload width vary per seed; offsets stay unique
+    // (the fold's documented precondition — ties are the one place
+    // both formulations are individually nondeterministic)
+    for (seed <- 1 to 4) {
+      val n = 20000L + seed * 7000L
+      val keys = Seq(17L, 400L, 9000L, 1L)(seed - 1)
+      val log = spark.range(0, n, 1, 8)
+        .select(
+          pmod(xxhash64(col("id"), lit(seed)), lit(keys)).cast("string").as("key"),
+          col("id").as("offset"),
+          when(pmod(xxhash64(col("id"), lit(seed + 100)), lit(7)) === 0, lit("d"))
+            .otherwise(lit("u")).as("op"),
+          concat(lit("p"), pmod(col("id"), lit(97))).as("v1"),
+          (col("id") % 13).cast("double").as("v2"))
+        .persist()
+      try {
+        val agg = CdcApply.snapshot(log)
+        val win = CdcApply.snapshotWindowed(log)
+        assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+          s"fold divergence at seed=$seed keys=$keys")
+      } finally log.unpersist()
+    }
+  }
+
   test("executed plan: Partial-mode combine below the exchange, no Window") {
     val folded = CdcApply.snapshot(changelog(100000L, 5000L, hot = true))
     folded.count() // materialize so AQE finalizes the executed plan
