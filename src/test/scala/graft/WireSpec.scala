@@ -156,6 +156,66 @@ class WireSpec extends AnyFunSuite {
     assert(p3.length == big.length && p3.forall(_ == 7))
   }
 
+  test("real captured server packets decode (reference wire fixtures)") {
+    // Byte-for-byte captures from live servers, taken from the
+    // reference's own tests (rust-cdc handshake.rs:93-145, ok.rs:44,
+    // err.rs:51-76) — used as INPUTS to validate the clean-room
+    // decoder against real-world layouts, exactly like the binlog
+    // fixture files validate the event parser.
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // MySQL 8.0.18 greeting (CLIENT_MYSQL set → reserved tail)
+    val mysql8 = b(0x0a) ++ ascii("8.0.18") ++ b(0) ++ b(0x19, 0, 0, 0) ++
+      b(0x11) ++ ascii("4aB0c") ++ b(0x06) ++ ascii("g") ++ b(0) ++
+      b(0xff, 0xff) ++ b(0xff) ++ b(0x02, 0) ++ b(0xff, 0xc7) ++ b(0x15) ++
+      Array.fill[Byte](10)(0) ++
+      ascii("tL") ++ b(0x03) ++ ascii("s") ++ b(0x0f) ++ ascii("[4") ++
+      b(0x0d) ++ ascii("l4. ") ++ b(0) ++
+      ascii("caching_sha2_password") ++ b(0)
+    val h8 = Wire.decodeHandshake(mysql8)
+    assert(h8.protocolVersion == 10 && h8.serverVersion == "8.0.18")
+    assert(h8.connectionId == 25 && h8.collation == 255)
+    assert((h8.status & 0x2) != 0) // SERVER_STATUS_AUTOCOMMIT
+    assert(h8.authPlugin.contains("caching_sha2_password"))
+    assert(h8.authPluginData.toSeq == Seq(17, 52, 97, 66, 48, 99, 6, 103,
+      116, 76, 3, 115, 15, 91, 52, 13, 108, 52, 46, 32).map(_.toByte))
+    // MariaDB 10.4.7 greeting (CLIENT_MYSQL clear → extended caps word)
+    val maria = b(0x0a) ++
+      ascii("5.5.5-10.4.7-MariaDB-1:10.4.7+maria~bionic") ++ b(0) ++
+      b(0x0b, 0, 0, 0) ++ ascii("t6L") ++ b(0x5c) ++ ascii("j") ++
+      b(0x22) ++ ascii("dS") ++ b(0) ++
+      b(0xfe, 0xf7) ++ b(0x08) ++ b(0x02, 0) ++ b(0xff, 0x81) ++ b(0x15) ++
+      Array.fill[Byte](6)(0) ++ b(0x07, 0, 0, 0) ++
+      ascii("U14Oph9") ++ b(0x22) ++ ascii("<H5n") ++ b(0) ++
+      ascii("mysql_native_password") ++ b(0)
+    val hm = Wire.decodeHandshake(maria)
+    assert(hm.serverVersion == "5.5.5-10.4.7-MariaDB-1:10.4.7+maria~bionic")
+    assert(hm.connectionId == 11 && hm.collation == 8)
+    assert((hm.capabilities >> 32) == 7L) // MariaDB extended caps word
+    assert(hm.authPlugin.contains("mysql_native_password"))
+    assert(hm.authPluginData.toSeq == Seq(116, 54, 76, 92, 106, 34, 100, 83,
+      85, 49, 52, 79, 112, 104, 57, 34, 60, 72, 53, 110).map(_.toByte))
+    // both real greetings drive the full client phase without error
+    assert(Wire.connectionPhase(mysql8, "repl", "pw", None)._2 ==
+      "caching_sha2_password")
+    assert(Wire.connectionPhase(maria, "repl", "pw", None)._2 ==
+      "mysql_native_password")
+    // captured OK: status 0x4002 (autocommit | session-state-changed)
+    val ok = Wire.decodeOk(b(0, 0, 0, 0x02, 0x40, 0, 0))
+    assert(ok.affectedRows == 0 && ok.lastInsertId == 0)
+    assert((ok.status & 0x2) != 0 && (ok.status & 0x4000) != 0)
+    assert(ok.warnings == 0)
+    // captured ERRs: without and with the '#' sql-state marker
+    val e1 = Wire.decodeErr(b(0xff, 0x84, 0x04) ++
+      ascii("Got packets out of order"))
+    assert(e1.code == 1156 && e1.sqlState == "" &&
+      e1.message == "Got packets out of order")
+    val e2 = Wire.decodeErr(b(0xff, 0x19, 0x04) ++
+      ascii("#42000Unknown database 'unknown'"))
+    assert(e2.code == 1049 && e2.sqlState == "42000" &&
+      e2.message == "Unknown database 'unknown'")
+  }
+
   // ---- command phase (conn.rs:367-460) -------------------------------
 
   test("COM_QUERY / COM_PING / COM_QUIT single-command encodes") {
