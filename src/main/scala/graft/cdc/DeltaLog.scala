@@ -55,6 +55,27 @@ object DeltaLog {
       Option(u.getPath).getOrElse(p)
     } catch { case _: java.net.URISyntaxException => p }
 
+  /** Canonical live-set key for an action path: absolute-URI paths
+    * (the spec allows externally-located files, e.g. s3://…) keep
+    * their full form; relative paths are percent-DECODED so the raw
+    * paths a pre-encoding writer logged and the encoded form the
+    * current writer logs collide onto the same key — a remove always
+    * cancels its add regardless of which era wrote which.
+    */
+  private def normPath(p: String): String = {
+    val scheme = try new java.net.URI(p).getScheme
+      catch { case _: java.net.URISyntaxException => null }
+    if (scheme != null) p else decodePath(p)
+  }
+
+  /** Filesystem location of a normalized live-set key. */
+  private def resolvePath(tableDir: String, key: String): Path = {
+    val scheme = try new java.net.URI(key).getScheme
+      catch { case _: java.net.URISyntaxException => null }
+    if (scheme != null) new Path(new java.net.URI(key))
+    else new Path(tableDir, key)
+  }
+
   def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
 
   /** Stable table id: derived from the table path so re-opens of the
@@ -116,22 +137,35 @@ object DeltaLog {
       prev: Option[TxnLog.Manifest]): Unit = {
     val d = logDir(tableDir)
     fs.mkdirs(d)
-    val existing = jsonVersions(fs, tableDir)
     // delta needs a version-0 protocol+metaData commit; graft
     // versions start at 1, so the first mirror lays down 0 first
-    if (existing.isEmpty) {
+    val v0Path = new Path(d, f"${0L}%020d.json")
+    if (!fs.exists(v0Path)) {
       val v0 = Seq(protocolJson, metaDataJson(tableDir, schema))
         .map(j => JsonMethods.compact(JsonMethods.render(j)))
         .mkString("", "\n", "\n")
-      writeAtomic(fs, new Path(d, f"${0L}%020d.json"), v0.getBytes("UTF-8"))
+      writeAtomic(fs, v0Path, v0.getBytes("UTF-8"))
     }
-    val mirroredMax = if (existing.isEmpty) 0L else existing.max
-    val holes = (mirroredMax + 1) until version
-    val prevPaths: Seq[String] =
-      if (holes.isEmpty) prev.map(_.entries.map(_.path)).getOrElse(Nil)
+    // fast no-gap probe keeps the hot commit path O(1): a full
+    // directory listing only happens when version-1's json is absent
+    val holes: Seq[Long] =
+      if (version == 1 || fs.exists(new Path(d, f"${version - 1}%020d.json"))) Nil
+      else {
+        val existing = jsonVersions(fs, tableDir)
+        val mirroredMax = if (existing.isEmpty) 0L else existing.max
+        (mirroredMax + 1) until version
+      }
+    val (prevPaths: Seq[String], schemaChanged: Boolean) =
+      if (holes.isEmpty)
+        (prev.map(_.entries.map(_.path)).getOrElse(Nil),
+          prev.exists(_.schemaJson != schema.json))
       else {
         // crash window: backfill, then diff against what the delta
-        // log actually replays to (decoded back to manifest space)
+        // log actually replays to (normalized back to manifest
+        // space) — INCLUDING the schema: a metaData action lost in
+        // the gap must be re-emitted even when the graft prev
+        // manifest already carries the new schema, or every later
+        // read applies the stale schemaString forever
         holes.foreach { u =>
           val body = JsonMethods.compact(JsonMethods.render(JObject(
             "commitInfo" -> JObject(
@@ -140,16 +174,16 @@ object DeltaLog {
               "backfill" -> JBool(true))))) + "\n"
           writeAtomic(fs, new Path(d, f"$u%020d.json"), body.getBytes("UTF-8"))
         }
-        val replayed = (0L to mirroredMax).foldLeft(LogState.empty) { (s, v) =>
+        // after the backfill every version below `version` exists
+        val replayed = (0L until version).foldLeft(LogState.empty) { (s, v) =>
           applyActions(s, parseActions(fs, new Path(d, f"$v%020d.json")))
         }
-        replayed.live.keys.map(decodePath).toSeq
+        (replayed.live.keys.toSeq, replayed.schemaJson != schema.json)
       }
     val newPaths = entries.map(_.path)
     val removed = prevPaths.filterNot(newPaths.toSet)
     val prevSet = prevPaths.toSet
     val added = entries.filterNot(e => prevSet(e.path))
-    val schemaChanged = prev.exists(_.schemaJson != schema.json)
     val actions = Seq.newBuilder[JObject]
     actions += JObject("commitInfo" -> JObject(
       "operation" -> JString("WRITE"),
@@ -217,10 +251,11 @@ object DeltaLog {
         case JNothing => (a \ "add") match {
           case JNothing => (a \ "remove") match {
             case JNothing => s
-            case r => s.copy(live = s.live - (r \ "path").extract[String])
+            case r => s.copy(live = s.live - normPath((r \ "path").extract[String]))
           }
           case ad => s.copy(live = s.live +
-            ((ad \ "path").extract[String] -> partValues(ad \ "partitionValues")))
+            (normPath((ad \ "path").extract[String]) ->
+              partValues(ad \ "partitionValues")))
         }
         case md =>
           val parts = (md \ "partitionColumns") match {
@@ -256,30 +291,48 @@ object DeltaLog {
     val latest = versions.max
     implicit val fmt: Formats = DefaultFormats
     val lastCkpt = new Path(d, "_last_checkpoint")
-    val (startV, startState): (Long, LogState) =
-      if (!fs.exists(lastCkpt)) (-1L, LogState.empty)
-      else {
+    // the hint is best-effort by spec: a torn/concurrently-rewritten
+    // file, or a checkpoint format we do not read (v2/sidecar), must
+    // degrade to the JSON replay, never fail the read
+    val hint: Option[(Long, Option[Int])] =
+      if (!fs.exists(lastCkpt)) None
+      else try {
         val in = fs.open(lastCkpt)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        val v = (JsonMethods.parse(txt) \ "version").extract[Long]
-        val ckPath = new Path(d, f"$v%020d.checkpoint.parquet")
-        if (!fs.exists(ckPath)) (-1L, LogState.empty) // stale hint
-        else {
-          val ck = spark.read.parquet(ckPath.toString)
-          val md = ck.filter(org.apache.spark.sql.functions.col("metaData").isNotNull)
-            .select("metaData.schemaString", "metaData.partitionColumns").head
-          val adds = ck.filter(org.apache.spark.sql.functions.col("add").isNotNull)
-            .select("add.path", "add.partitionValues").collect()
-            .map { r =>
-              val pv = Option(r.getMap[String, String](1))
-                .map(_.toMap.map { case (k, v2) => k -> Option(v2) })
-                .getOrElse(Map.empty[String, Option[String]])
-              r.getString(0) -> pv
-            }.toMap
-          (v, LogState(md.getString(0), md.getSeq[String](1), adds))
-        }
+        val j = JsonMethods.parse(txt)
+        Some(((j \ "version").extract[Long], (j \ "parts").extractOpt[Int]))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val ckFiles: Option[(Long, Seq[Path])] = hint.flatMap { case (v, parts) =>
+      // classic single-file or multi-part checkpoint names (public
+      // spec); a missing file → stale hint → fall back
+      val files = parts match {
+        case Some(n) => (1 to n).map(i =>
+          new Path(d, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
+        case None => Seq(new Path(d, f"$v%020d.checkpoint.parquet"))
       }
+      if (files.forall(fs.exists)) Some(v -> files) else None
+    }
+    val (startV, startState): (Long, LogState) = ckFiles match {
+      case None =>
+        require(versions.min == 0L,
+          s"delta read: log starts at version ${versions.min} with no " +
+            "readable checkpoint — a log-cleaned table needs its checkpoint")
+        (-1L, LogState.empty)
+      case Some((v, files)) =>
+        val ck = spark.read.parquet(files.map(_.toString): _*)
+        val md = ck.filter(org.apache.spark.sql.functions.col("metaData").isNotNull)
+          .select("metaData.schemaString", "metaData.partitionColumns").head
+        val adds = ck.filter(org.apache.spark.sql.functions.col("add").isNotNull)
+          .select("add.path", "add.partitionValues").collect()
+          .map { r =>
+            val pv = Option(r.getMap[String, String](1))
+              .map(_.toMap.map { case (k, v2) => k -> Option(v2) })
+              .getOrElse(Map.empty[String, Option[String]])
+            normPath(r.getString(0)) -> pv
+          }.toMap
+        (v, LogState(md.getString(0), md.getSeq[String](1), adds))
+    }
     val st = ((startV + 1) to latest).foldLeft(startState) { (s, v) =>
       applyActions(s, parseActions(fs, new Path(d, f"$v%020d.json")))
     }
@@ -315,7 +368,7 @@ object DeltaLog {
       st: LogState): org.apache.spark.sql.DataFrame = {
     require(st.schemaJson.nonEmpty, "delta read: no metaData action found")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    def resolve(p: String): Path = new Path(tableDir, decodePath(p))
+    def resolve(p: String): Path = resolvePath(tableDir, p)
     if (st.live.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -365,10 +418,19 @@ object DeltaLog {
           st.partitionCols.map(c => StructField(s"__pv_$c", StringType)))
         val mapDf = spark.createDataFrame(
           spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+        // LEFT join + raise_error guard: a key mismatch between the
+        // scan's reported file string and the precomputed SparkPath
+        // form must fail loudly, not silently drop the file's rows
         val base = spark.read.schema(physical)
           .parquet(st.live.keys.map(resolve(_).toString).toSeq: _*)
           .withColumn("__file", input_file_name())
-          .join(broadcast(mapDf), "__file")
+          .join(broadcast(mapDf.withColumn("__matched", lit(true))),
+            Seq("__file"), "left")
+          .filter(org.apache.spark.sql.functions.when(
+            col("__matched").isNull,
+            org.apache.spark.sql.functions.expr(
+              "raise_error(concat('delta read: no partition mapping for ', __file))"))
+            .otherwise(lit(true)))
         st.partitionCols.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(s"__pv_$c").cast(schema(c).dataType))
         }.select(schema.fieldNames.map(col): _*)
@@ -441,9 +503,15 @@ object DeltaLog {
     val last = JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JInt(BigInt(version)),
       "size" -> JInt(BigInt(rows.size)))))
-    // _last_checkpoint is overwritten in place per the spec (it is a
-    // hint; readers fall back to log listing if it is stale)
-    val out = fs.create(new Path(d, "_last_checkpoint"), true)
+    // replace the hint via tmp + delete + rename: a reader in the
+    // window sees either the old hint, no hint (→ full replay), or
+    // the new hint — never a torn half-write (the hint parse also
+    // tolerates garbage and falls back, belt and braces)
+    val hintTmp = new Path(d, s".lc-tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(hintTmp, false)
     try out.write(last.getBytes("UTF-8")) finally out.close()
+    val hintTarget = new Path(d, "_last_checkpoint")
+    fs.delete(hintTarget, false)
+    if (!fs.rename(hintTmp, hintTarget)) fs.delete(hintTmp, false)
   }
 }

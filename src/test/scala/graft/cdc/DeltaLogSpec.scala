@@ -415,6 +415,22 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(v2.forall(a => (a \ "add") == JNothing && (a \ "remove") == JNothing))
     assert(sortedRows(DeltaLog.read(spark, dir)) ==
       sortedRows(CdcSink.read(spark, dir)))
+    // a SCHEMA EVOLUTION lost in the gap must be re-emitted by the
+    // heal: the graft prev manifest already carries the new schema,
+    // so the naive prev-comparison would skip metaData and every
+    // later delta read would drop the evolved column forever
+    val dir2 = Files.createTempDirectory("graft_delta_heal2_").toString
+    CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir2, None)
+    CdcSink.merge(spark,
+      changelog(("b", "c", 2, "p2", 2.0)).withColumn("extra", lit(7.5)),
+      dir2, None) // v2 evolves the schema — then its mirror is lost
+    val log2 = new Path(dir2, "_delta_log")
+    assert(fs.delete(new Path(log2, f"${2L}%020d.json"), false))
+    CdcSink.merge(spark, changelog(("c", "c", 3, "p3", 3.0)), dir2, None)
+    val healed = DeltaLog.read(spark, dir2)
+    assert(healed.schema.fieldNames.contains("extra"),
+      "schema evolution lost in the mirror gap was not re-emitted")
+    assert(sortedRows(healed) == sortedRows(CdcSink.read(spark, dir2)))
   }
 
   test("vacuum keeps the delta log; current version stays readable through it") {
