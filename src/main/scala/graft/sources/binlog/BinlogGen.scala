@@ -20,23 +20,36 @@ object BinlogGen {
   private val Ts = 1700000000L // fixed
   private val ServerId = 1L
 
-  def writeFile(path: String, nRows: Int, rowsPerEvent: Int = 100): Unit = {
+  /** Shared fixture-file scaffold: magic + FDE, then each emitted
+    * event threaded through [[writeEvent]] position accounting. One
+    * place to change if fixtures ever gain checksums/rotate events —
+    * was EIGHT copies of the open/magic/FDE/close boilerplate.
+    */
+  private def withBinlog(path: String)(body: ((Int, Array[Byte]) => Unit) => Unit): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     try {
       out.write(BinlogParser.Magic)
       var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13, tableMapBody())
+      def emit(eventType: Int, eventBody: Array[Byte]): Unit =
+        pos = writeEvent(out, pos, eventType, eventBody)
+      emit(0x0f, fdeBody())
+      body(emit)
+    } finally out.close()
+  }
+
+  def writeFile(path: String, nRows: Int, rowsPerEvent: Int = 100): Unit = {
+    withBinlog(path) { emit =>
+      emit(0x13, tableMapBody())
       var written = 0
       var rowId = 1
       while (written < nRows) {
         val n = math.min(rowsPerEvent, nRows - written)
-        pos = writeEvent(out, pos, 0x1e, writeRowsBody(rowId, n))
-        pos = writeEvent(out, pos, 0x10, xidBody(rowId.toLong))
+        emit(0x1e, writeRowsBody(rowId, n))
+        emit(0x10, xidBody(rowId.toLong))
         rowId += n
         written += n
       }
-    } finally out.close()
+    }
   }
 
   /** Latin1-charset table: `gen.latin (id INT, name VARCHAR(160)
@@ -49,20 +62,16 @@ object BinlogGen {
   val Latin1TableId = 81L
 
   def writeCharsetFile(path: String, names: Seq[String]): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13,
+    withBinlog(path) { emit =>
+      emit(0x13,
         charsetTableMapBody(Latin1TableId, "latin", 8))
-      pos = writeEvent(out, pos, 0x1e, charsetRowsBody(Latin1TableId, names,
+      emit(0x1e, charsetRowsBody(Latin1TableId, names,
         java.nio.charset.StandardCharsets.ISO_8859_1))
       // a v1 write-rows header (payload ignored by the parser — it
       // must surface as WRITE_ROWS_V1, not UNKNOWN)
-      pos = writeEvent(out, pos, 0x17, Array[Byte](0, 0, 0, 0, 0, 0))
-      pos = writeEvent(out, pos, 0x10, xidBody(7L))
-    } finally out.close()
+      emit(0x17, Array[Byte](0, 0, 0, 0, 0, 0))
+      emit(0x10, xidBody(7L))
+    }
   }
 
   /** CJK/UTF-family charset tables: `gen.gbk` (collation 28 =
@@ -77,25 +86,30 @@ object BinlogGen {
 
   def writeCjkCharsetFile(
       path: String, gbkNames: Seq[String], utf16Names: Seq[String]): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13, charsetTableMapBody(GbkTableId, "gbk", 28))
-      pos = writeEvent(out, pos, 0x1e, charsetRowsBody(GbkTableId, gbkNames,
+    withBinlog(path) { emit =>
+      emit(0x13, charsetTableMapBody(GbkTableId, "gbk", 28))
+      emit(0x1e, charsetRowsBody(GbkTableId, gbkNames,
         java.nio.charset.Charset.forName("GBK")))
-      pos = writeEvent(out, pos, 0x13, charsetTableMapBody(Utf16TableId, "utf16", 54))
-      pos = writeEvent(out, pos, 0x1e, charsetRowsBody(Utf16TableId, utf16Names,
-        java.nio.charset.StandardCharsets.UTF_16BE))
-      pos = writeEvent(out, pos, 0x10, xidBody(9L))
-    } finally out.close()
+      // utf16 VARCHAR(160) has meta 640 (4 bytes/char max in MySQL):
+      // > 255, so these rows carry the 2-byte value length prefix —
+      // the branch every real multibyte production binlog exercises
+      emit(0x13,
+        charsetTableMapBody(Utf16TableId, "utf16", 54, maxLen = 640))
+      emit(0x1e, charsetRowsBody(Utf16TableId, utf16Names,
+        java.nio.charset.StandardCharsets.UTF_16BE, maxLen = 640))
+      emit(0x10, xidBody(9L))
+    }
   }
 
-  /** TABLE_MAP for `gen.<table> (id INT, name VARCHAR(160))` whose
-    * DEFAULT_CHARSET optional-metadata TLV carries `collationId`. */
+  /** TABLE_MAP for `gen.<table> (id INT, name VARCHAR)` whose
+    * DEFAULT_CHARSET optional-metadata TLV carries `collationId`;
+    * `maxLen` is the column's max BYTE length (the VARCHAR meta) —
+    * above 255 it switches the rows to the protocol's 2-byte value
+    * length prefix, the branch real multibyte charsets hit (a
+    * VARCHAR(160) utf16 column has meta 640). */
   private def charsetTableMapBody(
-      tableId: Long, tableName: String, collationId: Int): Array[Byte] = {
+      tableId: Long, tableName: String, collationId: Int,
+      maxLen: Int = 160): Array[Byte] = {
     require(collationId < 251, "lenenc single-byte collation only")
     val schema = "gen".getBytes("UTF-8")
     val table = tableName.getBytes("UTF-8")
@@ -109,7 +123,7 @@ object BinlogGen {
     b.put(2.toByte) // col count (lenenc, < 251)
     b.put(0x03.toByte); b.put(0x0f.toByte) // LONG, VARCHAR
     b.put(2.toByte) // meta block length (lenenc)
-    b.putShort(160) // VARCHAR max length u16 LE
+    b.putShort(maxLen.toShort) // VARCHAR max length u16 LE
     b.put(0.toByte) // nullability bitmap
     b.put(2.toByte) // TLV type: DEFAULT_CHARSET
     b.put(1.toByte) // TLV length (lenenc)
@@ -119,13 +133,21 @@ object BinlogGen {
 
   private def charsetRowsBody(
       tableId: Long, names: Seq[String],
-      charset: java.nio.charset.Charset): Array[Byte] = {
+      charset: java.nio.charset.Charset,
+      maxLen: Int = 160): Array[Byte] = {
+    // the value length prefix width follows the column's meta, the
+    // same rule the parser applies: 2 bytes when maxLen > 255, else 1
+    val wide = maxLen > 255
     val rows = names.zipWithIndex.map { case (name, i) =>
       val raw = name.getBytes(charset)
-      val r = ByteBuffer.allocate(1 + 4 + 1 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+      require(raw.length <= maxLen,
+        s"charset fixture name encodes to ${raw.length} bytes > VARCHAR($maxLen)")
+      val r = ByteBuffer.allocate(1 + 4 + (if (wide) 2 else 1) + raw.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
       r.put(0.toByte) // null bitmap: none null
       r.putInt(i + 1)
-      r.put(raw.length.toByte); r.put(raw)
+      if (wide) r.putShort(raw.length.toShort) else r.put(raw.length.toByte)
+      r.put(raw)
       r.array()
     }
     val rowBytes = rows.map(_.length).sum
@@ -143,15 +165,11 @@ object BinlogGen {
     * NULL. Mirrors the reference's UserVar event surface.
     */
   def writeUserVarFile(path: String, vars: Seq[(String, Option[Any])]): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
+    withBinlog(path) { emit =>
       vars.foreach { case (name, v) =>
-        pos = writeEvent(out, pos, 0x0e, userVarBody(name, v))
+        emit(0x0e, userVarBody(name, v))
       }
-    } finally out.close()
+    }
   }
 
   private def userVarBody(name: String, value: Option[Any]): Array[Byte] = {
@@ -257,18 +275,14 @@ object BinlogGen {
     * for the typed-row decode + DLQ-surfacing specs.
     */
   def writeControlFile(path: String, nRows: Int = 10): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13, tableMapBody())
-      pos = writeEvent(out, pos, 0x1e, writeRowsBody(1, nRows))
-      pos = writeEvent(out, pos, 0x10, xidBody(1L))
-      pos = writeEvent(out, pos, 0x1c, Array.empty[Byte])
-      pos = writeEvent(out, pos, 0x1a, incidentBody(1, "binlog gap on master"))
-      pos = writeEvent(out, pos, 0x03, Array.empty[Byte])
-    } finally out.close()
+    withBinlog(path) { emit =>
+      emit(0x13, tableMapBody())
+      emit(0x1e, writeRowsBody(1, nRows))
+      emit(0x10, xidBody(1L))
+      emit(0x1c, Array.empty[Byte])
+      emit(0x1a, incidentBody(1, "binlog gap on master"))
+      emit(0x03, Array.empty[Byte])
+    }
   }
 
   /** Replica-loop stream: per transaction, GTID(uuid:gno) +
@@ -280,20 +294,16 @@ object BinlogGen {
     */
   def writeReplicaFile(
       path: String, firstGno: Long, nTxns: Int, rowsPerTxn: Int): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
+    withBinlog(path) { emit =>
       (0 until nTxns).foreach { t =>
         val gno = firstGno + t
-        pos = writeEvent(out, pos, 0x21, gtidBody(gno))
-        pos = writeEvent(out, pos, 0x13, tableMapBody())
+        emit(0x21, gtidBody(gno))
+        emit(0x13, tableMapBody())
         val firstId = ((gno - 1) * rowsPerTxn + 1).toInt
-        pos = writeEvent(out, pos, 0x1e, writeRowsBody(firstId, rowsPerTxn))
-        pos = writeEvent(out, pos, 0x10, xidBody(gno))
+        emit(0x1e, writeRowsBody(firstId, rowsPerTxn))
+        emit(0x10, xidBody(gno))
       }
-    } finally out.close()
+    }
   }
 
   private def gtidBody(gno: Long): Array[Byte] = {
@@ -312,15 +322,11 @@ object BinlogGen {
   }
 
   def writeTypedFile(path: String, n: Int): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13, typedTableMapBody())
-      pos = writeEvent(out, pos, 0x1e, typedRowsBody(n))
-      pos = writeEvent(out, pos, 0x10, xidBody(1L))
-    } finally out.close()
+    withBinlog(path) { emit =>
+      emit(0x13, typedTableMapBody())
+      emit(0x1e, typedRowsBody(n))
+      emit(0x10, xidBody(1L))
+    }
   }
 
   private def typedTableMapBody(): Array[Byte] = {
@@ -379,15 +385,11 @@ object BinlogGen {
   val TemporalTableId = 79L
 
   def writeTemporalFile(path: String, n: Int): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13, temporalTableMapBody())
-      pos = writeEvent(out, pos, 0x1e, temporalRowsBody(n))
-      pos = writeEvent(out, pos, 0x10, xidBody(1L))
-    } finally out.close()
+    withBinlog(path) { emit =>
+      emit(0x13, temporalTableMapBody())
+      emit(0x1e, temporalRowsBody(n))
+      emit(0x10, xidBody(1L))
+    }
   }
 
   private def temporalTableMapBody(): Array[Byte] = {
@@ -472,17 +474,13 @@ object BinlogGen {
       colTypes: Array[Int],
       metaBytes: Array[Byte],
       rowValues: Seq[Array[Byte]]): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    try {
-      out.write(BinlogParser.Magic)
-      var pos = 4L
-      pos = writeEvent(out, pos, 0x0f, fdeBody())
-      pos = writeEvent(out, pos, 0x13,
+    withBinlog(path) { emit =>
+      emit(0x13,
         genericTableMapBody(tableId, table, colTypes, metaBytes))
-      pos = writeEvent(out, pos, 0x1e,
+      emit(0x1e,
         genericRowsBody(tableId, colTypes.length, rowValues))
-      pos = writeEvent(out, pos, 0x10, xidBody(1L))
-    } finally out.close()
+      emit(0x10, xidBody(1L))
+    }
   }
 
   private def genericTableMapBody(

@@ -153,8 +153,14 @@ object Wire {
     * padding ambiguity into the nonce.
     */
   def encodeHandshake(h: Handshake): Array[Byte] = {
-    require(h.authPluginData.length == 8 || h.authPluginData.length == 20,
-      "nonce must be 8 (short form) or 20 bytes (8 + 12 + NUL wire layout)")
+    // the nonce length is DICTATED by the capability bits, not free:
+    // SECURE_CONNECTION carries part 2 (8 + 12 + NUL on the wire);
+    // without it only the 8-byte part 1 exists — any other combo
+    // encodes something decodeHandshake cannot round-trip
+    val needLong = (h.capabilities & SecureConnection) != 0
+    require(h.authPluginData.length == (if (needLong) 20 else 8),
+      s"nonce must be ${if (needLong) 20 else 8} bytes for these " +
+        "capabilities (SECURE_CONNECTION gates the 12+NUL part 2)")
     val out = new java.io.ByteArrayOutputStream()
     val b = new LeWriter(out)
     b.u8(h.protocolVersion)
@@ -210,7 +216,13 @@ object Wire {
     } else {
       // neither capability: the protocol's oldest layout is
       // auth-response as string<NUL> — the scramble still goes on
-      // the wire, not an empty string
+      // the wire, not an empty string. That layout carried the ASCII
+      // scramble_323 and cannot express a binary scramble containing
+      // 0x00 (a reader stops at the first NUL): reject instead of
+      // sending nondeterministically-truncated credentials.
+      require(!authResponse.contains(0: Byte),
+        "wire: string<NUL> auth layout cannot carry a scramble with " +
+          "an embedded 0x00 byte (server offers no length-prefixed form)")
       out.write(authResponse, 0, authResponse.length)
       b.u8(0)
     }
@@ -244,14 +256,19 @@ object Wire {
   }
 
   /** caching_sha2_password fast path:
-    * SHA256(pw) XOR SHA256(nonce ++ SHA256(SHA256(pw))).
+    * SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) ++ nonce).
+    * NOTE the argument order: the SHA256 variant concatenates the
+    * digest-of-digest FIRST and the nonce second — the REVERSE of
+    * mysql_native_password's SHA1 construction (nonce first). Every
+    * canonical implementation (the server's scramble generator, the
+    * major connectors) agrees on this order.
     */
   def scrambleCachingSha2(password: String, nonce: Array[Byte]): Array[Byte] = {
     val sha = MessageDigest.getInstance("SHA-256")
     val pwHash = sha.digest(password.getBytes("UTF-8"))
     val pwHashHash = sha.digest(pwHash)
-    sha.update(nonce)
     sha.update(pwHashHash)
+    sha.update(nonce)
     xor(pwHash, sha.digest())
   }
 
@@ -328,7 +345,8 @@ object Wire {
     b.u32(binlogPos)
     b.u16(0)
     b.u32(serverId)
-    out.write(filename.getBytes("UTF-8"), 0, filename.getBytes("UTF-8").length)
+    val fn = filename.getBytes("UTF-8")
+    out.write(fn, 0, fn.length)
     out.toByteArray
   }
 
@@ -486,8 +504,12 @@ object Wire {
 
   final case class ResultSet(columns: Seq[ColumnDef], rows: Seq[Seq[Option[String]]]) {
     def columnNames: Seq[String] = columns.map(_.resultName)
-    def apply(row: Int, column: String): Option[String] =
-      rows(row)(columnNames.indexOf(column))
+    def apply(row: Int, column: String): Option[String] = {
+      val idx = columnNames.indexOf(column)
+      require(idx >= 0,
+        s"wire: resultset has no column '$column' (have ${columnNames.mkString(", ")})")
+      rows(row)(idx)
+    }
   }
 
   /** Server-side fixture: frame a complete text resultset — column

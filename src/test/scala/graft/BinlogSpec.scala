@@ -247,7 +247,10 @@ class BinlogSpec extends AnyFunSuite {
     // valid UTF-8; UTF-16BE has NUL high bytes that a UTF-8 decode
     // would splice through — both mojibake without the collation map
     val gbkNames = Seq("数据库", "变更数据", "ascii too")
-    val utf16Names = Seq("résumé", "データ", "plain")
+    // the 140-char name encodes to 280 UTF-16BE bytes — longer than
+    // one byte can express, so it genuinely requires the 2-byte
+    // value length prefix the utf16 column's meta (640 > 255) selects
+    val utf16Names = Seq("résumé", "データ", "plain", "デ" * 140)
     graft.sources.binlog.BinlogGen.writeCjkCharsetFile(path, gbkNames, utf16Names)
     val events = BinlogParser.parseFile(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))

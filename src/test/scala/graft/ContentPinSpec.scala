@@ -66,6 +66,11 @@ class ContentPinSpec extends AnyFunSuite {
   pin("mm_audio_vad", 125, "-20136297477257002396")
   pin("mm_phash_cluster", 376, "84625292651535797446")
   pin("cdc_control_events", 7, "-4994099265738202205")
-  pin("cdc_wire_handshake", 8, "6504737114276586359")
+  // cdc_wire_handshake re-pinned r10: the caching_sha2 scramble's
+  // concatenation order was corrected to the canonical
+  // SHA256(SHA256(SHA256(pw)) || nonce) (digest-of-digest first) —
+  // the sha256_prefix column changed with it; WireSpec derives the
+  // canonical construction independently and rejects the old order.
+  pin("cdc_wire_handshake", 8, "-930587318581623881")
   pin("cdc_wire_command", 8, "3009857077118845075")
 }

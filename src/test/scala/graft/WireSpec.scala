@@ -60,14 +60,22 @@ class WireSpec extends AnyFunSuite {
     assert(Wire.scrambleNative("secret", nonce20.reverse).toSeq != got.toSeq)
   }
 
-  test("caching_sha2 scramble: SHA256 construction, 32 bytes") {
+  test("caching_sha2 scramble: SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) || nonce)") {
+    // canonical argument order: digest-of-digest FIRST, nonce second
+    // (the REVERSE of the SHA1 native construction) — the order every
+    // server/connector implementation agrees on
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val pw = md.digest("secret".getBytes("UTF-8"))
     val pwpw = md.digest(pw)
-    md.update(nonce20); md.update(pwpw)
+    md.update(pwpw); md.update(nonce20)
     val rhs = md.digest()
     val want = pw.zip(rhs).map { case (a, b) => (a ^ b).toByte }
     assert(Wire.scrambleCachingSha2("secret", nonce20).toSeq == want.toSeq)
+    // and it must NOT equal the nonce-first (native-style) order —
+    // the regression this test exists to catch
+    md.update(nonce20); md.update(pwpw)
+    val wrong = pw.zip(md.digest()).map { case (a, b) => (a ^ b).toByte }
+    assert(Wire.scrambleCachingSha2("secret", nonce20).toSeq != wrong.toSeq)
   }
 
   test("connectionPhase builds a spec-layout HandshakeResponse41") {
