@@ -274,6 +274,11 @@ object Jpeg {
   def encode(img: Png.Image, quality: Int, subsample: Boolean): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"jpeg encode: ${img.channels} channels unsupported")
+    // the SOF frame header carries u16 dimensions: larger images
+    // would silently truncate to the low 16 bits while the entropy
+    // data encodes the real MCU grid — a corrupt stream
+    require(img.width <= 65535 && img.height <= 65535,
+      s"jpeg encode: ${img.width}x${img.height} exceeds the u16 SOF limit")
     val w = img.width; val h = img.height
     val nComp = img.channels
     val sub = subsample && nComp == 3
@@ -613,6 +618,12 @@ object Jpeg {
           }
         case 0xc2 =>
           throw new IllegalArgumentException("jpeg: progressive not supported")
+        case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOF3 lossless, SOF5-7 differential, SOF9-11 arithmetic,
+          // SOF13-15 differential arithmetic — name the real reason
+          // instead of failing later with a misleading SOS error
+          throw new IllegalArgumentException(
+            f"jpeg: SOF marker 0xff$m%02x (non-baseline coding) not supported")
         case 0xda => // SOS
           val ns = jpeg(body) & 0xff
           require(ns == nComp, "jpeg: partial-scan SOS unsupported")
@@ -632,6 +643,11 @@ object Jpeg {
       if (sosAt < 0) pos += 2 + len
     }
     require(sosAt > 0 && w > 0 && h > 0, "jpeg: no scan found")
+    // 4-component (Adobe CMYK/YCCK) and 2-component streams would
+    // entropy-decode fine and then run the YCbCr transform on the
+    // wrong planes — reject loudly instead of returning garbage color
+    require(nComp == 1 || nComp == 3,
+      s"jpeg: $nComp-component color space not supported (grayscale/YCbCr only)")
     val maxH = compH.max; val maxV = compV.max
     val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
@@ -701,6 +717,12 @@ object Jpeg {
       }
       my += 1
     }
+    // a marker or EOF hit INSIDE the scan means nextBit() synthesized
+    // zero bits — zeros are valid Huffman codes, so the MCU loops
+    // complete and the lower region decodes to deterministic garbage;
+    // refuse instead (restart markers clear the flag via consumeRst)
+    require(!br.markerHit,
+      "jpeg: entropy stream truncated (marker or EOF inside scan)")
     // assemble output pixels with replication upsampling
     def clamp(v: Double): Byte =
       math.max(0, math.min(255, math.round(v))).toByte
@@ -736,6 +758,8 @@ object Jpeg {
     * not decodable pixels). Retained for header-only test vectors;
     * real payloads come from [[encode]]. */
   def encodeHeaderOnly(width: Int, height: Int, components: Int, seed: Long): Array[Byte] = {
+    require(width <= 65535 && height <= 65535,
+      s"jpeg encode: ${width}x$height exceeds the u16 SOF limit")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int, data: Array[Byte]): Unit = {
       out.write(0xff); out.write(m)

@@ -195,10 +195,14 @@ object Png {
     var pos = 8
     var width = 0; var height = 0; var channels = 0
     var declaredFrames = 1
+    var sawActl = false
     val idat = new ByteArrayOutputStream()
-    // fdAT streams grouped per frame: fcTL starts a new group
+    // fdAT streams grouped per frame: fcTL starts a new group. An
+    // fcTL BEFORE the IDAT marks the default image as animation
+    // frame 1; without it the default image is excluded from the
+    // animation (both forms are valid APNG).
     val extraFrames = scala.collection.mutable.ArrayBuffer[ByteArrayOutputStream]()
-    var sawFctlAfterIdat = false
+    var fctlBeforeIdat = false
     while (pos + 8 <= png.length) {
       val len = ByteBuffer.wrap(png, pos, 4).getInt
       val typ = new String(png, pos + 4, 4, "US-ASCII")
@@ -214,11 +218,30 @@ object Png {
           val depth = b.get(); val ct = b.get()
           require(depth == 8, s"unsupported bit depth $depth")
           channels = channelsOf(ct)
-        case "acTL" => declaredFrames = ByteBuffer.wrap(data).getInt
-        case "fcTL" => if (idat.size() > 0) { sawFctlAfterIdat = true; extraFrames += new ByteArrayOutputStream() }
+          val comp = b.get(); val filt = b.get(); val inter = b.get()
+          require(comp == 0, s"unsupported compression method $comp")
+          require(filt == 0, s"unsupported filter method $filt")
+          // an Adam7 stream has a different scanline layout — decoding
+          // it sequentially would return structurally-valid garbage
+          require(inter == 0, "interlaced (Adam7) PNG is not supported")
+        case "acTL" =>
+          sawActl = true
+          declaredFrames = ByteBuffer.wrap(data).getInt
+        case "fcTL" =>
+          // frame geometry must cover the whole canvas: sub-frame
+          // APNGs (optimizer output) have a different fdAT layout
+          val b = ByteBuffer.wrap(data)
+          b.getInt // sequence number
+          val fw = b.getInt; val fh = b.getInt
+          val fx = b.getInt; val fy = b.getInt
+          require(fw == width && fh == height && fx == 0 && fy == 0,
+            s"sub-frame APNG unsupported (frame ${fw}x$fh at ($fx,$fy) " +
+              s"on ${width}x$height canvas)")
+          if (idat.size() > 0) extraFrames += new ByteArrayOutputStream()
+          else fctlBeforeIdat = true
         case "IDAT" => idat.write(data)
         case "fdAT" =>
-          require(sawFctlAfterIdat && extraFrames.nonEmpty, "fdAT before fcTL")
+          require(extraFrames.nonEmpty, "fdAT before fcTL")
           extraFrames.last.write(data, 4, data.length - 4) // skip sequence number
         case "IEND" => pos = png.length // stop
         case _ => () // ancillary chunk — skip
@@ -235,8 +258,13 @@ object Png {
         unfilterScanlines(inflate(s.toByteArray, expect), width, height, channels))
     }.toSeq
     val frames = first +: rest
-    require(frames.length == declaredFrames,
-      s"acTL declared $declaredFrames frames, found ${frames.length}")
+    if (sawActl) {
+      // animation frame count: the default image participates only
+      // when an fcTL preceded the IDAT
+      val animFrames = (if (fctlBeforeIdat) 1 else 0) + rest.length
+      require(animFrames == declaredFrames,
+        s"acTL declared $declaredFrames frames, found $animFrames")
+    } else require(rest.isEmpty, "fdAT frames without an acTL chunk")
     Decoded(width, height, channels, frames)
   }
 }

@@ -69,6 +69,9 @@ object Wav {
           val fmt = buf.getShort
           require(fmt == 1, s"unsupported codec $fmt (PCM only)")
           channels = buf.getShort
+          // signed read: 0 or a negative count would divide-by-zero /
+          // nonsense downstream (nFrames = samples / channels)
+          require(channels >= 1, s"invalid channel count $channels")
           sampleRate = buf.getInt
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort

@@ -360,6 +360,97 @@ class MmCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- adversarial/foreign inputs fail LOUDLY, never silently ------
+
+  /** Replace the chunk at byte offset `at` after patching its data
+    * with `patch`, recomputing the CRC the decoder checks. */
+  private def patchChunk(png: Array[Byte], at: Int)(patch: Array[Byte] => Unit): Array[Byte] = {
+    val out = png.clone()
+    val len = java.nio.ByteBuffer.wrap(out, at, 4).getInt
+    val data = java.util.Arrays.copyOfRange(out, at + 8, at + 8 + len)
+    patch(data)
+    System.arraycopy(data, 0, out, at + 8, len)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, at + 4, 4 + len)
+    java.nio.ByteBuffer.wrap(out, at + 8 + len, 4).putInt(crc.getValue.toInt)
+    out
+  }
+
+  test("interlaced (Adam7) PNG is rejected, not silently garbled") {
+    val png = Png.encode(img(8, 8, 3, 1))
+    val interlaced = patchChunk(png, 8)(d => d(12) = 1) // IHDR interlace byte
+    val e = intercept[IllegalArgumentException](Png.decode(interlaced))
+    assert(e.getMessage.contains("Adam7"), e.getMessage)
+  }
+
+  test("APNG with the default image excluded from the animation decodes") {
+    // spec-valid form: acTL declares only the fdAT frames; no fcTL
+    // before IDAT. Build it by chunk surgery: drop the first fcTL and
+    // decrement the acTL count.
+    val apng = Png.encodeFrames((0 until 3).map(f => img(6, 4, 3, f)))
+    // locate chunks
+    def chunks(b: Array[Byte]): Seq[(String, Int)] = {
+      var pos = 8; val out = Seq.newBuilder[(String, Int)]
+      while (pos + 8 <= b.length) {
+        val len = java.nio.ByteBuffer.wrap(b, pos, 4).getInt
+        out += ((new String(b, pos + 4, 4, "US-ASCII"), pos))
+        pos += 12 + len
+      }
+      out.result()
+    }
+    val firstFctl = chunks(apng).find(_._1 == "fcTL").get._2
+    val fctlLen = java.nio.ByteBuffer.wrap(apng, firstFctl, 4).getInt
+    val without = apng.take(firstFctl) ++ apng.drop(firstFctl + 12 + fctlLen)
+    val actlAt = chunks(without).find(_._1 == "acTL").get._2
+    val fixed = patchChunk(without, actlAt)(d =>
+      java.nio.ByteBuffer.wrap(d).putInt(2)) // 2 animation frames now
+    val d = Png.decode(fixed)
+    assert(d.frames.length == 3) // default image + 2 animation frames
+  }
+
+  test("sub-frame APNG (optimizer output) is rejected with a clear error") {
+    val apng = Png.encodeFrames((0 until 2).map(f => img(8, 8, 3, f)))
+    // shrink the SECOND frame's fcTL geometry to a 4x4 sub-rectangle
+    var pos = 8; var count = 0; var secondFctl = -1
+    while (pos + 8 <= apng.length && secondFctl < 0) {
+      val len = java.nio.ByteBuffer.wrap(apng, pos, 4).getInt
+      if (new String(apng, pos + 4, 4, "US-ASCII") == "fcTL") {
+        count += 1; if (count == 2) secondFctl = pos
+      }
+      pos += 12 + len
+    }
+    val sub = patchChunk(apng, secondFctl) { d =>
+      java.nio.ByteBuffer.wrap(d, 4, 8).putInt(4).putInt(4) // frame w/h
+    }
+    val e = intercept[IllegalArgumentException](Png.decode(sub))
+    assert(e.getMessage.contains("sub-frame"), e.getMessage)
+  }
+
+  test("truncated JPEG entropy stream is rejected, not decoded to garbage") {
+    val enc = Jpeg.encode(img(64, 64, 3, 9), quality = 90)
+    val e = intercept[IllegalArgumentException](
+      Jpeg.decode(enc.dropRight(200)))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("4-component (CMYK-style) JPEG is rejected with a named reason") {
+    val cmyk = Jpeg.encodeHeaderOnly(8, 8, components = 4, seed = 1)
+    val e = intercept[IllegalArgumentException](Jpeg.decode(cmyk))
+    assert(e.getMessage.contains("component"), e.getMessage)
+  }
+
+  test("oversized JPEG encode is rejected at the u16 SOF limit") {
+    intercept[IllegalArgumentException](
+      Jpeg.encodeHeaderOnly(70000, 8, components = 1, seed = 1))
+  }
+
+  test("WAV with a zero channel count is rejected") {
+    val wav = Wav.encode(Wav.Audio(8000, 1, Array.tabulate(64)(_.toShort)))
+    wav(22) = 0; wav(23) = 0 // fmt channels u16 LE
+    val e = intercept[IllegalArgumentException](Wav.decode(wav))
+    assert(e.getMessage.contains("channel"), e.getMessage)
+  }
+
   test("dHash separates unrelated images (no band-join false positives)") {
     val hs = (0L until 80L).map(id => graft.operators.Multimodal.dHash(MediaGen.image(id)))
     val pairs = for {
