@@ -74,7 +74,11 @@ object AsOf {
       df.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ payload.map(c => col(s"__asof_$c").as(c)): _*)
+      // equi/ASOF semantics: a NULL key matches NOTHING. The window
+      // groups all NULL keys into one partition, which would carry a
+      // NULL-key dim's payload onto NULL-key fact rows — mask it.
+      .select(lCols.map(col) ++ payload.map(c =>
+        when(col("__k").isNotNull, col(s"__asof_$c")).as(c)): _*)
   }
 
   /** events ← latest order of the same customer at or before the

@@ -287,8 +287,13 @@ object Cdc {
       System.getProperty("java.io.tmpdir"), name)
     val marker = genDir.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
-      // stale partial dir from a crashed/pre-marker generation
-      org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
+      // stale partial dir from a crashed/pre-marker generation;
+      // re-check the marker immediately before deleting so a racer
+      // finishing in between is (almost) never torn down — losing the
+      // remaining sliver of the race is then caught by the
+      // IOException-with-marker branch below
+      if (!java.nio.file.Files.exists(marker))
+        org.apache.commons.io.FileUtils.deleteQuietly(genDir.toFile)
       val tmp = java.nio.file.Files.createTempDirectory(
         genDir.getParent, s"${name}_tmp_")
       try {
@@ -297,9 +302,13 @@ object Cdc {
         java.nio.file.Files.move(tmp, genDir,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch {
-        case e: java.io.IOException =>
+        // ANY failure cleans the temp dir (a generator crash must not
+        // leak fixture dirs across runs); only the lost publish race
+        // — marker present — is swallowed
+        case e: Throwable if scala.util.control.NonFatal(e) =>
           org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-          if (!java.nio.file.Files.exists(marker)) throw e
+          if (!(e.isInstanceOf[java.io.IOException] &&
+              java.nio.file.Files.exists(marker))) throw e
       }
     }
     genDir.toString
@@ -434,8 +443,11 @@ object Cdc {
         CdcSink.merge(ss, changes, tableDir, None)
       }
       .start()
-    q.awaitTermination()
-    CdcStream.releaseStreamResources(s)
+    // release even when a micro-batch fails: a leaked streaming-
+    // session registration defers terminated-query/state-store
+    // cleanup for every later query in this session
+    try q.awaitTermination()
+    finally CdcStream.releaseStreamResources(s)
     CdcSink.read(s, tableDir)
       .select(col("key").as("id"), col("title"), col("epoch"))
       .orderBy("id")
@@ -678,12 +690,10 @@ object Cdc {
       .orderBy("key")
   }
 
-  private val sinkSql =
-    s"""SELECT key, "offset" AS last_offset, event_type, "value"
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
-       |      FROM ($changelogSql))
-       |WHERE rn = 1 AND op <> 'd'
-       |ORDER BY key""".stripMargin
+  // same latest-per-key oracle as cdc_snapshot — an ALIAS so a
+  // semantics fix can never drift between the two (ingest/compaction/
+  // delta_read already reuse sinkSql by reference)
+  private val sinkSql = snapshotSql
 
   // --- cdc_ingest: streaming foreachBatch ingest == batch snapshot ---
   // The full reference loop (source → buffer → flush-to-table) as a
@@ -726,8 +736,8 @@ object Cdc {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("binlog_stream_ckpt_").toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    CdcStream.releaseStreamResources(s)
+    try q.processAllAvailable()
+    finally { q.stop(); CdcStream.releaseStreamResources(s) }
     s.table(qn)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), countDistinct(col("file")).as("n_files"))

@@ -401,7 +401,14 @@ object Curation {
         math.floor(budget.toDouble *
           r.getDecimal(2).doubleValue() / z.toDouble).toLong)
     }
-    val maxT = (targets.map(_._2).max max 1L).toInt
+    val maxTL = targets.map(_._2).max max 1L
+    // TopKPerKey's heap takes an Int k: a per-domain target past
+    // Int.MaxValue would silently wrap negative — refuse with the
+    // real remedy (a heap of 2B rows per key is the wrong plan; shard
+    // the domain before selecting)
+    require(maxTL < Int.MaxValue,
+      s"temperature-mix target $maxTL exceeds Int.MaxValue - shard the domain")
+    val maxT = maxTL.toInt
     import s.implicits._
     val tDf = broadcast(targets.toSeq.toDF("source", "t"))
     val hashed = d
@@ -1047,41 +1054,54 @@ object Curation {
     bpeMerges(Tables.documents(s, dir).select(col("text")), "text", BpeRounds)
       .orderBy("rnd")
 
+  // Shared CTE builders for the TWO BPE oracles: the train oracle
+  // folds (freq, syms) and reads the merge list; the encode oracle
+  // carries word through every fold so v{R} doubles as the encode
+  // table. ONE builder serves both (carry flag) so the merge-fold
+  // SQL can never drift between cur_bpe_train and cur_bpe_encode.
+  private def bpeWordsCte(carryWord: Boolean): String = {
+    val sel = if (carryWord) "word, freq" else "freq"
+    s"""w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              x -> length(x) > 0)) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |v0 AS (
+       |  SELECT $sel,
+       |         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM w)""".stripMargin
+  }
+
+  private def bpePairCte(n: Int): String =
+    s"""p$n AS (
+       |  SELECT split_part(pair, ' ', 1) AS p, split_part(pair, ' ', 2) AS q,
+       |         pair, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq,
+       |          unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+       |        FROM v${n - 1} WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+
+  private def bpeVocabCte(n: Int, carryWord: Boolean): String = {
+    val sel = if (carryWord) "word, freq" else "freq"
+    s"""v$n AS (
+       |  SELECT $sel,
+       |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+       |      (acc, x) -> CASE WHEN acc[-1] = m.p AND x[1] = m.q
+       |         THEN list_concat(acc[1:len(acc)-1], [m.p || m.q])
+       |         ELSE list_concat(acc, x) END) AS syms
+       |  FROM v${n - 1} CROSS JOIN p$n m)""".stripMargin
+  }
+
   private lazy val bpeTrainSql = {
-    val words =
-      """w AS (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |                              x -> length(x) > 0)) AS word
-        |    FROM documents)
-        |  GROUP BY word),
-        |v0 AS (
-        |  SELECT freq,
-        |         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
-        |  FROM w)""".stripMargin
-    def pairCte(n: Int) =
-      s"""p$n AS (
-         |  SELECT split_part(pair, ' ', 1) AS p, split_part(pair, ' ', 2) AS q,
-         |         pair, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq,
-         |          unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
-         |        FROM v${n - 1} WHERE len(syms) >= 2)
-         |  GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
-    def vocabCte(n: Int) =
-      s"""v$n AS (
-         |  SELECT freq,
-         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
-         |      (acc, x) -> CASE WHEN acc[-1] = m.p AND x[1] = m.q
-         |         THEN list_concat(acc[1:len(acc)-1], [m.p || m.q])
-         |         ELSE list_concat(acc, x) END) AS syms
-         |  FROM v${n - 1} CROSS JOIN p$n m)""".stripMargin
     val ctes = (1 to BpeRounds).map { n =>
-      if (n < BpeRounds) s"${pairCte(n)},\n${vocabCte(n)}" else pairCte(n)
+      if (n < BpeRounds) s"${bpePairCte(n)},\n${bpeVocabCte(n, carryWord = false)}"
+      else bpePairCte(n)
     }.mkString(",\n")
     val union = (1 to BpeRounds).map { n =>
       s"SELECT CAST($n AS BIGINT) AS rnd, p AS lhs, q AS rhs, p || q AS merged, cnt FROM p$n"
     }.mkString("\nUNION ALL\n")
-    s"WITH $words,\n$ctes\n$union\nORDER BY rnd"
+    s"WITH ${bpeWordsCte(carryWord = false)},\n$ctes\n$union\nORDER BY rnd"
   }
 
   // ---------------------------------------------------------------
@@ -1493,38 +1513,12 @@ object Curation {
       learnedMerges(s, dir))
 
   private lazy val bpeEncodeSql = {
-    // The training chain with word+freq carried through every fold,
-    // so v{R} IS the encode table (word → merged symbol list).
-    val words =
-      """w AS (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |                              x -> length(x) > 0)) AS word
-        |    FROM documents)
-        |  GROUP BY word),
-        |v0 AS (
-        |  SELECT word, freq,
-        |         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
-        |  FROM w)""".stripMargin
-    def pairCte(n: Int) =
-      s"""p$n AS (
-         |  SELECT split_part(pair, ' ', 1) AS p, split_part(pair, ' ', 2) AS q,
-         |         pair, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq,
-         |          unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
-         |        FROM v${n - 1} WHERE len(syms) >= 2)
-         |  GROUP BY 1, 2, 3 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
-    def vocabCte(n: Int) =
-      s"""v$n AS (
-         |  SELECT word, freq,
-         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
-         |      (acc, x) -> CASE WHEN acc[-1] = m.p AND x[1] = m.q
-         |         THEN list_concat(acc[1:len(acc)-1], [m.p || m.q])
-         |         ELSE list_concat(acc, x) END) AS syms
-         |  FROM v${n - 1} CROSS JOIN p$n m)""".stripMargin
-    val ctes = (1 to BpeRounds).map(n => s"${pairCte(n)},\n${vocabCte(n)}")
+    // The training chain with word+freq carried through every fold
+    // (carryWord), so v{R} IS the encode table (word -> symbol list)
+    val ctes = (1 to BpeRounds)
+      .map(n => s"${bpePairCte(n)},\n${bpeVocabCte(n, carryWord = true)}")
       .mkString(",\n")
-    s"""WITH $words,
+    s"""WITH ${bpeWordsCte(carryWord = true)},
        |$ctes,
        |d AS (
        |  SELECT doc_id,

@@ -456,6 +456,13 @@ object Dedup {
   private def cachedIndex(
       s: SparkSession, key: String, build: => DataFrame): DataFrame = {
     val perSession = indexCache.synchronized {
+      // the cached DataFrames strongly reference their session, so
+      // the weak KEY alone can never clear (value → key edge, per
+      // WeakHashMap contract): sweep stopped sessions explicitly or
+      // every dead session's plans stay on the driver heap for the
+      // JVM lifetime
+      val it = indexCache.keySet.iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = indexCache.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
@@ -718,7 +725,11 @@ object Dedup {
   // double division at the end.
   // ---------------------------------------------------------------
   private def grams(c: Column): Column =
-    array_distinct(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
+    // built from the PARAMETER (the old form hard-coded column "w"
+    // inside an expr string — a silent wrong-column trap for any
+    // caller passing a differently-named array)
+    array_distinct(transform(sequence(lit(1), size(c) - 1),
+      i => concat_ws(" ", element_at(c, i), element_at(c, i + 1))))
 
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
     // only (orig, orig + MutantBase) pairs can satisfy the join, and

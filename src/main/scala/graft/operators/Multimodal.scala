@@ -124,7 +124,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89) {
+        if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
           val d = Png.decode(bytes)
           d.frames.indices.by(SampleEvery).iterator.map { f =>
             val img = d.frames(f)
@@ -139,7 +139,7 @@ object Multimodal {
             }
             Frame(id, "video", f, pool(lum))
           }
-        } else if (bytes.length >= 4 && bytes(0) == 'R') {
+        } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I') {
           val a = Wav.decode(bytes)
           val nWin = a.samples.length / AudioWindow
           (0 until nWin by SampleEvery).iterator.map { w =>

@@ -1005,7 +1005,12 @@ object Similarity {
   // teaches nothing.) Composes the §2 entries as-is: three corpus
   // scans, then |queries|·k-row joins.
   private def recallEval(s: SparkSession, dir: String): DataFrame = {
-    val exact = topk(s, dir).select(col("q_id"), col("neighbor_id"))
+    // persist the exact top-k: both arms reference it with different
+    // join partners, so without it the most expensive subtree (full
+    // corpus scan + all-pairs cosine + window) evaluates twice —
+    // same pattern ivfProbeSweep already pins
+    val exact = topk(s, dir).select(col("q_id"), col("neighbor_id")).persist()
+    exact.count()
     def arm(method: String, approx: DataFrame): DataFrame =
       exact.join(
           approx.select(col("q_id").as("aq"), col("neighbor_id").as("an")),
