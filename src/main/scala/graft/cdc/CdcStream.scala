@@ -339,11 +339,12 @@ object CdcStream {
     * aggregations — via foreachBatch, the production shape for both
     * (a real deployment merges each batch into a sink table, as
     * cdc_ingest does; here each batch lands as parquet). Update
-    * emissions APPEND (the reader is expected to fold re-emissions —
-    * e.g. last-offset-wins per key, which is order-independent);
-    * Complete batches OVERWRITE (each batch is the whole state, the
-    * last one is the answer). Results live on storage either way —
-    * the driver never holds output rows.
+    * emissions land in batchId-named subdirectories via
+    * [[writeBatchSubdir]] (the reader still folds re-emissions —
+    * e.g. last-offset-wins per key, order-independent); Complete
+    * batches overwrite the whole dir (each batch is the entire
+    * state, the last one is the answer). Results live on storage
+    * either way — the driver never holds output rows.
     */
   private[graft] def runToParquetForeachBatch(
       s: SparkSession,
@@ -354,16 +355,11 @@ object CdcStream {
     val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
       withStatePartitions(s, statePartitions) {
         registerStreamingSession(s)
-        // Exactly-once under retry: append mode writes each batch to
-        // a batchId-named subdirectory with OVERWRITE, so a batch
-        // retried after a mid-write task failure replaces its own
-        // files instead of re-appending admitted rows. Complete mode
-        // overwrites the whole dir and is idempotent already.
         val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
           if (mode == OutputMode.Complete())
+            // the whole state every batch — idempotent by definition
             batch.write.mode("overwrite").parquet(dir)
-          else
-            batch.write.mode("overwrite").parquet(f"$dir/b$batchId%08d")
+          else writeBatchSubdir(dir)(batch, batchId)
         val q = out.writeStream
           .outputMode(mode)
           .foreachBatch(writeBatch)
@@ -374,9 +370,32 @@ object CdcStream {
         q.awaitTermination()
       }
     }
-    s.read.schema(out.schema)
-      .option("recursiveFileLookup", "true").parquet(sinkDir)
+    readBatchSubdirs(s, out.schema, sinkDir)
   }
+
+  /** One micro-batch into its batchId-named subdirectory with
+    * OVERWRITE — the batch-level idempotency convention both
+    * foreachBatch sinks share: a batch delivered again (a restarted
+    * query on the same checkpoint, in a deployment that keeps one)
+    * replaces its own subdirectory instead of re-appending rows. In
+    * THIS harness each run gets a fresh checkpoint and availableNow
+    * failures propagate (no batch is ever re-delivered), so the
+    * layout is a convention the reader depends on
+    * ([[readBatchSubdirs]]) rather than a correctness requirement —
+    * keep them in sync through these two helpers.
+    */
+  private def writeBatchSubdir(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(f"$dir/b$batchId%08d")
+
+  /** Read-back for the batchId-subdir layout. The explicit schema
+    * covers the empty-stream case (zero committed files);
+    * recursiveFileLookup descends the subdirs and disables partition
+    * inference, so bNNNNNNNN can never be misread as a partition. */
+  private def readBatchSubdirs(
+      s: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      dir: String): DataFrame =
+    s.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
 
   /** Streaming admission gate via foreachBatch: `score` maps the
     * raw landing batch to a PERSISTED scored frame (the persist is
@@ -397,11 +416,9 @@ object CdcStream {
       (admit: DataFrame => DataFrame): DataFrame = {
     val sinkDir = runInPrunedScratch(s, queryName) { (dir, ckpt) =>
       registerStreamingSession(s)
-      // batchId-subdir + overwrite = exactly-once under retry (a
-      // re-run batch replaces its own subdirectory, never appends).
       val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val scored = score(batch)
-        try admit(scored).write.mode("overwrite").parquet(f"$dir/b$batchId%08d")
+        try writeBatchSubdir(dir)(admit(scored), batchId)
         finally scored.unpersist()
       }
       val q = source.writeStream
@@ -420,8 +437,7 @@ object CdcStream {
       new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
     val scoredEmpty = score(empty)
     val outSchema = try admit(scoredEmpty).schema finally scoredEmpty.unpersist()
-    s.read.schema(outSchema)
-      .option("recursiveFileLookup", "true").parquet(sinkDir)
+    readBatchSubdirs(s, outSchema, sinkDir)
   }
 
   /** Must be called BEFORE a streaming query starts (every graft
