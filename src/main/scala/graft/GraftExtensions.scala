@@ -19,17 +19,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = graft.functions.arity("cosine_sim", 2)(exprs)
+        CosineSimilarity(a.head, a(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = graft.functions.arity("dot_product", 2)(exprs)
+        DotProduct(a.head, a(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("compress_ratio"),
       new ExpressionInfo(classOf[CompressRatio].getName, "compress_ratio"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CompressRatio(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = graft.functions.arity("compress_ratio", 1)(exprs)
+        CompressRatio(a.head)
+      }))
   }
 }

@@ -412,8 +412,9 @@ package object api {
       df.filter(functions.DetHash.frac(col(idCol), "sample:") < rateCol)
 
     /** Greedy fixed-budget sequence packing in `idCol` order within
-      * (groupCols, shard) cells; adds `seq_id` AND `__shard` (= idCol
-      * % shards). `__shard` is part of the contract, not an
+      * (groupCols, shard) cells; adds `seq_id` AND `__shard`
+      * (= pmod(hash(idCol), shards) — hash-based so string ids shard
+      * too). `__shard` is part of the contract, not an
       * implementation leak: seq_id spaces are independent PER SHARD,
       * so a consumer needs (groupCols, __shard, seq_id) — not seq_id
       * alone — to identify a packed sequence.
@@ -424,7 +425,13 @@ package object api {
         budget: Long,
         groupCols: Seq[String] = Nil,
         shards: Int = 32): DataFrame = {
-      val withShard = df.withColumn("__shard", col(idCol) % shards)
+      // hash-based shard: `id % shards` is NULL for every row of a
+      // non-numeric id column (string % int casts to double → null),
+      // which would silently collapse the whole frame into one
+      // window partition — the exact global-window failure `shards`
+      // exists to prevent. pmod(hash) shards any id type.
+      val withShard = df.withColumn("__shard",
+        pmod(hash(col(idCol)), lit(shards)).cast("long"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy((groupCols :+ "__shard").map(col): _*).orderBy(idCol)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -44,8 +44,9 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 }
 
 /** cosine_sim(a, b): double. Null if either side is null; dimensions
-  * must match (shorter length governs, mirroring zip_with semantics
-  * would pad with null — here we require equal sizes and fail fast).
+  * MUST match — a mismatch raises (truncating to the shorter length
+  * would return a plausible-looking similarity over a prefix, hiding
+  * a mixed-dimension corpus bug).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -58,7 +59,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -82,7 +85,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = ${getterCode(left.dataType, a, i)};
@@ -111,7 +118,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -127,7 +136,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += ${getterCode(left.dataType, a, i)} * ${getterCode(right.dataType, b, i)};

@@ -18,13 +18,31 @@ package object functions {
   def compress_ratio(text: Column): Column =
     toColumn(CompressRatio(toExpr(text)))
 
+  /** Arity gate for SQL builders: extra arguments must not be
+    * silently discarded and a missing one must raise a NAMED error,
+    * not a bare NoSuchElement from exprs.head. */
+  private[graft] def arity(
+      name: String, n: Int)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    require(exprs.length == n,
+      s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   /** Register graft functions on an existing session (temp scope). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      "cosine_sim",
+      exprs => { val a = arity("cosine_sim", 2)(exprs); CosineSimilarity(a.head, a(1)) },
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+      "dot_product",
+      exprs => { val a = arity("dot_product", 2)(exprs); DotProduct(a.head, a(1)) },
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "compress_ratio", exprs => CompressRatio(exprs.head), "scala_udf")
+      "compress_ratio",
+      exprs => { val a = arity("compress_ratio", 1)(exprs); CompressRatio(a.head) },
+      "scala_udf")
   }
 }

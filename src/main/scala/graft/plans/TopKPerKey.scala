@@ -39,6 +39,14 @@ object TopKPerKey {
       keys: Seq[Expression],
       orders: Seq[SortOrder],
       k: Int) extends UnaryNode {
+    // the exec reads order values with getDouble: any other type
+    // would reinterpret raw bits as IEEE doubles — garbage ordering
+    // with no error. Enforced HERE so a directly-built node (the
+    // strategy is publicly registered) is as safe as the Column API.
+    require(k >= 1, s"top-k requires k >= 1, got $k")
+    orders.foreach(o => require(
+      o.child.dataType == org.apache.spark.sql.types.DoubleType,
+      s"top-k order expression must be double, got ${o.child.dataType}"))
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
       copy(child = newChild)
@@ -59,18 +67,29 @@ object TopKPerKey {
     * column `orderCol` (descending), with an optional second double
     * column breaking order ties (also descending — negate for
     * ascending). Tiebreak values must be exact in a double (long ids
-    * below 2^53 are).
+    * below 2^53 are). Rows with a NULL order or tiebreak value are
+    * EXCLUDED (no total order for them) — unlike a nulls-last
+    * row_number window, which would keep them when the group has
+    * fewer than k non-null rows.
     */
   def apply(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int,
       tiebreakCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val lp = org.apache.spark.sql.graftbridge.analyzedPlan(df)
-    val keyExprs = keyCols.map(c => lp.output.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(s"no column $c")))
+    // exact-name resolution, but AMBIGUITY is an error: a post-join
+    // frame carrying two attributes with one name must not silently
+    // rank by whichever side came first
+    def resolve(c: String): Attribute = {
+      val hits = lp.output.filter(_.name == c)
+      require(hits.nonEmpty, s"no column $c")
+      require(hits.length == 1,
+        s"ambiguous column $c (${hits.length} attributes share the name)")
+      hits.head
+    }
+    val keyExprs = keyCols.map(resolve)
     val ordExprs = (orderCol +: tiebreakCol.toSeq).map { c =>
-      val e = lp.output.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"no column $c"))
+      val e = resolve(c)
       require(e.dataType == org.apache.spark.sql.types.DoubleType,
         s"order column $c must be double, got ${e.dataType}")
       SortOrder(e, org.apache.spark.sql.catalyst.expressions.Descending)
@@ -143,18 +162,30 @@ final case class TopKPerKeyExec(
         var j = 0
         while (j < nOrd) { if (ordRow.isNullAt(j)) anyNull = true; j += 1 }
         if (!anyNull) {
-          val key = keyProj(row).copy()
           val ord = new Array[Double](nOrd)
           j = 0
           while (j < nOrd) { ord(j) = ordRow.getDouble(j); j += 1 }
-          var heap = heaps.get(key)
+          // probe with the projection's REUSED row (UnsafeRow
+          // equality is content-based); copy the key only when a new
+          // heap is created — the common case at scale is a row
+          // losing to a full heap, which now allocates nothing
+          // beyond the ord array
+          val probe = keyProj(row)
+          var heap = heaps.get(probe)
           if (heap == null) {
             heap = new java.util.PriorityQueue[(Array[Double], InternalRow)](k + 1, cmp)
-            heaps.put(key, heap)
+            heaps.put(probe.copy(), heap)
           }
           if (heap.size < k) heap.add((ord, row.copy()))
-          else if (cmp.compare((ord, null), heap.peek()) > 0) {
-            heap.poll(); heap.add((ord, row.copy()))
+          else {
+            val root = heap.peek()
+            var c = 0
+            var i2 = 0
+            while (c == 0 && i2 < nOrd) {
+              c = signs(i2) * java.lang.Double.compare(ord(i2), root._1(i2))
+              i2 += 1
+            }
+            if (c > 0) { heap.poll(); heap.add((ord, row.copy())) }
           }
         }
       }
