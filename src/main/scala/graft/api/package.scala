@@ -467,17 +467,11 @@ package object api {
       */
     def contaminatedBy(
         evalSet: DataFrame, idCol: String, textCol: String,
-        n: Int = 8): DataFrame = {
-      def grams(t: DataFrame, keep: Seq[Column]): DataFrame = t
-        .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
-        .filter(size(col("__toks")) >= n)
-        .select(keep :+ explode(transform(
-          sequence(lit(0), size(col("__toks")) - n),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"): _*)
-      grams(df, Seq(col(idCol)))
-        .join(grams(evalSet, Nil).select("gram").distinct(), "gram")
+        n: Int = 8): DataFrame =
+      Curation.wordGramRows(df, Seq(col(idCol)), textCol, n)
+        .join(Curation.wordGramRows(evalSet, Nil, textCol, n)
+          .select("gram").distinct(), "gram")
         .groupBy(idCol)
         .agg(countDistinct(col("gram")).as("n_shared_grams"))
-    }
   }
 }

@@ -44,33 +44,21 @@ case class CompressRatio(child: Expression)
 object CompressRatio {
   // one Deflater per executor thread, reset() between rows: allocating
   // (and ending) a native zlib stream per row was the dominant cost on
-  // this hot path. For pooled executor task threads the native buffer
-  // count is bounded by the pool size; but streaming query threads are
-  // created per query, so a churning workload would otherwise pin one
-  // zlib stream per DEAD thread forever. Each Deflater therefore rides
-  // a Cleaner-registered holder: when the thread dies and its
-  // ThreadLocal map entry is collected, the Cleaner calls end() and
-  // the native memory is reclaimed deterministically at the next GC,
-  // keeping live streams ∝ live threads.
-  private val cleaner = java.lang.ref.Cleaner.create()
-
-  private final class DeflaterHolder {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
-    // the action must not capture the holder itself, only the Deflater
-    locally {
-      val toEnd = d
-      cleaner.register(this, () => toEnd.end())
-    }
-  }
-
+  // this hot path. Dead-thread reclamation needs no custom holder:
+  // since JDK 12, Deflater registers its OWN Cleaner that ends the
+  // native stream once the object is unreachable (Spark 4 requires
+  // JDK 17+), so a dead streaming thread's collected ThreadLocal
+  // entry releases its zlib stream at the next GC — live streams stay
+  // ∝ live threads.
   private val deflaters =
-    ThreadLocal.withInitial[DeflaterHolder](() => new DeflaterHolder)
+    ThreadLocal.withInitial[java.util.zip.Deflater](
+      () => new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true))
 
   /** static entry for both interpreted eval and generated code */
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 1.0
-    val d = deflaters.get().d
+    val d = deflaters.get()
     d.reset()
     d.setInput(bytes)
     d.finish()

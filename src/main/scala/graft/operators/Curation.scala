@@ -258,6 +258,18 @@ object Curation {
   /** planted "plagiarized" training docs get ids above this floor */
   private val PlantBase = 2000000L
 
+  /** (keep..., gram) rows — the word n-gram explode shared by the
+    * decontamination entry and api.contaminatedBy, so a tokenization
+    * or off-by-one fix cannot diverge their contamination verdicts.
+    */
+  private[graft] def wordGramRows(
+      t: DataFrame, keep: Seq[Column], textCol: String, n: Int): DataFrame = t
+    .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
+    .filter(size(col("__toks")) >= n)
+    .select(keep :+ explode(transform(
+      sequence(lit(0), size(col("__toks")) - n),
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"): _*)
+
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"), col("text")))
     // contamination universe: the synthetic corpus has no organic
@@ -266,12 +278,7 @@ object Curation {
     val planted = d.filter(col("doc_id") % 97 === 0)
       .select((col("doc_id") + PlantBase).as("doc_id"), col("text"))
     val corpus = d.unionAll(planted)
-    val toks = corpus
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-    val grams = toks.filter(size(col("toks")) >= GramN)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - GramN),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(GramN))))).as("gram"))
+    val grams = wordGramRows(corpus, Seq(col("doc_id")), "text", GramN)
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < PlantBase
     val evalGrams = grams.filter(isEval).select(col("gram")).distinct()
     grams.filter(!isEval)
