@@ -396,13 +396,14 @@ object BinlogGen {
     val schema = "gen".getBytes("UTF-8")
     val table = "temporal".getBytes("UTF-8")
     val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
-      1 + 8 + 1 + 5 + 1).order(ByteOrder.LITTLE_ENDIAN)
+      1 + 10 + 1 + 5 + 2).order(ByteOrder.LITTLE_ENDIAN)
     putU48(b, TemporalTableId)
     b.putShort(1)
     b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
     b.put(table.length.toByte); b.put(table); b.put(0.toByte)
-    b.put(8.toByte) // col count
-    b.put(Array[Byte](0x03, 0x12, 0x11, 0x13, 0xf5.toByte, 0xff.toByte, 0x0b, 0x0c))
+    b.put(10.toByte) // col count
+    b.put(Array[Byte](0x03, 0x12, 0x11, 0x13, 0xf5.toByte, 0xff.toByte,
+      0x0b, 0x0c, 0x0b, 0x0d))
     b.put(5.toByte) // meta block length
     b.put(3.toByte) // DATETIME2 fsp=3
     b.put(2.toByte) // TIMESTAMP2 fsp=2
@@ -425,9 +426,9 @@ object BinlogGen {
     }
     val json = Array[Byte](0x01, 0x02) // opaque JSONB payload
     val rows = (1 to n).map { i =>
-      val r = ByteBuffer.allocate(1 + 4 + 7 + 5 + 3 + (4 + json.length) +
-        (4 + wkb.length) + 3 + 8).order(ByteOrder.LITTLE_ENDIAN)
-      r.put(0.toByte) // null bitmap
+      val r = ByteBuffer.allocate(2 + 4 + 7 + 5 + 3 + (4 + json.length) +
+        (4 + wkb.length) + 3 + 8 + 3 + 1).order(ByteOrder.LITTLE_ENDIAN)
+      r.put(0.toByte); r.put(0.toByte) // null bitmap (10 cols -> 2 bytes)
       r.putInt(i)
       // DATETIME2(3): 2024-01-02 03:04:05.678
       val ymd = (2024 * 13 + 1) << 5 | 2
@@ -448,15 +449,21 @@ object BinlogGen {
       r.put((t & 0xff).toByte); r.put(((t >> 8) & 0xff).toByte); r.put(((t >> 16) & 0xff).toByte)
       // legacy DATETIME 2024-01-02 03:04:05 → 8-byte LE
       r.putLong(20240102030405L)
+      // legacy TIME -01:00:00 → SIGNED -10000 as 3-byte two's complement
+      val neg = -10000
+      r.put((neg & 0xff).toByte); r.put(((neg >> 8) & 0xff).toByte)
+      r.put(((neg >> 16) & 0xff).toByte)
+      // YEAR zero value = the year 0000, NOT 1900
+      r.put(0.toByte)
       r.array()
     }
     val rowBytes = rows.map(_.length).sum
-    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 2 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
     putU48(b, TemporalTableId)
     b.putShort(1)
     b.putShort(2)
-    b.put(8.toByte)
-    b.put(0xff.toByte) // all 8 columns present
+    b.put(10.toByte)
+    b.put(0xff.toByte); b.put(0x03.toByte) // all 10 columns present
     rows.foreach(b.put)
     b.array()
   }

@@ -148,11 +148,14 @@ object BinlogParser {
   }
 
   /** Character-typed columns (the ones optional-metadata charset
-    * blocks describe): CHAR/VARCHAR/VAR_STRING — ENUM/SET hide under
-    * STRING but carry no charset entry.
+    * blocks describe): CHAR/VARCHAR/VAR_STRING AND the BLOB family
+    * (TEXT columns share type 0xfc; MySQL's is_character_type
+    * includes it, so omitting it would shift every later char
+    * column's index in the DEFAULT_CHARSET/COLUMN_CHARSET blocks) —
+    * ENUM/SET hide under STRING but carry no charset entry.
     */
   private def isCharCol(colType: Int, meta: Int): Boolean = colType match {
-    case 0x0f | 0xfd => true
+    case 0x0f | 0xfd | 0xfc => true
     case 0xfe => val b0 = meta >> 8; b0 != 0xf7 && b0 != 0xf8
     case _ => false
   }
@@ -284,9 +287,18 @@ object BinlogParser {
       val nSids = u64(b)
       val parts = (0L until nSids).map { _ =>
         val sid = new Array[Byte](16); b.get(sid)
-        val uuid = sid.map("%02x".format(_)).mkString
+        // same dashed form as the GTID event so the two columns
+        // string-match for consumers joining across event types
+        val uuid = "%02x%02x%02x%02x-%02x%02x-%02x%02x-%02x%02x-%02x%02x%02x%02x%02x%02x"
+          .format(sid.map(x => x: java.lang.Byte): _*)
         val nIv = u64(b)
-        val ivs = (0L until nIv).map(_ => s"${u64(b)}-${u64(b)}").mkString(",")
+        // the on-wire interval end is EXCLUSIVE (one past the last
+        // gno); gtid_executed text prints inclusive ranges and
+        // singletons without a dash
+        val ivs = (0L until nIv).map { _ =>
+          val st = u64(b); val en = u64(b) - 1
+          if (st == en) s"$st" else s"$st-$en"
+        }.mkString(",")
         s"$uuid:$ivs"
       }
       Seq(Decoded(h, "PREVIOUS_GTIDS", gtid = parts.mkString(";")))
@@ -463,15 +475,19 @@ object BinlogParser {
       if (v == v.toLong) v.toLong.toString else v.toString
     case 0x06 => "null" // NULL: zero bytes on the wire
     case 0x07 => u32(b).toString // legacy TIMESTAMP: 4-byte LE epoch seconds
-    case 0x0b => // legacy TIME: 3-byte LE packed int HHMMSS
-      val v = u8(b) | (u8(b) << 8) | (u8(b) << 16)
-      "\"%02d:%02d:%02d\"".format(v / 10000, (v / 100) % 100, v % 100)
+    case 0x0b => // legacy TIME: SIGNED 3-byte LE packed int HHMMSS
+      val raw = u8(b) | (u8(b) << 8) | (u8(b) << 16)
+      val v = if ((raw & 0x800000) != 0) raw - 0x1000000 else raw
+      val a = math.abs(v)
+      val sign = if (v < 0) "-" else ""
+      "\"%s%02d:%02d:%02d\"".format(sign, a / 10000, (a / 100) % 100, a % 100)
     case 0x0c => // legacy DATETIME: 8-byte LE packed int YYYYMMDDHHMMSS
       val v = b.getLong
       val (d, t) = (v / 1000000L, v % 1000000L)
       "\"%04d-%02d-%02d %02d:%02d:%02d\"".format(
         d / 10000, (d / 100) % 100, d % 100, t / 10000, (t / 100) % 100, t % 100)
-    case 0x0d => (1900 + u8(b)).toString // YEAR
+    case 0x0d => // YEAR: stored 0 IS the zero-year 0000, not 1900
+      val y = u8(b); if (y == 0) "0" else (1900 + y).toString
     case 0x0a | 0x0e => // DATE / NEWDATE: 3 bytes packed
       val v = u8(b) | (u8(b) << 8) | (u8(b) << 16)
       val (d, m, y) = (v & 0x1f, (v >> 5) & 0x0f, v >> 9)
@@ -493,11 +509,14 @@ object BinlogParser {
         val len = if (realMeta > 255) u16(b) else u8(b)
         jsonString(fixedBytesString(b, len, charset))
       }
-    case 0xfc => // BLOB: meta = number of length bytes
+    case 0xfc => // BLOB/TEXT: meta = number of length bytes
       var len = 0L
       (0 until meta).foreach(i => len |= (u8(b).toLong << (8 * i)))
       val bytes = new Array[Byte](len.toInt); b.get(bytes)
-      jsonString(new String(bytes, StandardCharsets.UTF_8))
+      // TEXT columns carry their charset in the TABLE_MAP TLVs (the
+      // binary collation id 63 maps to the byte-preserving latin1
+      // bridge, so binary blobs round-trip losslessly too)
+      jsonString(new String(bytes, charset))
     case 0xf5 | 0xff => // JSON / GEOMETRY: blob-like length prefix; payload
       // is binary (MySQL JSONB / WKB) — surface as hex, never reinterpret
       var len = 0L
@@ -505,7 +524,7 @@ object BinlogParser {
       val bytes = new Array[Byte](len.toInt); b.get(bytes)
       "\"0x" + bytes.map("%02x".format(_)).mkString + "\""
     case 0x11 => // TIMESTAMP2: 4 bytes BE seconds + fsp fraction
-      val secs = beInt(b, 4)
+      val secs = beLong(b, 4)
       val frac = fracDigits(b, meta)
       if (frac.isEmpty) secs.toString else s"$secs.$frac"
     case 0x12 => // DATETIME2: 5 bytes BE packed + fsp fraction
@@ -598,7 +617,6 @@ object BinlogParser {
   private def u64(b: ByteBuffer): Long = b.getLong
   private def skip(b: ByteBuffer, n: Int): Unit = b.position(b.position() + n)
 
-  private def beInt(b: ByteBuffer, n: Int): Long = beLong(b, n)
   private def beLong(b: ByteBuffer, n: Int): Long = {
     var v = 0L
     (0 until n).foreach(_ => v = (v << 8) | u8(b))

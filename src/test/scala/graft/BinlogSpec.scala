@@ -189,7 +189,8 @@ class BinlogSpec extends AnyFunSuite {
       """{"col_0":1,"col_1":"2024-01-02 03:04:05.678","col_2":1700000000.25,""" +
       """"col_3":"12:34:56","col_4":"0x0102",""" +
       """"col_5":"0x0101000000000000000000f03f0000000000000040",""" +
-      """"col_6":"09:34:56","col_7":"2024-01-02 03:04:05"}""",
+      """"col_6":"09:34:56","col_7":"2024-01-02 03:04:05",""" +
+      """"col_8":"-01:00:00","col_9":0}""",
       writes.head.after)
     // all 5 rows decode identically except the id — no misalignment drift
     assert(writes.last.after.contains("\"col_0\":5"))
