@@ -67,9 +67,12 @@ object BinlogGen {
         charsetTableMapBody(Latin1TableId, "latin", 8))
       emit(0x1e, charsetRowsBody(Latin1TableId, names,
         java.nio.charset.StandardCharsets.ISO_8859_1))
-      // a v1 write-rows header (payload ignored by the parser — it
-      // must surface as WRITE_ROWS_V1, not UNKNOWN)
-      emit(0x17, Array[Byte](0, 0, 0, 0, 0, 0))
+      // a v1 write-rows event against the same table — its row image
+      // must decode through the shared v1|v2 path WITH the latin1
+      // charset metadata applied (and surface as WRITE_ROWS_V1)
+      emit(0x17, v1Body(Latin1TableId, update = false, Seq(
+        rowImage(names.length + 1, "v1-æé",
+          java.nio.charset.StandardCharsets.ISO_8859_1))))
       emit(0x10, xidBody(7L))
     }
   }
@@ -243,15 +246,92 @@ object BinlogGen {
     b.array()
   }
 
-  private def writeRowsBody(firstId: Int, n: Int): Array[Byte] = {
-    val rows = (0 until n).map { i =>
-      val title = s"row-${firstId + i}".getBytes("UTF-8")
-      val r = ByteBuffer.allocate(1 + 4 + 1 + title.length).order(ByteOrder.LITTLE_ENDIAN)
-      r.put(0.toByte) // null bitmap: none null
-      r.putInt(firstId + i)
-      r.put(title.length.toByte); r.put(title)
-      r.array()
+  /** One `gen.gen`-shaped row image: null bitmap (none null), INT id,
+    * 1-byte-length-prefixed string in `charset`. */
+  private def rowImage(
+      id: Int, title: String,
+      charset: java.nio.charset.Charset =
+        java.nio.charset.StandardCharsets.UTF_8): Array[Byte] = {
+    val t = title.getBytes(charset)
+    val r = ByteBuffer.allocate(1 + 4 + 1 + t.length).order(ByteOrder.LITTLE_ENDIAN)
+    r.put(0.toByte) // null bitmap: none null
+    r.putInt(id)
+    r.put(t.length.toByte); r.put(t)
+    r.array()
+  }
+
+  /** v1 rows-event body (0x17-0x19): the v2 body MINUS the extra-data
+    * field. `images` are pre-built row images — for update (0x18)
+    * pass them as (before, after) pairs flattened in order.
+    */
+  private def v1Body(
+      tableId: Long, update: Boolean, images: Seq[Array[Byte]]): Array[Byte] = {
+    val rowBytes = images.map(_.length).sum
+    val b = ByteBuffer.allocate(6 + 2 + 1 + (if (update) 2 else 1) + rowBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, tableId)
+    b.putShort(1) // flags
+    b.put(2.toByte) // col count lenenc
+    b.put(0x03.toByte) // columns-present bitmap (image 1)
+    if (update) b.put(0x03.toByte) // columns-present bitmap (image 2)
+    images.foreach(b.put)
+    b.array()
+  }
+
+  /** v1 twin of the [[writeFile]] stream: TABLE_MAP, then
+    * WRITE/UPDATE/DELETE_ROWS **V1** over `gen.gen` with the same row
+    * payload bytes the v2 writer emits — so a spec can pin that the
+    * shared decode path yields byte-identical row images for both
+    * versions (MariaDB 10.x / MySQL <=5.5 parity, reference
+    * event/mod.rs:190-198).
+    */
+  def writeV1File(path: String, nRows: Int): Unit = {
+    withBinlog(path) { emit =>
+      emit(0x13, tableMapBody())
+      emit(0x17, v1Body(TableId, update = false,
+        (1 to nRows).map(i => rowImage(i, s"row-$i"))))
+      emit(0x18, v1Body(TableId, update = true,
+        (1 to nRows).flatMap(i =>
+          Seq(rowImage(i, s"row-$i"), rowImage(i, s"upd-$i")))))
+      emit(0x19, v1Body(TableId, update = false,
+        (1 to nRows).map(i => rowImage(i, s"upd-$i"))))
+      emit(0x10, xidBody(1L))
     }
+  }
+
+  /** v2 twin of [[writeV1File]]'s update/delete tail — same row
+    * payloads through the v2 event types, for the v1 == v2 pin. */
+  def writeV2TwinFile(path: String, nRows: Int): Unit = {
+    withBinlog(path) { emit =>
+      emit(0x13, tableMapBody())
+      emit(0x1e, writeRowsBody(1, nRows))
+      emit(0x1f, v2Body(TableId, update = true,
+        (1 to nRows).flatMap(i =>
+          Seq(rowImage(i, s"row-$i"), rowImage(i, s"upd-$i")))))
+      emit(0x20, v2Body(TableId, update = false,
+        (1 to nRows).map(i => rowImage(i, s"upd-$i"))))
+      emit(0x10, xidBody(1L))
+    }
+  }
+
+  /** v2 rows-event body from pre-built images (v1Body + extra-data). */
+  private def v2Body(
+      tableId: Long, update: Boolean, images: Seq[Array[Byte]]): Array[Byte] = {
+    val rowBytes = images.map(_.length).sum
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + (if (update) 2 else 1) + rowBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, tableId)
+    b.putShort(1) // flags
+    b.putShort(2) // extra data length (just itself)
+    b.put(2.toByte) // col count lenenc
+    b.put(0x03.toByte)
+    if (update) b.put(0x03.toByte)
+    images.foreach(b.put)
+    b.array()
+  }
+
+  private def writeRowsBody(firstId: Int, n: Int): Array[Byte] = {
+    val rows = (0 until n).map(i => rowImage(firstId + i, s"row-${firstId + i}"))
     val rowBytes = rows.map(_.length).sum
     val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
     putU48(b, TableId)
@@ -528,6 +608,155 @@ object BinlogGen {
       b.put(new Array[Byte](nullLen)) // null bitmap: none null
       b.put(v)
     }
+    b.array()
+  }
+
+  /** JSON-column table: `gen.json (id INT, doc JSON)` — one
+    * WRITE_ROWS_V2 with one row per doc, payloads encoded with the
+    * [[jsonb]] encoder below. Round-trip surface for the parser's
+    * JSONB → JSON text decode.
+    */
+  val JsonTableId = 84L
+
+  def writeJsonFile(path: String, docs: Seq[Any]): Unit = {
+    withBinlog(path) { emit =>
+      emit(0x13, jsonTableMapBody())
+      emit(0x1e, jsonRowsBody(docs))
+      emit(0x10, xidBody(11L))
+    }
+  }
+
+  private def jsonTableMapBody(): Array[Byte] = {
+    val schema = "gen".getBytes("UTF-8")
+    val table = "json".getBytes("UTF-8")
+    val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
+      1 + 2 + 1 + 1 + 1).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, JsonTableId)
+    b.putShort(1) // flags
+    b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
+    b.put(table.length.toByte); b.put(table); b.put(0.toByte)
+    b.put(2.toByte) // col count
+    b.put(0x03.toByte); b.put(0xf5.toByte) // LONG, JSON
+    b.put(1.toByte) // meta block length
+    b.put(2.toByte) // JSON: 2 length bytes
+    b.put(0.toByte) // nullability
+    b.array()
+  }
+
+  private def jsonRowsBody(docs: Seq[Any]): Array[Byte] = {
+    val rows = docs.zipWithIndex.map { case (doc, i) =>
+      val payload = jsonb(doc)
+      val r = ByteBuffer.allocate(1 + 4 + 2 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      r.put(0.toByte) // null bitmap
+      r.putInt(i + 1)
+      r.putShort(payload.length.toShort) // 2-byte blob length
+      r.put(payload)
+      r.array()
+    }
+    val rowBytes = rows.map(_.length).sum
+    val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+    putU48(b, JsonTableId)
+    b.putShort(1)
+    b.putShort(2)
+    b.put(2.toByte)
+    b.put(0x03.toByte)
+    rows.foreach(b.put)
+    b.array()
+  }
+
+  /** Minimal MySQL JSONB encoder (small format only) for fixture
+    * payloads — the write side of [[Jsonb.decode]]. Accepts: null,
+    * Boolean, Int (int16 when it fits, else int32), Long, Double,
+    * String, scala.collection.Map[String, Any] (object, iteration
+    * order preserved — pass a ListMap), Seq[Any] (array).
+    * Independent of the decoder's internals; BinlogSpec additionally
+    * pins hand-laid-out byte arrays so the pair can't share a
+    * layout misunderstanding.
+    */
+  def jsonb(v: Any): Array[Byte] = {
+    val (t, payload) = jsonbValue(v) match {
+      case (tpe, Left(inline)) =>
+        // top level has no value entry to inline into: literals and
+        // small ints still carry their payload bytes directly
+        val bs = tpe match {
+          case 0x04 => Array(inline.toByte)
+          case _ => Array((inline & 0xff).toByte, ((inline >> 8) & 0xff).toByte)
+        }
+        (tpe, bs)
+      case (tpe, Right(bs)) => (tpe, bs)
+    }
+    t.toByte +: payload
+  }
+
+  /** value → (type, inlined-u16 | spilled bytes) */
+  private def jsonbValue(v: Any): (Int, Either[Int, Array[Byte]]) = v match {
+    case null => (0x04, Left(0))
+    case b: Boolean => (0x04, Left(if (b) 1 else 2))
+    case i: Int if i >= Short.MinValue && i <= Short.MaxValue =>
+      (0x05, Left(i & 0xffff))
+    case i: Int =>
+      (0x07, Right(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(i).array()))
+    case l: Long =>
+      (0x09, Right(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(l).array()))
+    case d: Double =>
+      (0x0b, Right(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(java.lang.Double.doubleToLongBits(d)).array()))
+    case s: String =>
+      val raw = s.getBytes("UTF-8")
+      (0x0c, Right(jsonbVarlen(raw.length) ++ raw))
+    case m: scala.collection.Map[_, _] =>
+      (0x00, Right(jsonbContainer(
+        m.toSeq.map { case (k, x) => (k.toString, x) }, obj = true)))
+    case s: Seq[_] =>
+      (0x02, Right(jsonbContainer(s.map(("", _)), obj = false)))
+    case other => sys.error(s"jsonb: unsupported fixture value $other")
+  }
+
+  private def jsonbVarlen(n: Int): Array[Byte] = {
+    require(n >= 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var v = n
+    while ({
+      val b = v & 0x7f; v >>= 7
+      out += (if (v > 0) (b | 0x80) else b).toByte
+      v > 0
+    }) ()
+    out.toArray
+  }
+
+  /** Small-format object/array body (count through spilled values,
+    * excluding the leading type byte). Offsets relative to count.
+    */
+  private def jsonbContainer(
+      entries: Seq[(String, Any)], obj: Boolean): Array[Byte] = {
+    val n = entries.size
+    val keyBytes = entries.map(_._1.getBytes("UTF-8"))
+    val vals = entries.map(e => jsonbValue(e._2))
+    val headerLen = 4 + (if (obj) n * 4 else 0) + n * 3
+    var off = headerLen
+    val keyOffs = keyBytes.map { k => val o = off; off += k.length; o }
+    val valOffs = vals.map {
+      case (_, Left(_)) => -1
+      case (_, Right(bs)) => val o = off; off += bs.length; o
+    }
+    val size = off
+    require(size <= 0xffff && n <= 0xffff, "jsonb fixture too large for small format")
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(n.toShort); b.putShort(size.toShort)
+    if (obj) keyBytes.zip(keyOffs).foreach { case (k, o) =>
+      b.putShort(o.toShort); b.putShort(k.length.toShort)
+    }
+    vals.zip(valOffs).foreach {
+      case ((tpe, Left(inline)), _) =>
+        b.put(tpe.toByte); b.putShort(inline.toShort)
+      case ((tpe, Right(_)), o) =>
+        b.put(tpe.toByte); b.putShort(o.toShort)
+    }
+    keyBytes.foreach(b.put)
+    vals.foreach { case (_, e) => e.foreach(b.put) }
     b.array()
   }
 

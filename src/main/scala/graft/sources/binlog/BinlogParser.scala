@@ -68,9 +68,10 @@ object BinlogParser {
     0x0f -> "FORMAT_DESCRIPTION", 0x10 -> "XID",
     0x11 -> "BEGIN_LOAD_QUERY", 0x12 -> "EXECUTE_LOAD_QUERY",
     0x13 -> "TABLE_MAP", 0x1b -> "HEARTBEAT", 0x1d -> "ROWS_QUERY",
-    // pre-5.6 rows events (v0 = pre-GA, v1): recognized and
-    // name-skipped — payload decode covers v2 only, like the
-    // reference (rust-cdc event/mod.rs:321-326 names them too)
+    // v0 (pre-GA) rows events: recognized and name-skipped; v1 row
+    // images decode through the same path as v2 (the reference
+    // dispatches V1|V2 together, rust-cdc event/mod.rs:190-198 —
+    // MariaDB 10.x and MySQL <=5.5 write v1 exclusively)
     0x14 -> "PRE_GA_WRITE_ROWS", 0x15 -> "PRE_GA_UPDATE_ROWS",
     0x16 -> "PRE_GA_DELETE_ROWS",
     0x17 -> "WRITE_ROWS_V1", 0x18 -> "UPDATE_ROWS_V1",
@@ -324,18 +325,25 @@ object BinlogParser {
       Seq(Decoded(h, "TABLE_MAP", tableId = tableId,
         schemaName = schema, tableName = table))
 
-    case 0x1e | 0x1f | 0x20 => // WRITE / UPDATE / DELETE rows v2
+    // WRITE / UPDATE / DELETE rows, v1 (0x17-0x19, MariaDB 10.x /
+    // MySQL <=5.5) and v2 (0x1e-0x20). The v1 body is the v2 body
+    // minus the extra-data field — one decode path for both, like
+    // the reference (rust-cdc event/mod.rs:190-198).
+    case et @ (0x17 | 0x18 | 0x19 | 0x1e | 0x1f | 0x20) =>
+      val isUpdate = et == 0x18 || et == 0x1f
       val tableId = u48(b)
       skip(b, 2) // flags
-      val extraLen = u16(b)
-      skip(b, math.max(extraLen - 2, 0))
+      if (et >= 0x1e) { // v2-only extra-data block
+        val extraLen = u16(b)
+        skip(b, math.max(extraLen - 2, 0))
+      }
       val nCols = lenEnc(b).toInt
       val present1 = bitmap(b, nCols)
-      val present2 = if (h.eventType == 0x1f) bitmap(b, nCols) else present1
+      val present2 = if (isUpdate) bitmap(b, nCols) else present1
       val tm = tables.getOrElse(tableId,
         TableMapEntry(tableId, null, null, Array.empty, Array.empty, Array.empty))
-      val op = h.eventType match {
-        case 0x1e => "c"; case 0x1f => "u"; case 0x20 => "d"
+      val op = et match {
+        case 0x17 | 0x1e => "c"; case 0x18 | 0x1f => "u"; case _ => "d"
       }
       val rows = mutable.ArrayBuffer.empty[Decoded]
       var idx = 0
@@ -343,11 +351,11 @@ object BinlogParser {
       while (b.remaining() > 0 && tm.colTypes.nonEmpty && b.position() != lastPos) {
         lastPos = b.position()
         val img1 = readRowImage(b, tm, present1)
-        val img2 = if (h.eventType == 0x1f) readRowImage(b, tm, present2) else null
-        val (before, after) = h.eventType match {
-          case 0x1e => (null, img1)
-          case 0x20 => (img1, null)
-          case 0x1f => (img1, img2)
+        val img2 = if (isUpdate) readRowImage(b, tm, present2) else null
+        val (before, after) = op match {
+          case "c" => (null, img1)
+          case "d" => (img1, null)
+          case _ => (img1, img2)
         }
         rows += Decoded(h, typeNames(h.eventType), tableId = tableId,
           schemaName = tm.schema, tableName = tm.table, op = op,
@@ -517,8 +525,17 @@ object BinlogParser {
       // binary collation id 63 maps to the byte-preserving latin1
       // bridge, so binary blobs round-trip losslessly too)
       jsonString(new String(bytes, charset))
-    case 0xf5 | 0xff => // JSON / GEOMETRY: blob-like length prefix; payload
-      // is binary (MySQL JSONB / WKB) — surface as hex, never reinterpret
+    case 0xf5 => // JSON: blob-like length prefix + JSONB payload —
+      // decoded to JSON text (beyond the reference, which emits raw
+      // blob bytes) so CDC'd JSON columns are directly queryable;
+      // malformed payloads fall back to the hex surface losslessly
+      var len = 0L
+      (0 until meta).foreach(i => len |= (u8(b).toLong << (8 * i)))
+      val bytes = new Array[Byte](len.toInt); b.get(bytes)
+      Jsonb.decode(bytes).getOrElse(
+        "\"0x" + bytes.map("%02x".format(_)).mkString + "\"")
+    case 0xff => // GEOMETRY: blob-like length prefix; payload is
+      // binary WKB — surface as hex, never reinterpret
       var len = 0L
       (0 until meta).foreach(i => len |= (u8(b).toLong << (8 * i)))
       val bytes = new Array[Byte](len.toInt); b.get(bytes)

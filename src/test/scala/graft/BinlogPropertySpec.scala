@@ -115,12 +115,48 @@ class BinlogPropertySpec extends AnyFunSuite {
       if (n % 8 != 0) raw(0) = (raw(0) & ((1 << (n % 8)) - 1)).toByte
       (n, raw)
     }
-    val genJson = Gen.choose(0, 30).flatMap(n =>
-      Gen.choose(Long.MinValue, Long.MaxValue).map { seed =>
-        val raw = new Array[Byte](n)
-        new scala.util.Random(seed).nextBytes(raw)
-        raw
-      })
+    // JSON column payloads: either VALID JSONB (encoded by
+    // BinlogGen.jsonb, expected text from the independent printer
+    // below — round-trip property for the Jsonb decoder) or
+    // guaranteed-INVALID bytes (0xee is no JSONB type) expecting the
+    // hex fallback surface. Yields (payloadBytes, expectedJsonFragment).
+    def printJson(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case i: Int => i.toString
+      case l: Long => l.toString
+      case d: Double =>
+        if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      case s: String => "\"" + s + "\"" // alphanumeric-only strings
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => "\"" + k + "\":" + printJson(x) }
+          .mkString("{", ",", "}")
+      case s: Seq[_] => s.map(printJson).mkString("[", ",", "]")
+    }
+    val genJsonScalar: Gen[Any] = Gen.oneOf(
+      Gen.const(null: Any),
+      Gen.oneOf(true, false).map(x => x: Any),
+      Gen.choose(-100000, 100000).map(x => x: Any), // int16 and int32 paths
+      Gen.choose(-9000000L, 9000000L).map(l => (l * 1000003L): Any), // int64
+      Gen.choose(-400, 400).map(k => (k + 0.25): Any), // double
+      Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString: Any)))
+    val genJsonDoc: Gen[(Array[Byte], String)] = Gen.oneOf(
+      genJsonScalar,
+      Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, genJsonScalar).map(l => l: Any)),
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genJsonScalar).map(l =>
+        scala.collection.immutable.ListMap(
+          l.zipWithIndex.map { case (v, i) => s"k$i" -> v }: _*): Any)))
+      .map(doc => (BinlogGen.jsonb(doc), printJson(doc)))
+    val genJsonInvalid: Gen[(Array[Byte], String)] =
+      Gen.choose(0, 30).flatMap(n =>
+        Gen.choose(Long.MinValue, Long.MaxValue).map { seed =>
+          val raw = new Array[Byte](n + 1)
+          new scala.util.Random(seed).nextBytes(raw)
+          raw(0) = 0xee.toByte // no such JSONB type → hex fallback
+          (raw, "\"0x" + raw.map("%02x".format(_)).mkString + "\"")
+        })
+    val genJson = Gen.oneOf(genJsonDoc, genJsonInvalid)
     val genStr = Gen.choose(0, 50).flatMap(n =>
       Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
 
@@ -167,11 +203,11 @@ class BinlogPropertySpec extends AnyFunSuite {
       val rowBytes = normRows.map { case (t, dt, ts, bitRaw, js, s1, s2) =>
         val s1b = s1.getBytes("UTF-8"); val s2b = s2.getBytes("UTF-8")
         val b = ByteBuffer.allocate(t.nBytes + dt.nBytes + ts.nBytes +
-          bitRaw.length + 4 + js.length + 2 + s1b.length + 1 + s2b.length)
+          bitRaw.length + 4 + js._1.length + 2 + s1b.length + 1 + s2b.length)
           .order(ByteOrder.LITTLE_ENDIAN)
         t.encode(b); dt.encode(b); ts.encode(b)
         b.put(bitRaw)
-        b.putInt(js.length); b.put(js)
+        b.putInt(js._1.length); b.put(js._1)
         b.putShort(s1b.length.toShort); b.put(s1b) // u16 prefix (meta 300)
         b.put(s2b.length.toByte); b.put(s2b) // u8 prefix (meta 100)
         b.array()
@@ -185,7 +221,7 @@ class BinlogPropertySpec extends AnyFunSuite {
       val want = normRows.map { case (t, dt, ts, bitRaw, js, s1, s2) =>
         def hex(a: Array[Byte]) = "\"0x" + a.map("%02x".format(_)).mkString + "\""
         s"""{"col_0":${t.expected},"col_1":${dt.expected},"col_2":${ts.expected},""" +
-          s""""col_3":${hex(bitRaw)},"col_4":${hex(js)},""" +
+          s""""col_3":${hex(bitRaw)},"col_4":${js._2},""" +
           s""""col_5":"$s1","col_6":"$s2"}"""
       }
       got == want

@@ -232,13 +232,108 @@ class BinlogSpec extends AnyFunSuite {
     val events = BinlogParser.parseFile(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     val rows = events.filter(_.op == "c").map(_.after)
+    // the last row arrives through a WRITE_ROWS_V1 event — its image
+    // decodes through the same path, latin1 charset metadata applied
     assert(rows == Seq(
       """{"col_0":1,"col_1":"café"}""",
       """{"col_0":2,"col_1":"München"}""",
-      """{"col_0":3,"col_1":"plain"}"""), rows.toString)
-    // pre-5.6 rows events surface by name, not UNKNOWN
+      """{"col_0":3,"col_1":"plain"}""",
+      """{"col_0":4,"col_1":"v1-æé"}"""), rows.toString)
     assert(events.exists(_.typeName == "WRITE_ROWS_V1"))
     assert(!events.exists(_.typeName.startsWith("UNKNOWN")))
+  }
+
+  test("jsonb decode: hand-laid-out small object and array bytes") {
+    // {"a":1,"b":"x"} — offsets computed by hand from the public
+    // layout (count/size u16, key entries, value entries, keys,
+    // spilled values), NOT produced by the BinlogGen encoder, so an
+    // encoder/decoder shared misunderstanding cannot pass this
+    val obj = Array(
+      0x00, 0x02, 0x00, 0x16, 0x00, // small object, count 2, size 22
+      0x12, 0x00, 0x01, 0x00, // key "a" at offset 18, len 1
+      0x13, 0x00, 0x01, 0x00, // key "b" at offset 19, len 1
+      0x05, 0x01, 0x00, // value int16 1 (inlined)
+      0x0c, 0x14, 0x00, // value string at offset 20
+      0x61, 0x62, // "a","b"
+      0x01, 0x78 // varlen 1, "x"
+    ).map(_.toByte)
+    assert(graft.sources.binlog.Jsonb.decode(obj).contains("""{"a":1,"b":"x"}"""))
+    // [true, null, 300, "hi", 1.5]
+    val arr = (Array(
+      0x02, 0x05, 0x00, 0x1e, 0x00, // small array, count 5, size 30
+      0x04, 0x01, 0x00, 0x04, 0x00, 0x00, // true, null (inlined literals)
+      0x05, 0x2c, 0x01, // int16 300 inlined
+      0x0c, 0x13, 0x00, // string at offset 19
+      0x0b, 0x16, 0x00, // double at offset 22
+      0x02, 0x68, 0x69) // varlen 2, "hi"
+      ).map(_.toByte) ++
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(java.lang.Double.doubleToLongBits(1.5)).array()
+    assert(graft.sources.binlog.Jsonb.decode(arr)
+      .contains("""[true,null,300,"hi",1.5]"""))
+    // malformed payloads (the old fixtures' opaque 0x0102 is a
+    // truncated large-object header) must return None, never throw
+    assert(graft.sources.binlog.Jsonb.decode(Array(0x01, 0x02).map(_.toByte)).isEmpty)
+    assert(graft.sources.binlog.Jsonb.decode(Array.empty[Byte]).isEmpty)
+    assert(graft.sources.binlog.Jsonb.decode(Array(0x0c, 0x7f).map(_.toByte)).isEmpty)
+  }
+
+  test("json columns decode JSONB payloads to queryable JSON text") {
+    import scala.collection.immutable.ListMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonb_")
+    val path = s"$dir/mysql-bin.000001"
+    graft.sources.binlog.BinlogGen.writeJsonFile(path, Seq(
+      ListMap("id" -> 7, "name" -> "café", "tags" -> Seq("a", "b"),
+        "score" -> 2.25, "active" -> true, "note" -> null),
+      Seq(1, 2, ListMap("deep" -> ListMap("x" -> -32768))),
+      "top-level string",
+      42,
+      ListMap("big" -> 9007199254740993L, "wide" -> 123456789)))
+    val events = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val rows = events.filter(_.op == "c").map(_.after)
+    assert(rows == Seq(
+      """{"col_0":1,"col_1":{"id":7,"name":"café","tags":["a","b"],"score":2.25,"active":true,"note":null}}""",
+      """{"col_0":2,"col_1":[1,2,{"deep":{"x":-32768}}]}""",
+      """{"col_0":3,"col_1":"top-level string"}""",
+      """{"col_0":4,"col_1":42}""",
+      """{"col_0":5,"col_1":{"big":9007199254740993,"wide":123456789}}"""),
+      rows.mkString("\n"))
+    // and the decoded text is directly queryable Spark-side
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("after",
+          org.apache.spark.sql.types.StringType))))
+    import org.apache.spark.sql.functions._
+    val names = df.select(get_json_object(col("after"), "$.col_1.name").as("n"))
+      .collect().map(_.getString(0))
+    assert(names.contains("café"))
+  }
+
+  test("v1 rows events decode row images byte-identically to v2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_v1rows_")
+    graft.sources.binlog.BinlogGen.writeV1File(s"$dir/v1-bin.000001", 25)
+    graft.sources.binlog.BinlogGen.writeV2TwinFile(s"$dir/v2-bin.000001", 25)
+    def rowsOf(p: String) = BinlogParser.parseFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      .filter(_.op != null)
+      .map(e => (e.typeName.stripSuffix("_V1").stripSuffix("_V2"),
+        e.op, e.rowIndex, e.before, e.after))
+    val v1 = rowsOf(s"$dir/v1-bin.000001")
+    val v2 = rowsOf(s"$dir/v2-bin.000001")
+    assert(v1.nonEmpty && v1.size == 75) // 25 writes + 25 updates + 25 deletes
+    assert(v1 == v2, s"v1 decode diverged from v2:\n${v1.take(3)}\n${v2.take(3)}")
+    // update images carry distinct before/after
+    val u = v1.filter(_._2 == "u")
+    assert(u.forall { case (_, _, _, b, a) =>
+      b.contains("row-") && a.contains("upd-") })
+    // version suffix is preserved in the type names themselves
+    val v1Names = BinlogParser.parseFile(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v1-bin.000001"))).map(_.typeName).distinct
+    assert(Seq("WRITE_ROWS_V1", "UPDATE_ROWS_V1", "DELETE_ROWS_V1")
+      .forall(v1Names.contains), v1Names.toString)
   }
 
   test("gbk + utf16 charset metadata: CJK and fixed-width columns round-trip") {
