@@ -39,4 +39,41 @@ object MatchStrategy {
       case None    => lit(true)
       case Some(r) => qualified.rlike(r)
     }
+
+  /** Pushdown-friendly predicate over SEPARATE schema/table columns
+    * (the shape the binlog DSv2 source exposes). The reference
+    * filters events before its listener fires (rust-cdc
+    * `src/mysql/mod.rs:21-90`, conn.rs:181-268); the Spark
+    * equivalent is filtering before row materialization, which
+    * requires source-pushable filters — `rlike` over a concat column
+    * never pushes.
+    *
+    * Exact decomposition: the combined regex is the cartesian
+    * product (d1|…).(t1|…), so `db.table` matches iff the db part
+    * matches some database pattern AND the table part matches some
+    * table pattern. Per pattern:
+    *  - no `*`            → equality (an In filter once OR-merged)
+    *  - single trailing `*` → startsWith (a StringStartsWith filter)
+    *  - anything else      → per-column rlike residual (stays with
+    *                         Spark, still correct, just not pushed)
+    */
+  def matchesCols(
+      schemaCol: Column, tableCol: Column,
+      databases: Seq[String], tables: Seq[String]): Column = {
+    def colPred(c: Column, patterns: Seq[String]): Column =
+      if (patterns.isEmpty || patterns.contains(All)) lit(true)
+      else {
+        val (literals, rest) = patterns.distinct.partition(!_.contains("*"))
+        val (prefixes, complex) = rest.partition(p =>
+          p.indexOf('*') == p.length - 1) // exactly one '*', trailing
+        val parts =
+          (if (literals.nonEmpty) Seq(c.isin(literals.map(x => x: Any): _*)) else Nil) ++
+          prefixes.map(p => c.startsWith(p.dropRight(1))) ++
+          (if (complex.nonEmpty)
+            Seq(c.rlike("^(" + complex.map(expand).mkString("|") + ")$"))
+          else Nil)
+        parts.reduce(_ || _)
+      }
+    colPred(schemaCol, databases) && colPred(tableCol, tables)
+  }
 }

@@ -752,23 +752,38 @@ object Cdc {
   // manifest is engine-specific.
   private def binlogPushdown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val df = graft.sources.binlog.BinlogSource
+    def manifest(probe: String, df: DataFrame): Seq[(String, String, String, Long)] = {
+      val nRows = df.count()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      scans.collect { case sc: graft.sources.binlog.BinlogScan =>
+        (probe,
+          sc.readSchema().fieldNames.sorted.mkString(","),
+          sc.pushedDown.map(_.toString).sorted.mkString(";"),
+          nRows)
+      }
+    }
+    val base = graft.sources.binlog.BinlogSource
       .events(s, "/root/reference/tests/events/*/*")
+    val dispatch = base
       .filter(col("event_type") === "WRITE_ROWS_V2" && col("log_pos") > 0)
       .select("event_type", "table_name", "op")
-    val nRows = df.count()
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = plan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
-    }
-    scans.collect { case sc: graft.sources.binlog.BinlogScan =>
-      (sc.readSchema().fieldNames.sorted.mkString(","),
-        sc.pushedDown.map(_.toString).sorted.mkString(";"),
-        nRows)
-    }.toDF("read_columns", "pushed_filters", "n_rows")
+    // a finite db.table subscription compiles to source-pushable
+    // In/StartsWith trees (MatchStrategy.matchesCols) — the
+    // reference's pre-listener filtering, pushed to the reader
+    val subscription = base
+      .filter(MatchStrategy.matchesCols(
+        col("schema_name"), col("table_name"),
+        Seq("rustcdc"), Seq("rust*", "other")))
+      .select("schema_name", "table_name", "op")
+    (manifest("dispatch_eq", dispatch) ++ manifest("match_subscription", subscription))
+      .toDF("probe", "read_columns", "pushed_filters", "n_rows")
+      .orderBy("probe")
   }
 
   // --- cdc_kafka_ingest: Record::Kafka(partition, offset, body) -----

@@ -949,25 +949,52 @@ object Curation {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(p + q))))
         .otherwise(concat(acc, array(s))))
 
+  /** Driver safety cap on the collected word-frequency table: the
+    * trainer sees at most this many words (highest-frequency first,
+    * word-ascending tiebreak for determinism). Web-scale text has
+    * 10⁸-10⁹ distinct whitespace "words" (mostly noise singletons);
+    * the classical BPE working set is the frequent head, and every
+    * real tokenizer trainer prunes the tail the same way
+    * (min_frequency / vocab cap).
+    */
+  private[graft] val BpeMaxVocab = 2000000
+
+  /** The |vocab|-bounded word-frequency collect feeding the trainer:
+    * min-frequency prune (exact: merges are unchanged whenever every
+    * word that can influence a learned pair clears the threshold)
+    * then a top-`maxVocab` bounded take — deterministic (freq desc,
+    * word asc) and structurally capped, so the driver never holds
+    * more than `maxVocab` rows no matter how degenerate the corpus.
+    */
+  private[graft] def bpeWordFreq(
+      input: DataFrame, textCol: String,
+      minFreq: Long, maxVocab: Int): Array[(String, Long)] =
+    input
+      .select(explode(
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
   /** First `rounds` BPE merges over any text column:
     * (rnd, lhs, rhs, merged, cnt). Stops early if no pair remains.
     *
     * ONE Spark job — the |vocab|-bounded word-frequency aggregation
     * (the classical BPE working set: millions of rows at 100 TB, not
-    * the corpus) — then the whole R-round merge loop runs
-    * driver-side over that table with incremental pair-count
+    * the corpus), pruned by `minFreq` and hard-capped at `maxVocab`
+    * rows before the collect — then the whole R-round merge loop
+    * runs driver-side over that table with incremental pair-count
     * maintenance, so R=30k real-tokenizer training is R in-memory
     * iterations, not R serial Spark jobs paying the scheduling
     * floor. The learned merges broadcast back trivially (they ARE a
     * driver Seq; bpeEncodeStats already consumes them as one).
     */
-  def bpeMerges(input: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(input: DataFrame, textCol: String, rounds: Int,
+      minFreq: Long = 1L, maxVocab: Int = BpeMaxVocab): DataFrame = {
     val s = input.sparkSession
-    val wordFreq = input
-      .select(explode(
-        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wordFreq = bpeWordFreq(input, textCol, minFreq, maxVocab)
     val merges = bpeTrainDriver(wordFreq, rounds)
     import s.implicits._
     merges.toDF("rnd", "lhs", "rhs", "cnt")

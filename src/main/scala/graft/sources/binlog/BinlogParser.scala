@@ -164,8 +164,17 @@ object BinlogParser {
   /** Parse a whole binlog file. Unknown event types are surfaced as
     * UNKNOWN_0xNN rows rather than failing — a 100 TB backfill must
     * not die on one exotic event.
+    *
+    * `tableFilter(schema, table)` gates ROW-IMAGE materialization:
+    * a rows event whose (known) table doesn't match is skipped
+    * before its body is decoded — the pushed-down half of the
+    * reference's listener-level MatchStrategy filtering (rust-cdc
+    * `src/mysql/mod.rs:21-90`); a `db.table` subscription never pays
+    * to JSON-ify rows it will drop.
     */
-  def parseFile(bytes: Array[Byte]): Seq[Decoded] = {
+  def parseFile(
+      bytes: Array[Byte],
+      tableFilter: (String, String) => Boolean = (_, _) => true): Seq[Decoded] = {
     require(bytes.length >= 4 && bytes.take(4).sameElements(Magic),
       "not a binlog file (bad magic)")
     val out = mutable.ArrayBuffer.empty[Decoded]
@@ -190,7 +199,7 @@ object BinlogParser {
         val bodyLen = if (checksummed) bodyLen0 - 4 else bodyLen0
         val body = ByteBuffer.wrap(bytes, off + 19, math.max(bodyLen, 0))
           .order(ByteOrder.LITTLE_ENDIAN)
-        try out ++= decodeEvent(h, body, tables)
+        try out ++= decodeEvent(h, body, tables, tableFilter)
         catch {
           case _: Exception =>
             out += Decoded(h, s"CORRUPT_${typeNames.getOrElse(h.eventType, "0x%02x".format(h.eventType))}")
@@ -204,7 +213,8 @@ object BinlogParser {
   private def decodeEvent(
       h: EventHeader,
       b: ByteBuffer,
-      tables: mutable.Map[Long, TableMapEntry]): Seq[Decoded] = h.eventType match {
+      tables: mutable.Map[Long, TableMapEntry],
+      tableFilter: (String, String) => Boolean): Seq[Decoded] = h.eventType match {
 
     case 0x0f => // FORMAT_DESCRIPTION
       val binlogVersion = u16(b)
@@ -342,6 +352,10 @@ object BinlogParser {
       val present2 = if (isUpdate) bitmap(b, nCols) else present1
       val tm = tables.getOrElse(tableId,
         TableMapEntry(tableId, null, null, Array.empty, Array.empty, Array.empty))
+      // subscription gate: a known non-matching table skips row-image
+      // decode entirely (no JSON materialization, no output rows)
+      if (tm.schema != null && !tableFilter(tm.schema, tm.table))
+        return Seq.empty
       val op = et match {
         case 0x17 | 0x1e => "c"; case 0x18 | 0x1f => "u"; case _ => "d"
       }

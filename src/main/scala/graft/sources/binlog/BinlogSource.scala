@@ -76,7 +76,7 @@ class BinlogTable(properties: Map[String, String]) extends Table with SupportsRe
 class BinlogScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+  import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = BinlogSource.schema
   private var pushed: Array[Filter] = Array.empty
@@ -89,18 +89,8 @@ class BinlogScanBuilder(options: Map[String, String])
     required = if (pruned.isEmpty) StructType(BinlogSource.schema.fields.take(1)) else pruned
   }
 
-  // push equality/IN on the string dispatch columns — the reader can
-  // drop an event BEFORE materializing its row(s). Everything else
-  // stays with Spark (we return it as a residual).
-  private val pushableCols = Set("event_type", "table_name", "schema_name", "op")
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = filters.partition {
-      case EqualTo(a, _: String) => pushableCols(a)
-      case In(a, vs) => pushableCols(a) && vs.forall(_.isInstanceOf[String])
-      case IsNotNull(a) => pushableCols(a)
-      case _ => false
-    }
+    val (accepted, residual) = filters.partition(BinlogFilters.pushable)
     pushed = accepted
     residual // Spark still applies these (and re-applies pushed ones)
   }
@@ -108,6 +98,43 @@ class BinlogScanBuilder(options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new BinlogScan(options, required, pushed)
+}
+
+/** The source's pushable-filter dialect: equality / IN / startsWith /
+  * IsNotNull on the string dispatch columns, plus And/Or trees of
+  * those — the shape [[graft.cdc.MatchStrategy.matchesCols]] compiles
+  * a finite `db.table` subscription to. Evaluated on the decoded
+  * event BEFORE row materialization (string compares only — cheap),
+  * so a non-matching table's rows are skipped at the reader, like
+  * the reference filtering before its listener fires (rust-cdc
+  * `src/mysql/mod.rs:21-90`).
+  */
+object BinlogFilters {
+  import org.apache.spark.sql.sources._
+
+  // the columns known before materializing row images
+  private val pushableCols = Set("event_type", "table_name", "schema_name", "op")
+
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => pushableCols(a)
+    case In(a, vs) => pushableCols(a) && vs.forall(_.isInstanceOf[String])
+    case IsNotNull(a) => pushableCols(a)
+    case StringStartsWith(a, _) => pushableCols(a)
+    case And(l, r) => pushable(l) && pushable(r)
+    case Or(l, r) => pushable(l) && pushable(r)
+    case _ => false
+  }
+
+  def eval(f: Filter, fieldOf: String => String): Boolean = f match {
+    case EqualTo(a, v: String) => fieldOf(a) == v
+    case In(a, vs) => vs.contains(fieldOf(a))
+    case IsNotNull(a) => fieldOf(a) != null
+    case StringStartsWith(a, prefix) =>
+      val v = fieldOf(a); v != null && v.startsWith(prefix)
+    case And(l, r) => eval(l, fieldOf) && eval(r, fieldOf)
+    case Or(l, r) => eval(l, fieldOf) || eval(r, fieldOf)
+    case _ => true // unknown: keep, Spark re-applies residuals anyway
+  }
 }
 
 final case class BinlogInputPartition(path: String) extends InputPartition
@@ -252,11 +279,9 @@ class BinlogPartitionReader(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
-  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
-
   // pushed-filter evaluation on the decoded event, before any row
   // materialization (string compares only — cheap)
-  private def fieldOf(e: BinlogParser.Decoded, a: String): String = a match {
+  private def fieldOf(e: BinlogParser.Decoded)(a: String): String = a match {
     case "event_type" => e.typeName
     case "table_name" => e.tableName
     case "schema_name" => e.schemaName
@@ -264,12 +289,20 @@ class BinlogPartitionReader(
     case _ => null
   }
 
-  private def keep(e: BinlogParser.Decoded): Boolean = filters.forall {
-    case EqualTo(a, v: String) => fieldOf(e, a) == v
-    case In(a, vs) => vs.contains(fieldOf(e, a))
-    case IsNotNull(a) => fieldOf(e, a) != null
-    case _ => true
-  }
+  private def keep(e: BinlogParser.Decoded): Boolean =
+    filters.forall(BinlogFilters.eval(_, fieldOf(e)))
+
+  // conjuncts referencing ONLY schema_name/table_name can gate row
+  // decode inside the parser (before any image materialization);
+  // the rest still apply post-decode via keep()
+  private val tableOnly =
+    filters.filter(_.references.forall(Set("schema_name", "table_name")))
+  private def tableKeep(schema: String, table: String): Boolean =
+    tableOnly.forall(BinlogFilters.eval(_, {
+      case "schema_name" => schema
+      case "table_name" => table
+      case _ => null
+    }))
   // column pruning: per-field extractors selected once, not per row
   private val extractors: Array[BinlogParser.Decoded => Any] =
     required.fieldNames.map {
@@ -309,7 +342,7 @@ class BinlogPartitionReader(
       } finally in.close()
     // silently skip non-binlog files (directory scans hit mixed content)
     if (bytes.length >= 4 && bytes.take(4).sameElements(BinlogParser.Magic))
-      BinlogParser.parseFile(bytes).iterator.filter(keep)
+      BinlogParser.parseFile(bytes, tableKeep).iterator.filter(keep)
     else Iterator.empty
   }
   private var current: BinlogParser.Decoded = _
