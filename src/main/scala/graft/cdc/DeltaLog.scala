@@ -37,10 +37,11 @@ object DeltaLog {
     * combination up to this many (simple plan, per-branch pruning);
     * beyond it they switch to ONE scan joined against a broadcast
     * file→partition-values map, keeping the plan O(1) in partition
-    * count. A var only so DeltaLogSpec can force the join path on a
-    * small fixture.
+    * count. Callers that need the other plan (DeltaLogSpec forces
+    * the join path on a small fixture) pass their own threshold to
+    * [[read]]/[[readVersion]] — no mutable global.
     */
-  @volatile private[graft] var UnionComboMax = 64
+  val UnionComboMax = 64
 
   // Delta action paths are RFC 2396 percent-encoded URIs relative to
   // the table root (the protocol's `path` spec): encode when WRITING
@@ -49,32 +50,61 @@ object DeltaLog {
   // exactly. Simple names (alnum, '=', '-') are fixpoints of both.
   private[graft] def encodePath(p: String): String =
     new java.net.URI(null, null, p, null).toASCIIString
-  private[graft] def decodePath(p: String): String =
+
+  /** A log path is ABSOLUTE (externally-located file, spec-allowed:
+    * s3://…, hdfs://…, file:/…) only when it is a scheme-qualified
+    * URI whose scheme-specific part starts with '/'. Scheme presence
+    * alone is NOT enough: a relative filename whose first segment
+    * contains a colon ('a:b.parquet' — legal on posix filesystems,
+    * and exactly what Java's URI constructor emits un-guarded, so a
+    * foreign writer can log it raw) parses as an opaque URI with
+    * scheme 'a' and must stay relative.
+    */
+  private[graft] def isAbsoluteUri(p: String): Boolean =
     try {
       val u = new java.net.URI(p)
-      Option(u.getPath).getOrElse(p)
-    } catch { case _: java.net.URISyntaxException => p }
+      u.getScheme != null && {
+        val ssp = u.getRawSchemeSpecificPart
+        ssp != null && ssp.startsWith("/")
+      }
+    } catch { case _: java.net.URISyntaxException => false }
+
+  private[graft] def decodePath(p: String): String =
+    if (isAbsoluteUri(p))
+      try Option(new java.net.URI(p).getPath).getOrElse(p)
+      catch { case _: java.net.URISyntaxException => p }
+    else
+      // './' guard makes a colon-bearing first segment parse as a
+      // PATH rather than a scheme; strip any './' prefixes after so
+      // 'a:b.parquet', './a:b.parquet' and 'a%3Ab.parquet' all
+      // normalize to the same key
+      try {
+        var r = new java.net.URI("./" + p).getPath
+        while (r.startsWith("./")) r = r.substring(2)
+        r
+      } catch { case _: java.net.URISyntaxException => p }
 
   /** Canonical live-set key for an action path: absolute-URI paths
-    * (the spec allows externally-located files, e.g. s3://…) keep
-    * their full form; relative paths are percent-DECODED so the raw
-    * paths a pre-encoding writer logged and the encoded form the
+    * keep their full form; relative paths are percent-DECODED so the
+    * raw paths a pre-encoding writer logged and the encoded form the
     * current writer logs collide onto the same key — a remove always
     * cancels its add regardless of which era wrote which.
     */
-  private def normPath(p: String): String = {
-    val scheme = try new java.net.URI(p).getScheme
-      catch { case _: java.net.URISyntaxException => null }
-    if (scheme != null) p else decodePath(p)
-  }
+  private[graft] def normPath(p: String): String =
+    if (isAbsoluteUri(p)) p else decodePath(p)
 
-  /** Filesystem location of a normalized live-set key. */
-  private def resolvePath(tableDir: String, key: String): Path = {
-    val scheme = try new java.net.URI(key).getScheme
-      catch { case _: java.net.URISyntaxException => null }
-    if (scheme != null) new Path(new java.net.URI(key))
-    else new Path(tableDir, key)
-  }
+  /** Filesystem location of a normalized live-set key. Relative keys
+    * join through the scheme/authority/path constructor, NOT
+    * Path(parent, child) — Hadoop's child parse would re-introduce
+    * the colon-as-scheme ambiguity isAbsoluteUri just resolved.
+    */
+  private def resolvePath(tableDir: String, key: String): Path =
+    if (isAbsoluteUri(key)) new Path(new java.net.URI(key))
+    else {
+      val u = new Path(tableDir).toUri
+      val base = if (u.getPath.endsWith("/")) u.getPath else u.getPath + "/"
+      new Path(u.getScheme, u.getAuthority, base + key)
+    }
 
   def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
 
@@ -343,17 +373,19 @@ object DeltaLog {
     * protocol (checkpoint + JSON actions), independent of graft's
     * own `_graft_log` manifests — the cross-engine read path.
     */
-  def read(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
+  def read(spark: SparkSession, tableDir: String,
+      unionComboMax: Int = UnionComboMax): org.apache.spark.sql.DataFrame = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, st) = currentState(spark, fs, tableDir)
-    stateFrame(spark, tableDir, st)
+    stateFrame(spark, tableDir, st, unionComboMax)
   }
 
   /** Read AS OF `version` by replaying the JSON action log from 0 —
     * delta time travel over graft-written history.
     */
   def readVersion(spark: SparkSession, tableDir: String,
-      version: Long): org.apache.spark.sql.DataFrame = {
+      version: Long,
+      unionComboMax: Int = UnionComboMax): org.apache.spark.sql.DataFrame = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d = logDir(tableDir)
     val st = (0L to version).foldLeft(LogState.empty) { (s, v) =>
@@ -361,11 +393,11 @@ object DeltaLog {
       require(fs.exists(p), s"delta read: version $v missing under $tableDir")
       applyActions(s, parseActions(fs, p))
     }
-    stateFrame(spark, tableDir, st)
+    stateFrame(spark, tableDir, st, unionComboMax)
   }
 
   private def stateFrame(spark: SparkSession, tableDir: String,
-      st: LogState): org.apache.spark.sql.DataFrame = {
+      st: LogState, unionComboMax: Int): org.apache.spark.sql.DataFrame = {
     require(st.schemaJson.nonEmpty, "delta read: no metaData action found")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     def resolve(p: String): Path = resolvePath(tableDir, p)
@@ -384,7 +416,7 @@ object DeltaLog {
         schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
       val byCombo = st.live.toSeq
         .groupBy { case (_, pv) => st.partitionCols.map(pv.get(_).flatten) }
-      if (byCombo.size <= UnionComboMax) {
+      if (byCombo.size <= unionComboMax) {
         // one scan per DISTINCT value tuple, partition columns
         // re-attached as typed literals — downstream filters on them
         // constant-fold per branch and unselected branches prune away

@@ -56,6 +56,17 @@ object MatchStrategy {
     *  - single trailing `*` → startsWith (a StringStartsWith filter)
     *  - anything else      → per-column rlike residual (stays with
     *                         Spark, still correct, just not pushed)
+    *
+    * NULL semantics vs [[matches]]: this predicate is
+    * row-subscription-oriented — with a match-all pattern list it is
+    * `lit(true)` and ADMITS events whose schema/table columns are
+    * NULL (XID, GTID, FORMAT_DESCRIPTION carry no table), whereas
+    * `matches` over a `concat(db, '.', table)` column DROPS them
+    * (concat of a NULL column nulls the whole string, and
+    * NULL rlike r is never true). Callers substituting one API for
+    * the other on a mixed event stream must add
+    * `schemaCol.isNotNull && tableCol.isNotNull` (or the concat
+    * form's coalesce) when parity with `matches` is required.
     */
   def matchesCols(
       schemaCol: Column, tableCol: Column,

@@ -968,15 +968,27 @@ object Curation {
     */
   private[graft] def bpeWordFreq(
       input: DataFrame, textCol: String,
-      minFreq: Long, maxVocab: Int): Array[(String, Long)] =
-    input
+      minFreq: Long, maxVocab: Int): Array[(String, Long)] = {
+    // collect ONE sentinel row past the cap so truncation is
+    // detected (and loudly warned about) rather than silent: when
+    // the head doesn't fit, learned merges can differ from the
+    // exact unpruned computation
+    val probe = if (maxVocab < Int.MaxValue) maxVocab + 1 else maxVocab
+    val rows = input
       .select(explode(
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("word"))
-      .limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .limit(probe)
+      .collect()
+    if (rows.length > maxVocab)
+      System.err.println(
+        s"[graft] WARN bpeMerges: distinct words with freq >= $minFreq " +
+          s"exceed maxVocab=$maxVocab — training on the top-$maxVocab " +
+          "head; learned merges are approximate vs the unpruned trainer")
+    rows.take(maxVocab).map(r => (r.getString(0), r.getLong(1)))
+  }
 
   /** First `rounds` BPE merges over any text column:
     * (rnd, lhs, rhs, merged, cnt). Stops early if no pair remains.
@@ -990,6 +1002,12 @@ object Curation {
     * iterations, not R serial Spark jobs paying the scheduling
     * floor. The learned merges broadcast back trivially (they ARE a
     * driver Seq; bpeEncodeStats already consumes them as one).
+    *
+    * Exactness: merges equal the unpruned trainer's whenever every
+    * word that can influence a learned pair clears `minFreq` AND the
+    * surviving distinct words fit in `maxVocab`. When they don't fit,
+    * training proceeds on the top-`maxVocab` head (freq desc, word
+    * asc) — an APPROXIMATION, detected and logged as a warning.
     */
   def bpeMerges(input: DataFrame, textCol: String, rounds: Int,
       minFreq: Long = 1L, maxVocab: Int = BpeMaxVocab): DataFrame = {

@@ -1008,7 +1008,9 @@ object Similarity {
     // persist the exact top-k: both arms reference it with different
     // join partners, so without it the most expensive subtree (full
     // corpus scan + all-pairs cosine + window) evaluates twice —
-    // same pattern ivfProbeSweep already pins
+    // same persist + localCheckpoint + finally-unpersist lifecycle
+    // ivfProbeSweep pins, so the cache entry is released even when
+    // an arm's evaluation throws
     val exact = topk(s, dir).select(col("q_id"), col("neighbor_id")).persist()
     exact.count()
     def arm(method: String, approx: DataFrame): DataFrame =
@@ -1020,9 +1022,11 @@ object Similarity {
         .select(col("q_id"), lit(method).as("method"), col("n_hits"),
           floor(lit(1000.0) * col("n_hits") / lit(TopK)).cast("long")
             .as("recall_milli"))
-    arm("int8", quantized(s, dir))
+    try arm("int8", quantized(s, dir))
       .unionByName(arm("pq4", pqAdc(s, dir)))
       .orderBy("q_id", "method")
+      .localCheckpoint()
+    finally exact.unpersist()
   }
 
   private lazy val recallOracle: String =

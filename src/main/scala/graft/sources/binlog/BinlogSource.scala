@@ -92,7 +92,11 @@ class BinlogScanBuilder(options: Map[String, String])
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(BinlogFilters.pushable)
     pushed = accepted
-    residual // Spark still applies these (and re-applies pushed ones)
+    // residual stays with Spark; ACCEPTED filters are fully enforced
+    // by BinlogPartitionReader.keep() — Spark trusts the source for
+    // anything omitted from the returned array, so keep() must stay
+    // in lockstep with BinlogFilters.pushable
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed

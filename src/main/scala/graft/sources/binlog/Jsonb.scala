@@ -108,9 +108,11 @@ object Jsonb {
     case 0x09 => sb.append(i64(a, p)) // int64
     case 0x0a => // uint64: print unsigned
       sb.append(java.lang.Long.toUnsignedString(i64(a, p)))
-    case 0x0b => // double — integral values print without exponent
+    case 0x0b => // double — integral values print as "N.0" (MySQL's
+      // own JSON text keeps the double-vs-int distinction: 2.0, not 2)
       val d = java.lang.Double.longBitsToDouble(i64(a, p))
-      if (d == d.toLong && math.abs(d) < 1e15) sb.append(d.toLong)
+      if (d == d.toLong && math.abs(d) < 1e15)
+        sb.append(d.toLong).append(".0")
       else sb.append(d)
     case 0x0c => // string
       val (len, n) = varlen(a, p)

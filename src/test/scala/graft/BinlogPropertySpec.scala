@@ -125,8 +125,9 @@ class BinlogPropertySpec extends AnyFunSuite {
       case b: Boolean => b.toString
       case i: Int => i.toString
       case l: Long => l.toString
-      case d: Double =>
-        if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      case d: Double => // integral doubles keep MySQL's "N.0" form
+        if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString + ".0"
+        else d.toString
       case s: String => "\"" + s + "\"" // alphanumeric-only strings
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => "\"" + k + "\":" + printJson(x) }
@@ -139,6 +140,7 @@ class BinlogPropertySpec extends AnyFunSuite {
       Gen.choose(-100000, 100000).map(x => x: Any), // int16 and int32 paths
       Gen.choose(-9000000L, 9000000L).map(l => (l * 1000003L): Any), // int64
       Gen.choose(-400, 400).map(k => (k + 0.25): Any), // double
+      Gen.choose(-400, 400).map(k => (k.toDouble): Any), // integral double → "N.0"
       Gen.choose(0, 12).flatMap(n =>
         Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString: Any)))
     val genJsonDoc: Gen[(Array[Byte], String)] = Gen.oneOf(

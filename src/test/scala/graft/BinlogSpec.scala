@@ -320,6 +320,16 @@ class BinlogSpec extends AnyFunSuite {
         .putLong(java.lang.Double.doubleToLongBits(1.5)).array()
     assert(graft.sources.binlog.Jsonb.decode(arr)
       .contains("""[true,null,300,"hi",1.5]"""))
+    // integral doubles keep MySQL's "N.0" JSON text form — the
+    // double-vs-int distinction survives the decode
+    val arr2 = (Array(
+      0x02, 0x01, 0x00, 0x0f, 0x00, // small array, count 1, size 15
+      0x0b, 0x07, 0x00) // double at offset 7
+      ).map(_.toByte) ++
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(java.lang.Double.doubleToLongBits(2.0)).array()
+    assert(graft.sources.binlog.Jsonb.decode(arr2).contains("[2.0]"))
     // malformed payloads (the old fixtures' opaque 0x0102 is a
     // truncated large-object header) must return None, never throw
     assert(graft.sources.binlog.Jsonb.decode(Array(0x01, 0x02).map(_.toByte)).isEmpty)

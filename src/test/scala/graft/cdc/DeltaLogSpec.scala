@@ -313,12 +313,56 @@ class DeltaLogSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
     val want = Set(("a", 1.0, "a b"), ("b", 2.0, "c"))
     assert(readSet() == want) // union path (2 combos <= max)
-    val saved = DeltaLog.UnionComboMax
-    try {
-      DeltaLog.UnionComboMax = 0 // force the broadcast-join plan
-      assert(readSet() == want,
-        "join-path read diverged (input_file_name key mismatch?)")
-    } finally DeltaLog.UnionComboMax = saved
+    // force the broadcast-join plan via the threshold parameter
+    val joined = DeltaLog.read(spark, dir, unionComboMax = 0).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(joined == want,
+      "join-path read diverged (input_file_name key mismatch?)")
+  }
+
+  test("colon in a relative path's first segment stays relative") {
+    // 'a:b.parquet' is a legal posix filename; java.net.URI parses it
+    // as an opaque URI with scheme 'a' — and encodePath emits exactly
+    // that ambiguous form, so a log can carry it raw. Classification
+    // must look past mere scheme presence.
+    assert(!DeltaLog.isAbsoluteUri("a:b.parquet"))
+    assert(!DeltaLog.isAbsoluteUri("./a:b.parquet"))
+    assert(DeltaLog.isAbsoluteUri("s3://bucket/key.parquet"))
+    assert(DeltaLog.isAbsoluteUri("file:/tmp/x.parquet"))
+    assert(DeltaLog.isAbsoluteUri("hdfs://nn:8020/t/x.parquet"))
+    // all spellings of the colon-bearing relative name normalize to
+    // ONE live-set key, so a remove cancels its add across eras
+    assert(DeltaLog.normPath("a:b.parquet") == "a:b.parquet")
+    assert(DeltaLog.normPath("./a:b.parquet") == "a:b.parquet")
+    assert(DeltaLog.normPath("a%3Ab.parquet") == "a:b.parquet")
+    // absolute URIs keep their full form
+    assert(DeltaLog.normPath("s3://b/k%20e.parquet") == "s3://b/k%20e.parquet")
+    // plain names remain fixpoints
+    assert(DeltaLog.normPath("part-0001.parquet") == "part-0001.parquet")
+    assert(DeltaLog.decodePath("p=a%20b/f.parquet") == "p=a b/f.parquet")
+    // end-to-end: the live-set COLLISION is what the fix buys — a
+    // remove logged as 'a%3Ab.parquet' must cancel an add logged raw
+    // as 'a:b.parquet' (different eras, same file), leaving the table
+    // empty without ever touching the data file. (Actually READING a
+    // colon-named local file is blocked one layer down: Hadoop's
+    // ChecksumFileSystem builds the '.a:b.parquet.crc' sibling with
+    // Path(parent, child), which re-parses 'a' as a scheme —
+    // HADOOP-14829 — so the misclassified-as-absolute bug could never
+    // even reach the filesystem error before this fix.)
+    val dir = Files.createTempDirectory("foreign_delta_colon_").toString
+    val schemaJson = StructType.fromDDL("key string, value double").json
+      .replace("\"", "\\\"")
+    val log = new Path(dir, "_delta_log")
+    fs.mkdirs(log)
+    val out = fs.create(new Path(log, "00000000000000000000.json"), true)
+    try out.write(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t4","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"a:b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"remove":{"path":"a%3Ab.parquet","deletionTimestamp":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    assert(DeltaLog.read(spark, dir).collect().isEmpty,
+      "encoded remove failed to cancel the raw colon-path add")
   }
 
   test("foreign partitioned table via CHECKPOINT discovery (partitionValues in parquet)") {

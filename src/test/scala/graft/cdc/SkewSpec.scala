@@ -131,6 +131,12 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("50%-hot changelog folds within 2x of uniform keys") {
+    // wall-clock ratio assertion — meaningful only on a quiet host,
+    // so it runs when explicitly requested (GRAFT_TIMING_ASSERTS=1)
+    // and cancels (not fails) otherwise; the plan-shape skew coverage
+    // above is load-independent and always runs
+    assume(sys.env.get("GRAFT_TIMING_ASSERTS").contains("1"),
+      "set GRAFT_TIMING_ASSERTS=1 on a quiet host to run the wall-clock ratio check")
     val n = 4000000L
     def wall(hot: Boolean): Double = {
       val t0 = System.nanoTime()
