@@ -561,4 +561,75 @@ class CurationSpec extends AnyFunSuite {
       assert(r3 >= r1 - 0.1, s"weight-3 $s3 ($r3) behind weight-1 $s1 ($r1)")
     }
   }
+
+  test("bpe cap: singleton flood stays under the driver bound, merges exact") {
+    import spark.implicits._
+    // adversarial corpus: a 3-word frequent head over {x,y,z} plus
+    // 10,000 DISTINCT singleton "words" — each a unique CJK code
+    // point, so every flood word is 1 symbol long and contributes
+    // ZERO adjacent pairs (non-influential by construction, the
+    // exactness precondition bpeWordFreq's doc states)
+    val head = Seq.fill(4)("xy") ++ Seq.fill(3)("xz") ++ Seq.fill(3)("zy")
+    val flood = (0 until 10000).map(i => (0x4e00 + i).toChar.toString)
+    val corpus = (head ++ flood).map(Tuple1(_)).toDF("text")
+    // 1) minFreq prune: the driver sees EXACTLY the head — 3 rows
+    //    against a 10,003-distinct-word corpus, under the bound
+    val pruned = operators.Curation.bpeWordFreq(corpus, "text",
+      minFreq = 2L, maxVocab = 10)
+    assert(pruned.length == 3, s"driver bound broken: ${pruned.length} rows")
+    assert(pruned.toSet == Set(("xy", 4L), ("xz", 3L), ("zy", 3L)))
+    // 2) maxVocab cap: even with no freq prune the collect is hard-
+    //    bounded, highest-frequency head first (freq desc, word asc)
+    val capped = operators.Curation.bpeWordFreq(corpus, "text",
+      minFreq = 1L, maxVocab = 100)
+    assert(capped.length == 100, s"cap broken: ${capped.length} rows")
+    assert(capped.take(3).toSeq == Seq(("xy", 4L), ("xz", 3L), ("zy", 3L)))
+    // 3) exactness under the prune: learned merges are IDENTICAL to
+    //    the unpruned trainer's because every influential word
+    //    (the head) clears minFreq=2
+    def m(df: org.apache.spark.sql.DataFrame, minFreq: Long, maxVocab: Int) =
+      operators.Curation.bpeMerges(df, "text", rounds = 3,
+          minFreq = minFreq, maxVocab = maxVocab)
+        .orderBy("rnd").collect()
+        .map(r => (r.getAs[Long]("rnd"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Long]("cnt"))).toSeq
+    val exact = m(corpus, 1L, Int.MaxValue)
+    assert(exact == Seq((1L, "x", "y", 4L), (2L, "x", "z", 3L),
+      (3L, "z", "y", 3L))) // hand-traced ground truth
+    assert(m(corpus, 2L, 10) == exact,
+      "minFreq prune changed merges despite non-influential tail")
+  }
+
+  test("bpe cap: truncation trains on the top-maxVocab head and warns") {
+    import spark.implicits._
+    val head = Seq.fill(4)("xy") ++ Seq.fill(3)("xz") ++ Seq.fill(3)("zy")
+    val corpus = head.map(Tuple1(_)).toDF("text")
+    // maxVocab=2 keeps ("xy",4),("xz",3) — the freq-3 tie breaks
+    // word-ascending, dropping "zy". The CONTRACT when the head
+    // doesn't fit: train on exactly that truncated table.
+    val wfTrunc = operators.Curation.bpeWordFreq(corpus, "text",
+      minFreq = 1L, maxVocab = 2)
+    assert(wfTrunc.toSeq == Seq(("xy", 4L), ("xz", 3L)))
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    val got =
+      try operators.Curation.bpeMerges(corpus, "text", rounds = 3,
+          minFreq = 1L, maxVocab = 2)
+        .orderBy("rnd").collect()
+        .map(r => (r.getAs[Long]("rnd"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Long]("cnt"))).toSeq
+      finally System.setErr(oldErr)
+    // truncation is detected, not silent
+    assert(errBuf.toString("UTF-8").contains("WARN bpeMerges"),
+      "no truncation warning emitted")
+    // merges equal the naive trainer on the truncated table...
+    assert(got == bpeNaive(wfTrunc, 3))
+    assert(got == Seq((1L, "x", "y", 4L), (2L, "x", "z", 3L)))
+    // ...and genuinely DIFFER from the unpruned run (dropping "zy"
+    // loses its round-3 merge) — this corpus truly exercises the cap
+    val full = operators.Curation.bpeMerges(corpus, "text", rounds = 3)
+      .orderBy("rnd").collect()
+    assert(full.length == 3 && got.length == 2)
+  }
 }
