@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *    via temp-file + atomic rename, and re-merging an
   *    already-committed batch is a no-op upsert — idempotent
   *    recovery;
-  *  - every [[CompactEvery]]-th merge compacts to one file per
-  *    partition and vacuums crashed/superseded commit dirs (the
+  *  - every [[CompactEvery]]-th merge compacts accumulated small
+  *    files into size-targeted ones (≤ [[TxnLog.TargetRecordsPerFile]]
+  *    records; a skew-hot partition value sub-splits across parallel
+  *    tasks) and vacuums crashed/superseded commit dirs (the
   *    reference's checkpoint-every-10-commits);
   *  - undecodable records are appended to a dead-letter directory
   *    (`IngestOptions.dlq_table_uri`).
@@ -151,21 +153,31 @@ object CdcSink {
     if (mergeCount % CompactEvery == 0) compact(spark, tableDir, partitionCol)
   }
 
-  /** Rewrite the table to one file per partition and vacuum. */
+  /** Rewrite the table to size-targeted files (≤ targetRecordsPerFile
+    * records each) and vacuum. Partitioned tables cluster + sub-split
+    * inside [[TxnLog.writeCommitDir]] — a skew-hot partition value
+    * compacts through ceil(n/target) parallel tasks, never one giant
+    * single-task file; unpartitioned tables repartition to
+    * ceil(rows/target) output files.
+    */
   def compact(
       spark: SparkSession,
       tableDir: String,
-      partitionCol: Option[String]): Unit = {
+      partitionCol: Option[String],
+      targetRecordsPerFile: Long = TxnLog.TargetRecordsPerFile): Unit = {
     val fs = fsFor(spark, tableDir)
     TxnLog.current(fs, tableDir).foreach { m =>
       if (m.entries.nonEmpty) {
         val snap = TxnLog.readEntries(spark, tableDir, m.entries)
         val out = partitionCol match {
-          // hash-distribute on the partition column → one file per value
-          case Some(p) => snap.repartition(col(p))
-          case None => snap.coalesce(1)
+          case Some(_) => snap // writeCommitDir clusters + sub-splits
+          case None =>
+            val n = snap.count()
+            snap.repartition(
+              math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt)
         }
-        val entries = TxnLog.writeCommitDir(out, tableDir, partitionCol, m.version + 1)
+        val entries = TxnLog.writeCommitDir(
+          out, tableDir, partitionCol, m.version + 1, targetRecordsPerFile)
         TxnLog.commit(fs, tableDir, m.version + 1, out.schema, entries)
       }
       TxnLog.vacuum(fs, tableDir)

@@ -181,6 +181,14 @@ object TxnLog {
     }
   }
 
+  /** Size target for commit/compaction output files, in records.
+    * Bounds BOTH file size and write-task runtime: a partition value
+    * holding n records writes through ceil(n/target) tasks/files, so
+    * a skew-hot value at 100 TB parallelizes instead of serializing
+    * into one giant single-task file.
+    */
+  val TargetRecordsPerFile: Long = 2L * 1000 * 1000
+
   /** Write `df` into a fresh commit directory for `version`; returns
     * the manifest entries (paths relative to the table dir). Nothing
     * is visible to readers until [[commit]] publishes them.
@@ -189,7 +197,8 @@ object TxnLog {
       df: DataFrame,
       tableDir: String,
       partitionCol: Option[String],
-      version: Long): Seq[Entry] = {
+      version: Long,
+      targetRecordsPerFile: Long = TargetRecordsPerFile): Seq[Entry] = {
     val spark = df.sparkSession
     val dirName = s"c-$version-${UUID.randomUUID().toString.take(8)}"
     val dest = new Path(tableDir, dirName)
@@ -198,14 +207,43 @@ object TxnLog {
         // cluster rows by their target partition before the write:
         // otherwise every upstream task emits a file into every
         // partition dir it holds rows for (shuffle-width × partitions
-        // small files per commit). One task per partition value →
-        // one file; a skewed-hot partition at scale would add
-        // spark.sql.files.maxRecordsPerFile to split it.
-        df.withColumn(PartDirCol, col(p))
-          .repartition(col(PartDirCol))
-          .write.partitionBy(PartDirCol).parquet(dest.toString)
+        // small files per commit). Clustering by value ALONE would
+        // serialize a skew-hot value into one write task and one
+        // giant file, so each value is sub-split into
+        // ceil(n/targetRecordsPerFile) deterministic hash-salt
+        // buckets from a cheap pre-count (map-side partial agg →
+        // value-cardinality rows, broadcast back). Cost: the input is
+        // persisted across the count+write double evaluation.
+        import org.apache.spark.sql.functions.{
+          broadcast, ceil, coalesce, count, greatest, hash, lit, pmod, sum}
+        val base = df.withColumn(PartDirCol, col(p)).persist()
+        try {
+          val splits = base.groupBy(col(PartDirCol).as("_pv"))
+            .agg(count(lit(1)).as("_n"))
+            .select(col("_pv"),
+              greatest(lit(1L), ceil(col("_n") / lit(targetRecordsPerFile)))
+                .cast("int").as("_nsplit"))
+            .persist()
+          // task count = total sub-splits (the data-volume-correct
+          // number for this write), not spark.sql.shuffle.partitions
+          val totalSplits = splits
+            .agg(coalesce(sum(col("_nsplit")), lit(0L))).head.getLong(0)
+          base.join(broadcast(splits), base(PartDirCol) <=> col("_pv"), "left")
+            .withColumn("_salt",
+              pmod(hash(df.columns.map(col): _*), coalesce(col("_nsplit"), lit(1))))
+            .repartition(math.max(1L, totalSplits).toInt,
+              col(PartDirCol), col("_salt"))
+            .drop("_pv", "_nsplit", "_salt")
+            .write
+            // belt for hash-bucket collisions into one task: the file
+            // itself still splits at the record target
+            .option("maxRecordsPerFile", targetRecordsPerFile)
+            .partitionBy(PartDirCol).parquet(dest.toString)
+          splits.unpersist()
+        } finally base.unpersist()
       case None =>
-        df.write.parquet(dest.toString)
+        df.write.option("maxRecordsPerFile", targetRecordsPerFile)
+          .parquet(dest.toString)
     }
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     listParquet(fs, dest).map { f =>

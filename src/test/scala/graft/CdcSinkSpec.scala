@@ -188,6 +188,41 @@ class CdcSinkSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "_graft_merge_count").exists())
   }
 
+  test("compaction sub-splits a skew-hot partition into size-bounded files") {
+    val dir = Files.createTempDirectory("graft_sink_skew_").toString
+    // hot partition p1: 10,000 rows; cold p2: 10 rows — the shape
+    // that used to serialize p1 into ONE write task and one file
+    def rows(n: Long, part: String, pfx: String, off: Long): DataFrame =
+      spark.range(0, n).select(
+        concat(lit(pfx), col("id")).as("key"), lit("c").as("op"),
+        (col("id") + off).as("offset"), lit(part).as("part"),
+        col("id").cast("double").as("value"),
+        lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(
+      rows(10000, "p1", "h", 0).unionAll(rows(10, "p2", "c", 20000)),
+      dir, Some("part"))
+    val before = table(dir).orderBy("key").collect()
+    CdcSink.compact(spark, dir, Some("part"), targetRecordsPerFile = 1000L)
+    val m = TxnLog.current(fs, dir).get
+    val hotFiles = m.entries.filter(_.partition.contains("p1"))
+    val coldFiles = m.entries.filter(_.partition.contains("p2"))
+    assert(hotFiles.length > 1,
+      s"hot partition compacted to ${hotFiles.length} file(s) — not sub-split")
+    assert(coldFiles.length == 1,
+      s"cold partition fragmented into ${coldFiles.length} files")
+    // every output file honors the record target (2x slack for a
+    // salt-bucket hash collision sharing a task — the write-side
+    // maxRecordsPerFile belt keeps even that bounded)
+    hotFiles.foreach { e =>
+      val n = spark.read.parquet(s"$dir/${e.path}").count()
+      assert(n <= 2000L, s"${e.path} holds $n rows (target 1000)")
+    }
+    // identical data after the rewrite
+    val after = table(dir).orderBy("key").collect()
+    assert(after.length == before.length)
+    after.zip(before).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("crash between data write and manifest publish loses nothing") {
     val dir = Files.createTempDirectory("graft_sink_crash_").toString
     CdcSink.writeSnapshot(
