@@ -445,12 +445,12 @@ package object api {
     /** Connected components over a candidate-pair frame
       * (doc_a, doc_b): returns (v, label) with label = min id of the
       * component — duplicate clusters from pairwise candidates.
-      * If no fixpoint is reached within `maxIter` propagation rounds
-      * the call escalates to star contraction (O(log n) rounds, exact
-      * labels at any diameter), or throws with
-      * `failOnNonConvergence`.
+      * `maxIter` is a small fixed propagation budget (near-dup
+      * graphs converge inside it); past it the call switches to star
+      * contraction by default (O(log n) rounds, exact labels at any
+      * diameter), or throws with `failOnNonConvergence`.
       */
-    def connectedComponents(maxIter: Int = 8,
+    def connectedComponents(maxIter: Int = 4,
         failOnNonConvergence: Boolean = false): DataFrame =
       Dedup.connectedComponents(df, maxIter, failOnNonConvergence)
 

@@ -918,14 +918,18 @@ object Dedup {
     * Plain propagation is the right trade for near-dup graphs whose
     * diameter is 2-3 (one cheap round each).
     *
-    * If maxIter rounds pass without a fixpoint (a path longer than
-    * maxIter is still converging): with `failOnNonConvergence` the
-    * call throws; otherwise it ESCALATES to
+    * `maxIter` is a deliberately SMALL fixed round budget (default
+    * 4), not a convergence horizon: near-dup graphs (diameter 2-3)
+    * reach their fixpoint inside it, and anything that hasn't is by
+    * construction a high-diameter graph for which per-round
+    * propagation is the wrong algorithm. When the budget expires
+    * without a fixpoint, the DEFAULT path switches to
     * [[connectedComponentsStar]] — alternating large-star/small-star
     * contraction, O(log n) rounds regardless of diameter — so the
-    * returned labels are always exact. At 100 TB a pathological
-    * long-path graph costs log-n star rounds instead of silently
-    * returning partial labels.
+    * returned labels are always exact and the worst case pays a few
+    * cheap propagation rounds, never a diameter-proportional count.
+    * With `failOnNonConvergence` the call throws instead (callers
+    * that want to know their graph misbehaves).
     *
     * The returned frame is backed by the final round's persisted
     * cache (vertex-count sized — (v, label, prev) triples only, never
@@ -933,7 +937,7 @@ object Dedup {
     * unpersists, which keeps the result cheap to reuse downstream.
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 8,
+      pairs: DataFrame, maxIter: Int = 4,
       failOnNonConvergence: Boolean = false): DataFrame = {
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
@@ -983,11 +987,13 @@ object Dedup {
     sym.unpersist()
     if (!done) {
       val msg = s"connectedComponents: no fixpoint after $maxIter rounds " +
-        "(graph diameter exceeds maxIter)"
+        "(graph diameter exceeds the propagation budget)"
       cached.unpersist()
       if (failOnNonConvergence) throw new IllegalStateException(msg)
-      System.err.println(
-        s"[graft] WARN $msg — escalating to star contraction")
+      // the DEFAULT high-diameter path, not an anomaly: a few cheap
+      // propagation rounds were the fast path bet; star contraction
+      // finishes in O(log n) rounds
+      System.err.println(s"[graft] $msg — switching to star contraction")
       return connectedComponentsStar(pairs)
     }
     // the final round's cache backs the result (vertex-count sized);
