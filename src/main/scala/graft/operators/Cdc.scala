@@ -377,21 +377,35 @@ object Cdc {
   // were replayed. Deterministic planted stream → full DuckDB hash
   // oracle re-derives the end state from the generator's arithmetic.
   private val ReplicaFiles = 8
-  private val ReplicaTxnsPerFile = 400
   private val ReplicaRowsPerTxn = 5
-  private val ReplicaTxns = ReplicaFiles * ReplicaTxnsPerFile // 3200
-  private val ReplicaBound = ReplicaTxns * 3 / 5 // 1920
+
+  /** Stream size ∝ scale factor, derived from the orders row count
+    * so the DuckDB oracle re-derives the identical size from the
+    * same table (integer arithmetic mirrored exactly): sf0.01 →
+    * 3,000 txns / 15k row images; sf0.1 → 30k / 150k; sf1 → 300k /
+    * 1.5M. The planted stream — and therefore the whole main-loop
+    * composition this entry proves — scales with the data, not a
+    * fixed ~2 s fixture.
+    */
+  private def replicaTxns(s: SparkSession, dir: String): Long =
+    (Tables.orders(s, dir).count() / 40) * ReplicaFiles
 
   private def replicaLoop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val genDir = ensureReplicaGenerated()
+    val nTxns = replicaTxns(s, dir)
+    val bound = nTxns * 3 / 5
+    // previous epoch's executed set: 60% prefix + ~64 isolated gnos
+    // spread through the tail — the resume state a real replica
+    // carries is a handful of holes, so the interval count stays
+    // BOUNDED (~65) at every scale and the broadcast skip join costs
+    // O(events × 65), linear in the stream
+    val step = math.max(7L, (nTxns - bound) / 64)
+    val genDir = ensureReplicaGenerated(nTxns)
     val tableDir = java.nio.file.Files
       .createTempDirectory("cdc_replica_tbl_").toString
-    // previous epoch's executed set: 60% prefix + every gno ≡3 mod 7
-    // in the tail — compacted to intervals (bounded resume state:
-    // ~185 rows for 3200 txns) and BROADCAST into the skip join
-    val executedGnos = s.range(1, ReplicaTxns + 1).toDF("gno")
-      .filter(col("gno") <= ReplicaBound || col("gno") % 7 === 3)
+    val executedGnos = s.range(1, nTxns + 1).toDF("gno")
+      .filter(col("gno") <= bound ||
+        (col("gno") > bound && (col("gno") - bound) % step === 3))
     val intervals = GtidSet.intervals(
         executedGnos.withColumn("server_id", lit(1L)), "server_id", "gno")
       .select(col("gno_start"), col("gno_end")).collect()
@@ -454,12 +468,26 @@ object Cdc {
   }
 
   private val replicaLoopSql = {
-    val n = ReplicaTxns; val b = ReplicaBound; val r = ReplicaRowsPerTxn
-    s"""WITH g AS (SELECT i AS gno FROM range(1, $n + 1) t(i)),
+    val r = ReplicaRowsPerTxn; val f = ReplicaFiles
+    // the oracle re-derives the stream size from the SAME orders
+    // table (integer arithmetic mirrored from replicaTxns/replicaLoop
+    // exactly); range() can't take subqueries in DuckDB, so a fixed
+    // 10M ceiling (covers sf10) is filtered down to n
+    s"""WITH sc AS (
+       |  SELECT ((count(*) // 40) * $f) AS n,
+       |         (((count(*) // 40) * $f) * 3) // 5 AS b
+       |  FROM orders),
+       |sc2 AS (SELECT n, b, greatest(7, (n - b) // 64) AS st FROM sc),
+       |g AS (SELECT i AS gno FROM range(1, 10000001) t(i)
+       |      WHERE i <= (SELECT n FROM sc2)),
        |rws AS (SELECT gno, (gno - 1) * $r + j + 1 AS id
        |        FROM g, range(0, $r) s(j))
        |SELECT id, 'row-' || CAST(id AS VARCHAR) AS title,
-       |       CAST(CASE WHEN gno <= $b OR gno % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS epoch
+       |       CAST(CASE WHEN gno <= (SELECT b FROM sc2)
+       |                   OR (gno > (SELECT b FROM sc2)
+       |                       AND (gno - (SELECT b FROM sc2))
+       |                           % (SELECT st FROM sc2) = 3)
+       |            THEN 0 ELSE 1 END AS BIGINT) AS epoch
        |FROM rws ORDER BY id""".stripMargin
   }
 
@@ -575,15 +603,17 @@ object Cdc {
       .orderBy("server")
   }
 
-  private def ensureReplicaGenerated(): String =
-    ensureGenerated("graft_binlog_replica_v1") { tmp =>
+  private def ensureReplicaGenerated(nTxns: Long): String = {
+    val txnsPerFile = (nTxns / ReplicaFiles).toInt
+    ensureGenerated(s"graft_binlog_replica_v2_$nTxns") { tmp =>
       (1 to ReplicaFiles).foreach { f =>
         graft.sources.binlog.BinlogGen.writeReplicaFile(
           tmp.resolve(f"mysql-bin.$f%06d").toString,
-          firstGno = (f - 1).toLong * ReplicaTxnsPerFile + 1,
-          nTxns = ReplicaTxnsPerFile, rowsPerTxn = ReplicaRowsPerTxn)
+          firstGno = (f - 1).toLong * txnsPerFile + 1,
+          nTxns = txnsPerFile, rowsPerTxn = ReplicaRowsPerTxn)
       }
     }
+  }
 
   private def ensureControlGenerated(): String =
     ensureGenerated("graft_binlog_ctrl_v1") { tmp =>

@@ -558,12 +558,16 @@ class CdcSpec extends AnyFunSuite {
 
   test("cdc_replica_loop: stream fold applies exactly the non-executed txns") {
     val rows = SparkEntry.queries("cdc_replica_loop")(spark, sf).collect()
-    assert(rows.length == 16000) // every generated row id present once
-    val R = 5; val bound = 1920
+    // stream size ∝ sf, re-derived here exactly as replicaLoop does
+    val R = 5
+    val n = (Tables.orders(spark, sf).count() / 40) * 8
+    val bound = n * 3 / 5
+    val step = math.max(7L, (n - bound) / 64)
+    assert(rows.length == n * R) // every generated row id present once
     rows.foreach { r =>
       val id = r.getAs[Long]("id")
       val gno = (id - 1) / R + 1
-      val executed = gno <= bound || gno % 7 == 3
+      val executed = gno <= bound || (gno > bound && (gno - bound) % step == 3)
       // bootstrap rows stayed (epoch 0); the stream replayed ONLY the
       // non-executed transactions (epoch 1) — the GTID skip is exact
       assert(r.getAs[Long]("epoch") == (if (executed) 0L else 1L),
