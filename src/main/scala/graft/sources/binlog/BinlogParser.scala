@@ -177,37 +177,70 @@ object BinlogParser {
       tableFilter: (String, String) => Boolean = (_, _) => true): Seq[Decoded] = {
     require(bytes.length >= 4 && bytes.take(4).sameElements(Magic),
       "not a binlog file (bad magic)")
-    val out = mutable.ArrayBuffer.empty[Decoded]
-    val tables = mutable.Map.empty[Long, TableMapEntry]
-    var checksummed = false
-    var off = 4
-    while (off + 19 <= bytes.length) {
-      val buf = ByteBuffer.wrap(bytes, off, bytes.length - off)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      val h = EventHeader(
-        timestamp = u32(buf), eventType = u8(buf), serverId = u32(buf),
-        eventSize = u32(buf), logPos = u32(buf), flags = u16(buf))
-      if (h.eventSize < 19 || off + h.eventSize > bytes.length) {
-        off = bytes.length // truncated tail — stop
-      } else {
-        val bodyLen0 = h.eventSize.toInt - 19
-        // FDE declares whether a CRC32 trailer follows every event
-        if (h.eventType == 0x0f) {
-          val algPos = off + 19 + bodyLen0 - 5
-          checksummed = bytes(algPos) == 1
-        }
-        val bodyLen = if (checksummed) bodyLen0 - 4 else bodyLen0
-        val body = ByteBuffer.wrap(bytes, off + 19, math.max(bodyLen, 0))
-          .order(ByteOrder.LITTLE_ENDIAN)
-        try out ++= decodeEvent(h, body, tables, tableFilter)
-        catch {
-          case _: Exception =>
-            out += Decoded(h, s"CORRUPT_${typeNames.getOrElse(h.eventType, "0x%02x".format(h.eventType))}")
-        }
-        off += h.eventSize.toInt
-      }
+    parseStream(new java.io.ByteArrayInputStream(bytes), tableFilter).toSeq
+  }
+
+  /** Fill `buf[0, n)` from `in`; false on EOF before `n` bytes (a
+    * truncated tail — the caller stops at the intact prefix). */
+  private def readFully(
+      in: java.io.InputStream, buf: Array[Byte], n: Int): Boolean = {
+    var got = 0
+    while (got < n) {
+      val r = in.read(buf, got, n - got)
+      if (r < 0) return false
+      got += r
     }
-    out.toSeq
+    true
+  }
+
+  /** Streaming parse: one event resident at a time — O(event) memory
+    * regardless of file size, so a reader task never holds the whole
+    * file's bytes or its full decoded row set. The iterator consumes
+    * `in` lazily (headers + length-prefixed bodies; a truncated tail
+    * ends the stream at the intact prefix, mirroring [[parseFile]]);
+    * the caller owns closing the stream.
+    */
+  def parseStream(
+      in: java.io.InputStream,
+      tableFilter: (String, String) => Boolean = (_, _) => true): Iterator[Decoded] = {
+    val magic = new Array[Byte](4)
+    if (!readFully(in, magic, 4) || !magic.sameElements(Magic))
+      throw new IllegalArgumentException("not a binlog file (bad magic)")
+    val tables = mutable.Map.empty[Long, TableMapEntry]
+    new Iterator[Decoded] {
+      private var checksummed = false
+      private var done = false
+      private var pending: Iterator[Decoded] = Iterator.empty
+      private val hdr = new Array[Byte](19)
+      private def advance(): Unit =
+        while (!done && !pending.hasNext) {
+          if (!readFully(in, hdr, 19)) { done = true; return }
+          val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+          val h = EventHeader(
+            timestamp = u32(hb), eventType = u8(hb), serverId = u32(hb),
+            eventSize = u32(hb), logPos = u32(hb), flags = u16(hb))
+          if (h.eventSize < 19 || h.eventSize > Int.MaxValue) {
+            done = true; return
+          }
+          val bodyLen0 = h.eventSize.toInt - 19
+          val body = new Array[Byte](bodyLen0)
+          if (!readFully(in, body, bodyLen0)) { done = true; return }
+          // FDE declares whether a CRC32 trailer follows every event
+          if (h.eventType == 0x0f && bodyLen0 >= 5)
+            checksummed = body(bodyLen0 - 5) == 1
+          val bodyLen = if (checksummed) bodyLen0 - 4 else bodyLen0
+          val bb = ByteBuffer.wrap(body, 0, math.max(bodyLen, 0))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          pending =
+            try decodeEvent(h, bb, tables, tableFilter).iterator
+            catch {
+              case _: Exception => Iterator.single(Decoded(h,
+                s"CORRUPT_${typeNames.getOrElse(h.eventType, "0x%02x".format(h.eventType))}"))
+            }
+        }
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): Decoded = { advance(); pending.next() }
+    }
   }
 
   private def decodeEvent(

@@ -329,25 +329,29 @@ class BinlogPartitionReader(
       case "next_binlog" => (e: BinlogParser.Decoded) => UTF8String.fromString(e.nextBinlog)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
+  // the open stream behind `events` — closed by close() (Spark calls
+  // it after the scan) and defensively when the magic check fails
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+
   private lazy val events: Iterator[BinlogParser.Decoded] = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(conf)
-    val in = fs.open(hp)
-    val bytes =
-      try {
-        val rawLen = fs.getFileStatus(hp).getLen
-        require(rawLen <= Int.MaxValue - 16,
-          s"binlog file $path is ${rawLen}B — beyond the 2 GiB single-buffer " +
-            "parser limit; split it at rotation boundaries first")
-        val len = rawLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
+    in = fs.open(hp)
     // silently skip non-binlog files (directory scans hit mixed content)
-    if (bytes.length >= 4 && bytes.take(4).sameElements(BinlogParser.Magic))
-      BinlogParser.parseFile(bytes, tableKeep).iterator.filter(keep)
-    else Iterator.empty
+    val magic = new Array[Byte](4)
+    val isBinlog =
+      try { in.readFully(0, magic); magic.sameElements(BinlogParser.Magic) }
+      catch { case _: java.io.EOFException => false }
+    if (!isBinlog) { in.close(); in = null; Iterator.empty }
+    else {
+      // STREAMING parse: O(event) task memory — the reader never
+      // holds the file's bytes or its full decoded row set, so 32
+      // concurrent 1 GiB-file tasks cost ~32 events of heap, not
+      // ~32 GiB of buffers
+      in.seek(0)
+      BinlogParser.parseStream(
+        new java.io.BufferedInputStream(in, 1 << 16), tableKeep).filter(keep)
+    }
   }
   private var current: BinlogParser.Decoded = _
 
@@ -359,5 +363,6 @@ class BinlogPartitionReader(
     InternalRow.fromSeq(extractors.map(f => f(e)).toSeq)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (in != null) { in.close(); in = null }
 }

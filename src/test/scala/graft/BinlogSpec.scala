@@ -204,6 +204,40 @@ class BinlogSpec extends AnyFunSuite {
     }
   }
 
+  test("parseStream: chunk-starved stream decodes identically to parseFile") {
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_stream_")
+    val f = dir.resolve("mysql-bin.000001").toString
+    BinlogGen.writeFile(f, 200, rowsPerEvent = 7)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    // a stream that returns 1-3 bytes per read: readFully must loop,
+    // and every header/body boundary lands mid-read at least once
+    class Dribble(b: Array[Byte]) extends java.io.InputStream {
+      private var pos = 0
+      override def read(): Int =
+        if (pos >= b.length) -1 else { val v = b(pos) & 0xff; pos += 1; v }
+      override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= b.length) return -1
+        val n = math.min(1 + pos % 3, math.min(len, b.length - pos))
+        System.arraycopy(b, pos, dst, off, n); pos += n; n
+      }
+    }
+    val streamed = BinlogParser.parseStream(new Dribble(bytes)).toSeq
+    val whole = BinlogParser.parseFile(bytes)
+    assert(streamed == whole)
+    assert(streamed.count(_.typeName == "WRITE_ROWS_V2") == 200)
+    // truncated mid-body: the intact prefix, never a crash
+    val cut = bytes.length - 13
+    val partial = BinlogParser.parseStream(
+      new Dribble(bytes.take(cut))).toSeq
+    assert(partial == BinlogParser.parseFile(bytes.take(cut)))
+    // bad magic throws (the DSv2 reader checks magic before calling)
+    intercept[IllegalArgumentException] {
+      BinlogParser.parseStream(
+        new java.io.ByteArrayInputStream("nope".getBytes))
+    }
+  }
+
   test("typed round-trip: BIT/ENUM/SET/DATE decode without misalignment") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_typed_")
