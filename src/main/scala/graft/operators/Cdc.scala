@@ -436,9 +436,14 @@ object Cdc {
         val iv = broadcast(intervals.toDF("gno_start", "gno_end"))
         // txn assembly: every event takes the xid of its nearest
         // FOLLOWING XID in file order (files hold whole txns, and
-        // micro-batch offsets are file-granular — no split txns)
-        val wTxn = Window.partitionBy("file").orderBy("log_pos")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // micro-batch offsets are file-granular — no split txns).
+        // Expressed as a RUNNING min over descending log_pos — the
+        // [currentRow, unboundedFollowing] spelling hits Spark's
+        // UnboundedFollowingWindowFunctionFrame, which rebuilds the
+        // aggregate per row: O(rows²) per file and the whole entry's
+        // wall-clock at sf0.1+; the running frame is O(rows)
+        val wTxn = Window.partitionBy("file").orderBy(col("log_pos").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val rows = batch
           .withColumn("txn_gno",
             min(when(col("event_type") === "XID", col("xid"))).over(wTxn))
@@ -1233,8 +1238,11 @@ object Cdc {
     */
   def assembleTransactions(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("file").orderBy("log_pos")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // running min over DESCENDING log_pos = min over [currentRow,
+    // unboundedFollowing] ascending, but O(rows) instead of the
+    // O(rows²) UnboundedFollowingWindowFunctionFrame
+    val w = Window.partitionBy("file").orderBy(col("log_pos").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val assigned = ev
       .withColumn("commit", min(when(col("event_type") === "XID",
         struct(col("log_pos"), col("xid")))).over(w))
