@@ -177,7 +177,8 @@ object CdcSink {
               math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt)
         }
         val entries = TxnLog.writeCommitDir(
-          out, tableDir, partitionCol, m.version + 1, targetRecordsPerFile)
+          out, tableDir, partitionCol, m.version + 1, targetRecordsPerFile,
+          subSplitHotPartitions = true)
         TxnLog.commit(fs, tableDir, m.version + 1, out.schema, entries)
       }
       TxnLog.vacuum(fs, tableDir)

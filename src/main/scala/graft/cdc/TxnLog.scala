@@ -198,22 +198,34 @@ object TxnLog {
       tableDir: String,
       partitionCol: Option[String],
       version: Long,
-      targetRecordsPerFile: Long = TargetRecordsPerFile): Seq[Entry] = {
+      targetRecordsPerFile: Long = TargetRecordsPerFile,
+      subSplitHotPartitions: Boolean = false): Seq[Entry] = {
     val spark = df.sparkSession
     val dirName = s"c-$version-${UUID.randomUUID().toString.take(8)}"
     val dest = new Path(tableDir, dirName)
     partitionCol match {
-      case Some(p) =>
+      case Some(p) if !subSplitHotPartitions =>
         // cluster rows by their target partition before the write:
         // otherwise every upstream task emits a file into every
         // partition dir it holds rows for (shuffle-width × partitions
-        // small files per commit). Clustering by value ALONE would
-        // serialize a skew-hot value into one write task and one
-        // giant file, so each value is sub-split into
-        // ceil(n/targetRecordsPerFile) deterministic hash-salt
-        // buckets from a cheap pre-count (map-side partial agg →
-        // value-cardinality rows, broadcast back). Cost: the input is
-        // persisted across the count+write double evaluation.
+        // small files per commit). One task per value is the right
+        // cost for increment-sized merge commits; file SIZE is still
+        // bounded (maxRecordsPerFile), and the periodic compaction
+        // rewrite (subSplitHotPartitions=true) restores write
+        // parallelism for any value that grew hot in the meantime.
+        df.withColumn(PartDirCol, col(p))
+          .repartition(col(PartDirCol))
+          .write.option("maxRecordsPerFile", targetRecordsPerFile)
+          .partitionBy(PartDirCol).parquet(dest.toString)
+      case Some(p) =>
+        // full-rewrite path (compaction): clustering by value ALONE
+        // would serialize a skew-hot value into one write task, so
+        // each value sub-splits into ceil(n/targetRecordsPerFile)
+        // deterministic hash-salt buckets from an exact pre-count
+        // (map-side partial agg → value-cardinality rows, broadcast
+        // back); the repartition width is the total sub-split count —
+        // the data-volume-correct task count for the rewrite. The
+        // input is persisted across the count+write double pass.
         import org.apache.spark.sql.functions.{
           broadcast, ceil, coalesce, count, greatest, hash, lit, pmod, sum}
         val base = df.withColumn(PartDirCol, col(p)).persist()
@@ -224,8 +236,6 @@ object TxnLog {
               greatest(lit(1L), ceil(col("_n") / lit(targetRecordsPerFile)))
                 .cast("int").as("_nsplit"))
             .persist()
-          // task count = total sub-splits (the data-volume-correct
-          // number for this write), not spark.sql.shuffle.partitions
           val totalSplits = splits
             .agg(coalesce(sum(col("_nsplit")), lit(0L))).head.getLong(0)
           base.join(broadcast(splits), base(PartDirCol) <=> col("_pv"), "left")
