@@ -919,11 +919,12 @@ object Dedup {
     * diameter is 2-3 (one cheap round each).
     *
     * `maxIter` is a deliberately SMALL fixed round budget (default
-    * 4), not a convergence horizon: near-dup graphs (diameter 2-3)
-    * reach their fixpoint inside it, and anything that hasn't is by
-    * construction a high-diameter graph for which per-round
-    * propagation is the wrong algorithm. When the budget expires
-    * without a fixpoint, the DEFAULT path switches to
+    * 6), not a convergence horizon: near-dup graphs (diameter ≤ ~6,
+    * which covers chained replica clusters at 10× scale) reach their
+    * fixpoint inside it, and anything that hasn't is by construction
+    * a high-diameter graph for which per-round propagation is the
+    * wrong algorithm. When the budget expires without a fixpoint,
+    * the DEFAULT path switches to
     * [[connectedComponentsStar]] — alternating large-star/small-star
     * contraction, O(log n) rounds regardless of diameter — so the
     * returned labels are always exact and the worst case pays a few
@@ -937,7 +938,7 @@ object Dedup {
     * unpersists, which keeps the result cheap to reuse downstream.
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 4,
+      pairs: DataFrame, maxIter: Int = 6,
       failOnNonConvergence: Boolean = false): DataFrame = {
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
@@ -988,13 +989,35 @@ object Dedup {
     if (!done) {
       val msg = s"connectedComponents: no fixpoint after $maxIter rounds " +
         "(graph diameter exceeds the propagation budget)"
+      if (failOnNonConvergence) {
+        cached.unpersist()
+        throw new IllegalStateException(msg)
+      }
+      // the DEFAULT high-diameter path, not an anomaly: the budget
+      // rounds were the fast-path bet, and their work is REUSED —
+      // star contraction runs on the label-QUOTIENT graph (edges
+      // between current labels, self-loops dropped), so its cost is
+      // ∝ the structure propagation hasn't resolved, not the whole
+      // graph; converged components contribute no edges at all.
+      // label(min-vertex) = itself always, so the quotient's min
+      // label per component IS the component min, and composing
+      // star's labels through each vertex's current label is exact.
+      System.err.println(s"[graft] $msg — star contraction on the label quotient")
+      val contracted = pairs
+        .join(labels.select(col("v").as("doc_a"), col("label").as("_la")), "doc_a")
+        .join(labels.select(col("v").as("doc_b"), col("label").as("_lb")), "doc_b")
+        .filter(col("_la") =!= col("_lb"))
+        .select(col("_la").as("doc_a"), col("_lb").as("doc_b"))
+        .distinct()
+      val roots = connectedComponentsStar(contracted)
+        .select(col("v").as("label"), col("label").as("_root"))
+      val out = labels.join(roots, Seq("label"), "left")
+        .select(col("v"), coalesce(col("_root"), col("label")).as("label"))
+      // materialize off the round cache before releasing it
+      val res = spark.createDataFrame(out.rdd, out.schema).persist()
+      res.count()
       cached.unpersist()
-      if (failOnNonConvergence) throw new IllegalStateException(msg)
-      // the DEFAULT high-diameter path, not an anomaly: a few cheap
-      // propagation rounds were the fast path bet; star contraction
-      // finishes in O(log n) rounds
-      System.err.println(s"[graft] $msg — switching to star contraction")
-      return connectedComponentsStar(pairs)
+      return res
     }
     // the final round's cache backs the result (vertex-count sized);
     // it lives until the session drops it or the caller re-persists
