@@ -450,7 +450,7 @@ package object api {
       * contraction by default (O(log n) rounds, exact labels at any
       * diameter), or throws with `failOnNonConvergence`.
       */
-    def connectedComponents(maxIter: Int = 6,
+    def connectedComponents(maxIter: Int = 16,
         failOnNonConvergence: Boolean = false): DataFrame =
       Dedup.connectedComponents(df, maxIter, failOnNonConvergence)
 

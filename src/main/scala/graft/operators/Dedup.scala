@@ -918,13 +918,15 @@ object Dedup {
     * Plain propagation is the right trade for near-dup graphs whose
     * diameter is 2-3 (one cheap round each).
     *
-    * `maxIter` is a deliberately SMALL fixed round budget (default
-    * 6), not a convergence horizon: near-dup graphs (diameter ≤ ~6,
-    * which covers chained replica clusters at 10× scale) reach their
-    * fixpoint inside it, and anything that hasn't is by construction
-    * a high-diameter graph for which per-round propagation is the
-    * wrong algorithm. When the budget expires without a fixpoint,
-    * the DEFAULT path switches to
+    * `maxIter` is a FIXED round budget (default 16), not a
+    * convergence horizon. Frontier propagation makes rounds cheap —
+    * after the first, each costs shuffles sized by the still-moving
+    * labels, not the graph — so the budget covers every observed
+    * near-dup corpus (chained replica clusters at 100× converge in
+    * ~12 rounds of ~1 s tails). A graph that is STILL moving after
+    * the budget is by construction high-diameter work for which
+    * per-round propagation is the wrong algorithm; the DEFAULT path
+    * then switches to
     * [[connectedComponentsStar]] — alternating large-star/small-star
     * contraction, O(log n) rounds regardless of diameter — so the
     * returned labels are always exact and the worst case pays a few
@@ -938,7 +940,7 @@ object Dedup {
     * unpersists, which keeps the result cheap to reuse downstream.
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 6,
+      pairs: DataFrame, maxIter: Int = 16,
       failOnNonConvergence: Boolean = false): DataFrame = {
     val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
@@ -953,43 +955,68 @@ object Dedup {
       .select(col("v"), least(col("v"), col("mn")).as("label")).persist()
     var labels = cached
     val spark = pairs.sparkSession
+    val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    // FRONTIER propagation: only a vertex whose label DROPPED last
+    // round can lower a neighbor this round (labels are monotone
+    // decreasing, and every drop re-enters the frontier), so the
+    // per-round edge join touches only edges incident to the
+    // frontier — convergence's long small-change tail costs
+    // frontier-sized shuffles, not full-graph ones. After the warm
+    // start the frontier is {v : label(v) < v}: a vertex that kept
+    // its own id as label has already been seen by every neighbor.
+    def rebase(df: DataFrame): DataFrame =
+      // TRUNCATE THE LOGICAL LINEAGE each round (labels appears
+      // twice per round; building round i's plan on round i-1's PLAN
+      // doubles the tree per round — analysis/cache-normalization
+      // goes exponential in the round count). Rebasing on the
+      // materialized RDD keeps every round's plan O(1).
+      spark.createDataFrame(df.rdd, df.schema).persist()
+    // the frontier is materialized per round (its own small cache):
+    // the per-round frontier-sized materialize+count is cheaper than
+    // re-scanning the full vertex cache to re-derive it on the next
+    // round's join build side (measured at sf10: ~1.5 s/round worse
+    // without it)
+    var frontier = rebase(cached.filter(col("label") < col("v"))
+      .select("v", "label"))
+    var changed = frontier.count()
     var i = 0
-    var done = false
+    var done = changed == 0L
     while (i < maxIter && !done) {
-      val viaNeighbors = sym
-        .join(labels.select(col("v").as("n"), col("label")), "n")
-        .groupBy("v").agg(min(col("label")).as("nlabel"))
-      // carry the previous label alongside so the convergence probe
-      // is a filter on the SAME cached frame, not another join
-      val computed = labels.join(viaNeighbors, Seq("v"), "left")
+      val tRound = System.nanoTime()
+      val viaFrontier = sym
+        .join(frontier.select(col("v").as("n"), col("label").as("flabel")), "n")
+        .groupBy("v").agg(min(col("flabel")).as("nlabel"))
+      // carry the previous label alongside so the frontier/probe is
+      // a filter on the SAME cached frame, not another join
+      val computed = labels.join(viaFrontier, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
-      // TRUNCATE THE LOGICAL LINEAGE each round: `labels` appears
-      // twice in `computed` (neighbor join + carry), so building
-      // round i's plan on round i-1's PLAN doubles the tree per round
-      // — analysis/cache-normalization cost goes exponential in the
-      // round count (measured: maxIter=16 never finishes planning).
-      // Rebasing on the materialized RDD keeps every round's plan
-      // O(1): a flat scan + one join + one agg.
-      val next = spark.createDataFrame(computed.rdd, computed.schema).persist()
-      // count(), not isEmpty: isEmpty stops at the first changed
-      // partition, leaving `next`'s cache PARTIALLY built — after the
-      // previous round is unpersisted, the unbuilt partitions would
-      // recompute through the whole round chain. The full scan both
-      // answers the probe and finishes materializing the cache while
-      // its input is still resident.
-      done = next.filter(col("label") < col("prev")).count() == 0L
+      val next = rebase(computed)
+      val nextFrontier = rebase(
+        next.filter(col("label") < col("prev")).select("v", "label"))
+      // the frontier count scans every partition of `next` on the
+      // way, finishing BOTH caches while the inputs are resident;
+      // isEmpty would leave them partially built and recompute
+      // through the round chain later
+      changed = nextFrontier.count()
+      done = changed == 0L
+      if (ccDebug) System.err.println(
+        f"[graft] cc round ${i + 1}: changed=$changed%d " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.1fs")
       cached.unpersist()
+      frontier.unpersist()
       cached = next
       labels = next.select("v", "label")
+      frontier = nextFrontier
       i += 1
     }
-    sym.unpersist()
+    frontier.unpersist()
     if (!done) {
       val msg = s"connectedComponents: no fixpoint after $maxIter rounds " +
         "(graph diameter exceeds the propagation budget)"
       if (failOnNonConvergence) {
+        sym.unpersist()
         cached.unpersist()
         throw new IllegalStateException(msg)
       }
@@ -1003,9 +1030,12 @@ object Dedup {
       // label per component IS the component min, and composing
       // star's labels through each vertex's current label is exact.
       System.err.println(s"[graft] $msg — star contraction on the label quotient")
-      val contracted = pairs
-        .join(labels.select(col("v").as("doc_a"), col("label").as("_la")), "doc_a")
-        .join(labels.select(col("v").as("doc_b"), col("label").as("_lb")), "doc_b")
+      // built from the PERSISTED symmetrized edge set, not `pairs`:
+      // re-evaluating pairs would re-run the (expensive) candidate
+      // mining upstream of it
+      val contracted = sym
+        .join(labels.select(col("v"), col("label").as("_la")), "v")
+        .join(labels.select(col("v").as("n"), col("label").as("_lb")), "n")
         .filter(col("_la") =!= col("_lb"))
         .select(col("_la").as("doc_a"), col("_lb").as("doc_b"))
         .distinct()
@@ -1016,9 +1046,11 @@ object Dedup {
       // materialize off the round cache before releasing it
       val res = spark.createDataFrame(out.rdd, out.schema).persist()
       res.count()
+      sym.unpersist()
       cached.unpersist()
       return res
     }
+    sym.unpersist()
     // the final round's cache backs the result (vertex-count sized);
     // it lives until the session drops it or the caller re-persists
     labels
