@@ -204,6 +204,21 @@ class BinlogSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 reader: early termination (limit) closes the stream cleanly") {
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_limit_")
+    BinlogGen.writeFile(dir.resolve("mysql-bin.000001").toString, 5000, 50)
+    // limit(1) stops the scan long before the file is exhausted —
+    // the streaming reader must hand resource cleanup to close()
+    // without erroring, and a follow-up full read must see fresh,
+    // complete state (no shared-stream leakage between tasks)
+    val one = spark.read.format("binlog").load(dir.toString).limit(1).collect()
+    assert(one.length == 1)
+    val full = spark.read.format("binlog").load(dir.toString)
+      .where(col("event_type") === "WRITE_ROWS_V2").count()
+    assert(full == 5000L)
+  }
+
   test("parseStream: chunk-starved stream decodes identically to parseFile") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_stream_")

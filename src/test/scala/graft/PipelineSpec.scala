@@ -454,6 +454,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(starSelf == propSelf)
   }
 
+  test("frontier propagation + quotient escalation == union-find, all budgets") {
+    import spark.implicits._
+    // driver-side union-find ground truth over the same universe the
+    // operator uses (every id appearing in pairs, self-pairs kept as
+    // isolated-vertex declarations)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    for (seed <- 1 to 3) {
+      val n = 80 + seed * 60
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until n * (1 + seed % 3))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = unionFind(edges)
+      val df = edges.toDF("doc_a", "doc_b")
+      // budget 1 forces quotient-star escalation from barely-moved
+      // labels — the adversarial case for the label-composition step;
+      // budget 16 converges by frontier propagation alone. Both must
+      // equal the union-find labels exactly.
+      for (budget <- Seq(1, 16)) {
+        val got = graft.operators.Dedup.connectedComponents(df, maxIter = budget)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed $seed budget $budget diverged")
+      }
+    }
+  }
+
   test("dedup_cluster closes 3-chains transitively with one canonical each") {
     val rows = run("dedup_cluster").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[Boolean]("is_canonical")))
