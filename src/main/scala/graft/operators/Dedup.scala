@@ -971,16 +971,19 @@ object Dedup {
       // goes exponential in the round count). Rebasing on the
       // materialized RDD keeps every round's plan O(1).
       spark.createDataFrame(df.rdd, df.schema).persist()
-    // the frontier is materialized per round (its own small cache):
-    // the per-round frontier-sized materialize+count is cheaper than
-    // re-scanning the full vertex cache to re-derive it on the next
-    // round's join build side (measured at sf10: ~1.5 s/round worse
-    // without it)
-    var frontier = rebase(cached.filter(col("label") < col("v"))
-      .select("v", "label"))
-    var changed = frontier.count()
+    // ROUND frontiers are materialized (their own small cache): the
+    // frontier-sized materialize+count is cheaper than re-scanning
+    // the full vertex cache to re-derive them on the next round's
+    // join build side (measured at sf10: ~1.5 s/round worse without
+    // it). The INITIAL frontier is consumed exactly once, so it
+    // stays a projection of the warm start — no extra jobs before
+    // round 1 (`frontierCached` tracks whether the current frontier
+    // owns a cache entry to release).
+    var frontier: DataFrame = cached.filter(col("label") < col("v"))
+      .select("v", "label")
+    var frontierCached = false
     var i = 0
-    var done = changed == 0L
+    var done = false
     while (i < maxIter && !done) {
       val tRound = System.nanoTime()
       val viaFrontier = sym
@@ -999,19 +1002,20 @@ object Dedup {
       // way, finishing BOTH caches while the inputs are resident;
       // isEmpty would leave them partially built and recompute
       // through the round chain later
-      changed = nextFrontier.count()
+      val changed = nextFrontier.count()
       done = changed == 0L
       if (ccDebug) System.err.println(
         f"[graft] cc round ${i + 1}: changed=$changed%d " +
           f"${(System.nanoTime() - tRound) / 1e9}%.1fs")
       cached.unpersist()
-      frontier.unpersist()
+      if (frontierCached) frontier.unpersist()
       cached = next
       labels = next.select("v", "label")
       frontier = nextFrontier
+      frontierCached = true
       i += 1
     }
-    frontier.unpersist()
+    if (frontierCached) frontier.unpersist()
     if (!done) {
       val msg = s"connectedComponents: no fixpoint after $maxIter rounds " +
         "(graph diameter exceeds the propagation budget)"
