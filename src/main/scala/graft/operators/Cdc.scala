@@ -1272,8 +1272,8 @@ object Cdc {
   // resuming replica must skip every transaction its executed-GTID
   // set covers — including MID-STREAM ones a single resume offset
   // cannot express (parallel appliers commit with gaps). Planted
-  // shape: executed = the 60% prefix PLUS every gno ≡ 3 (mod 7) in
-  // the tail, so the interval set has real holes and resume both
+  // shape: executed = the 60% prefix PLUS ~64 isolated tail gnos
+  // per server, so the interval set has real holes and resume both
   // replays the tail AND skips inside it. The executed set
   // compacts to intervals (GtidSet — one exchange), which BROADCAST
   // into an interval-membership left join on the replay (intervals
@@ -1295,12 +1295,22 @@ object Cdc {
       .withColumn("gno", row_number().over(wSeq).cast("long"))
       .select("server_id", "gno")
     // per-server bound: each server's executed set covers the 60%
-    // prefix of ITS OWN sequence (plus the mod-7 tail holes), so
-    // every server genuinely exercises resume-with-holes
+    // prefix of ITS OWN sequence plus ~64 isolated tail gnos, so
+    // every server genuinely exercises resume-with-holes while the
+    // interval state stays BOUNDED (~65/server) at any scale — the
+    // whole point of GTID resume state. (The previous every-7th tail
+    // rule made intervals O(events): the broadcast membership join
+    // then compared every probe against O(n) intervals per server —
+    // a hidden O(n²) that cost 11.5 s at sf1 and would be minutes at
+    // sf10.)
     val executed = txns
-      .withColumn("bound", expr(
-        "max(gno) over (partition by server_id) * 3 div 5"))
-      .filter(col("gno") <= col("bound") || col("gno") % 7 === 3)
+      .withColumn("mx", expr("max(gno) over (partition by server_id)"))
+      .withColumn("bound", expr("mx * 3 div 5"))
+      .withColumn("step",
+        greatest(lit(7L), expr("(mx - bound) div 64")))
+      .filter(col("gno") <= col("bound") ||
+        (col("gno") > col("bound") &&
+          (col("gno") - col("bound")) % col("step") === 3))
       .select("server_id", "gno")
     val iv = GtidSet.intervals(executed, "server_id", "gno")
       .select(col("server_id").as("iv_server"),
@@ -1323,9 +1333,12 @@ object Cdc {
       |  SELECT user_id % 16 AS server_id,
       |         ROW_NUMBER() OVER (PARTITION BY user_id % 16 ORDER BY event_id) AS gno
       |  FROM events),
-      |b AS (SELECT server_id, max(gno) * 3 // 5 AS bound FROM txns GROUP BY server_id),
+      |b AS (SELECT server_id, max(gno) * 3 // 5 AS bound,
+      |             greatest(7, (max(gno) - max(gno) * 3 // 5) // 64) AS st
+      |      FROM txns GROUP BY server_id),
       |exec AS (SELECT t.server_id, t.gno FROM txns t JOIN b ON t.server_id = b.server_id
-      |         WHERE t.gno <= b.bound OR t.gno % 7 = 3),
+      |         WHERE t.gno <= b.bound
+      |            OR (t.gno > b.bound AND (t.gno - b.bound) % b.st = 3)),
       |isl AS (
       |  SELECT server_id, gno,
       |         gno - ROW_NUMBER() OVER (PARTITION BY server_id ORDER BY gno) AS grp

@@ -536,11 +536,20 @@ class CdcSpec extends AnyFunSuite {
       .groupBy(_._1).toSeq.flatMap { case (srv, es) =>
         es.map(_._2).sorted.zipWithIndex.map { case (_, i) => (srv, i + 1L) }
       }.toArray
-    // per-server bound: 60% prefix of each server's own dense sequence
-    val bounds = txns.groupBy(_._1).view
-      .mapValues(ts => ts.map(_._2).max * 3 / 5).toMap
-    val executed =
-      txns.filter(t => t._2 <= bounds(t._1) || t._2 % 7 == 3).toSet
+    // per-server bound: 60% prefix of each server's own dense
+    // sequence, plus ~64 isolated tail gnos (step derived exactly as
+    // the operator does — bounded resume state at any scale)
+    val maxes = txns.groupBy(_._1).view
+      .mapValues(ts => ts.map(_._2).max).toMap
+    val bounds = maxes.view.mapValues(_ * 3 / 5).toMap
+    val steps = maxes.map { case (srv, mx) =>
+      srv -> math.max(7L, (mx - bounds(srv)) / 64) }
+    def isExec(t: (Long, Long)): Boolean = {
+      val (srv, gno) = t
+      gno <= bounds(srv) ||
+        (gno > bounds(srv) && (gno - bounds(srv)) % steps(srv) == 3)
+    }
+    val executed = txns.filter(isExec).toSet
     txns.groupBy(_._1).foreach { case (srv, ts) =>
       val (tot, skip, app) = rows(srv)
       assert(tot == ts.length)
@@ -551,7 +560,7 @@ class CdcSpec extends AnyFunSuite {
     // INSIDE the tail (gnos > bound) — the case one offset can't do
     rows.keys.foreach { srv =>
       val tail = txns.filter(t => t._1 == srv && t._2 > bounds(srv))
-      assert(tail.exists(t => t._2 % 7 == 3) && tail.exists(t => t._2 % 7 != 3),
+      assert(tail.exists(executed.contains) && tail.exists(!executed.contains(_)),
         s"server $srv tail degenerate")
     }
   }
