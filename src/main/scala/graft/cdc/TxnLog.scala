@@ -238,9 +238,28 @@ object TxnLog {
             .persist()
           val totalSplits = splits
             .agg(coalesce(sum(col("_nsplit")), lit(0L))).head.getLong(0)
+          // salt from the hashable columns only — Spark's hash()
+          // rejects MapType; a row set that is ALL maps still splits
+          // (monotonically_increasing_id is partition-local, no
+          // shuffle, and determinism of file ASSIGNMENT is not a
+          // correctness property of the rewrite)
+          def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+            dt match {
+              case _: org.apache.spark.sql.types.MapType => true
+              case a: org.apache.spark.sql.types.ArrayType =>
+                hasMap(a.elementType)
+              case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+              case _ => false
+            }
+          val hashable = df.schema.fields
+            .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+          val saltSrc =
+            if (hashable.nonEmpty) hash(hashable: _*)
+            else org.apache.spark.sql.functions
+              .monotonically_increasing_id()
           base.join(broadcast(splits), base(PartDirCol) <=> col("_pv"), "left")
             .withColumn("_salt",
-              pmod(hash(df.columns.map(col): _*), coalesce(col("_nsplit"), lit(1))))
+              pmod(saltSrc, coalesce(col("_nsplit"), lit(1))))
             .repartition(math.max(1L, totalSplits).toInt,
               col(PartDirCol), col("_salt"))
             .drop("_pv", "_nsplit", "_salt")

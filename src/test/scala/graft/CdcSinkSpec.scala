@@ -223,6 +223,23 @@ class CdcSinkSpec extends AnyFunSuite {
     after.zip(before).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("compaction sub-splits tables carrying map columns (unhashable salt)") {
+    // Spark's hash() rejects MapType — the sub-split salt must route
+    // around map columns instead of failing the whole compaction
+    val dir = Files.createTempDirectory("graft_sink_map_").toString
+    val rows = spark.range(0, 3000).select(
+      concat(lit("k"), col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), lit("p1").as("part"),
+      map(lit("a"), col("id").cast("string")).as("props"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(rows, dir, Some("part"))
+    val before = table(dir).count()
+    CdcSink.compact(spark, dir, Some("part"), targetRecordsPerFile = 1000L)
+    val m = TxnLog.current(fs, dir).get
+    assert(m.entries.length > 1, "map-column table not sub-split")
+    assert(table(dir).count() == before)
+  }
+
   test("crash between data write and manifest publish loses nothing") {
     val dir = Files.createTempDirectory("graft_sink_crash_").toString
     CdcSink.writeSnapshot(
