@@ -80,25 +80,37 @@ object TextAnalysis {
     * dupSpanCoverage (counts) and dedupRewriteSpans (removal).
     *
     * Distinct-doc count per gram WITHOUT a join back: repartition on
-    * the hash once, then both windows (first-occurrence flag per
-    * (h, doc); sum of flags per h) ride that single exchange —
-    * hashpartitioning(h) satisfies both clusterings, so the
-    * tokenize+md5 subtree is evaluated once, vs twice for the
+    * the gram key once, then both windows (first-occurrence flag per
+    * (gram, doc); sum of flags per gram) ride that single exchange —
+    * hashpartitioning(h1, h2) satisfies both clusterings, so the
+    * tokenize+hash subtree is evaluated once, vs twice for the
     * groupBy + join-back formulation (measured 2.45s → 1.7s). State
     * stays O(1) per row (a collect_set window would hold every
     * doc_id of a degenerate universal gram).
     */
   private def coveredPositions(docs: DataFrame, n: Int): DataFrame = {
+    // gram key = TWO seeded xxhash64 longs (128 bits total), not an
+    // md5 hex string: the key never leaves the plan (output is
+    // position sets), and 16 bytes vs a 32-char string cut the occ
+    // stream's shuffle/sort volume ~2.5× — at sf10 this stream is
+    // ~tokens-count rows, and its width was the entry's spill driver
     val occ = docs
       .filter(col("n_tokens") >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> " +
-          s"named_struct('pos', i, 'h', md5(concat_ws(' ', slice(w, i + 1, $n)))))")).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+          s"named_struct('pos', i, 's', concat_ws(' ', slice(w, i + 1, $n))))"))
+        .as("g"))
+      // gram text built ONCE per occurrence, hashed twice with cheap
+      // seeded xxhash64, then dropped — only (doc, pos, 16 key
+      // bytes) reach the exchange
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        xxhash64(lit(0L), col("g.s")).as("h1"),
+        xxhash64(lit(1L), col("g.s")).as("h2"))
     val wFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h"), col("doc_id")).orderBy(col("pos"))
-    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    occ.repartition(col("h"))
+      .partitionBy(col("h1"), col("h2"), col("doc_id")).orderBy(col("pos"))
+    val wGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h1"), col("h2"))
+    occ.repartition(col("h1"), col("h2"))
       .withColumn("__first",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .withColumn("__nd", sum(col("__first")).over(wGram))
