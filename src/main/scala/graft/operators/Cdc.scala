@@ -314,17 +314,16 @@ object Cdc {
     genDir.toString
   }
 
-  def ensureBinlogGenerated(dir: String): String = {
+  def ensureBinlogGenerated(s: SparkSession, dir: String): String = {
     // binlogs cannot be split at arbitrary offsets (length-prefixed
     // events, no sync markers), so DSv2 parallelism = file count;
     // 32 rotated files at the same total volume matches a real
-    // deployment's log rotation AND a 32-core box
-    val rowsPerFile = dir match {
-      case d if d.endsWith("sf1") => 625000 // 20M row-events total
-      case d if d.endsWith("0.1") => 62500
-      case d if d.endsWith("0.01") => 6250
-      case _ => 625
-    }
+    // deployment's log rotation AND a 32-core box.
+    // Volume ∝ scale factor, DERIVED from the orders row count (625
+    // rows/file at sf0.001 → 625k at sf1 → 6.25M at sf10) — the old
+    // dir-suffix match silently fell to the toy size for any dir it
+    // didn't recognize ('…/sf10' matched none of its cases).
+    val rowsPerFile = ((Tables.orders(s, dir).count() * 5) / 12).toInt
     val nFiles = 32
     ensureGenerated(s"graft_binlog_gen_$rowsPerFile") { tmp =>
       (1 to nFiles).foreach { i =>
@@ -627,7 +626,7 @@ object Cdc {
     }
 
   private def binlogThroughput(s: SparkSession, dir: String): DataFrame = {
-    val genDir = ensureBinlogGenerated(dir)
+    val genDir = ensureBinlogGenerated(s, dir)
     graft.sources.binlog.BinlogSource.events(s, genDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), countDistinct(col("file")).as("n_files"))
