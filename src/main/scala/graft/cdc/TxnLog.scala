@@ -229,8 +229,9 @@ object TxnLog {
         import org.apache.spark.sql.functions.{
           broadcast, ceil, coalesce, count, greatest, hash, lit, pmod, sum}
         val base = df.withColumn(PartDirCol, col(p)).persist()
+        var splits: DataFrame = null
         try {
-          val splits = base.groupBy(col(PartDirCol).as("_pv"))
+          splits = base.groupBy(col(PartDirCol).as("_pv"))
             .agg(count(lit(1)).as("_n"))
             .select(col("_pv"),
               greatest(lit(1L), ceil(col("_n") / lit(targetRecordsPerFile)))
@@ -268,8 +269,13 @@ object TxnLog {
             // itself still splits at the record target
             .option("maxRecordsPerFile", targetRecordsPerFile)
             .partitionBy(PartDirCol).parquet(dest.toString)
-          splits.unpersist()
-        } finally base.unpersist()
+        } finally {
+          // both caches release on the failure path too — a persisted
+          // broadcast frame leaked past a failed write lingers for
+          // the session
+          if (splits != null) splits.unpersist()
+          base.unpersist()
+        }
       case None =>
         df.write.option("maxRecordsPerFile", targetRecordsPerFile)
           .parquet(dest.toString)

@@ -386,8 +386,18 @@ object Cdc {
     * composition this entry proves — scales with the data, not a
     * fixed ~2 s fixture.
     */
-  private def replicaTxns(s: SparkSession, dir: String): Long =
-    (Tables.orders(s, dir).count() / 40) * ReplicaFiles
+  private def replicaTxns(s: SparkSession, dir: String): Long = {
+    val n = (Tables.orders(s, dir).count() / 40) * ReplicaFiles
+    // replicaLoopSql's DuckDB oracle enumerates gnos from a fixed
+    // range(1, 10M+1) ceiling (range() can't take a subquery there).
+    // Above that the oracle would silently truncate while this side
+    // keeps scaling — surface the ceiling loudly with its cause
+    // instead of as a baffling hash mismatch. 10M txns ≈ sf30.
+    require(n <= 10000000L,
+      s"replica-loop stream has $n txns, above the 10M ceiling baked " +
+        "into replicaLoopSql's DuckDB range(); raise both together")
+    n
+  }
 
   private def replicaLoop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

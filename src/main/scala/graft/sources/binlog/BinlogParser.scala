@@ -180,17 +180,41 @@ object BinlogParser {
     parseStream(new java.io.ByteArrayInputStream(bytes), tableFilter).toSeq
   }
 
-  /** Fill `buf[0, n)` from `in`; false on EOF before `n` bytes (a
-    * truncated tail — the caller stops at the intact prefix). */
+  /** Fill `buf[off, off+n)` from `in`; false on EOF before `n` bytes
+    * (a truncated tail — the caller stops at the intact prefix). */
   private def readFully(
-      in: java.io.InputStream, buf: Array[Byte], n: Int): Boolean = {
+      in: java.io.InputStream, buf: Array[Byte], n: Int,
+      off: Int = 0): Boolean = {
     var got = 0
     while (got < n) {
-      val r = in.read(buf, got, n - got)
+      val r = in.read(buf, off + got, n - got)
       if (r < 0) return false
       got += r
     }
     true
+  }
+
+  /** MySQL's hard ceiling on a single binlog event (1 GiB — bounded
+    * by max_allowed_packet's own maximum). A header declaring more is
+    * corruption or a truncated tail, never a real event. */
+  val MaxEventSize: Long = 1L << 30
+
+  /** How much of a declared body we read BEFORE trusting the header
+    * with a full-size allocation. */
+  private val BodyProbeLen = 1 << 20
+
+  /** Probe-then-commit body read: the declared size only earns a
+    * full allocation after the first [[BodyProbeLen]] bytes actually
+    * arrive, so a corrupt/hostile header over a truncated stream
+    * costs O(bytes present + 1 MiB), never an up-front allocation of
+    * the declared size. None = EOF mid-body (truncated tail). */
+  private def readBody(in: java.io.InputStream, len: Int): Option[Array[Byte]] = {
+    val probeLen = math.min(len, BodyProbeLen)
+    val probe = new Array[Byte](probeLen)
+    if (!readFully(in, probe, probeLen)) return None
+    if (probeLen == len) return Some(probe)
+    val full = java.util.Arrays.copyOf(probe, len)
+    if (readFully(in, full, len - probeLen, probeLen)) Some(full) else None
   }
 
   /** Streaming parse: one event resident at a time — O(event) memory
@@ -219,12 +243,16 @@ object BinlogParser {
           val h = EventHeader(
             timestamp = u32(hb), eventType = u8(hb), serverId = u32(hb),
             eventSize = u32(hb), logPos = u32(hb), flags = u16(hb))
-          if (h.eventSize < 19 || h.eventSize > Int.MaxValue) {
+          if (h.eventSize < 19 || h.eventSize > MaxEventSize) {
+            // undersized, or above MySQL's own event ceiling: corrupt
+            // header / truncated tail — stop at the intact prefix
             done = true; return
           }
           val bodyLen0 = h.eventSize.toInt - 19
-          val body = new Array[Byte](bodyLen0)
-          if (!readFully(in, body, bodyLen0)) { done = true; return }
+          val body = readBody(in, bodyLen0) match {
+            case Some(b) => b
+            case None    => done = true; return
+          }
           // FDE declares whether a CRC32 trailer follows every event
           if (h.eventType == 0x0f && bodyLen0 >= 5)
             checksummed = body(bodyLen0 - 5) == 1

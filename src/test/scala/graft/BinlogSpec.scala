@@ -253,6 +253,44 @@ class BinlogSpec extends AnyFunSuite {
     }
   }
 
+  test("parseStream: hostile event headers stop at the intact prefix") {
+    // a corrupt header's declared size must not be trusted: above
+    // MySQL's 1 GiB event ceiling → truncated tail; under it but the
+    // stream ends first → truncated tail. Neither crashes, neither
+    // fabricates events, and (structurally, via the probe read)
+    // neither allocates the declared size up front.
+    def hdr(eventSize: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(19)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1700000000)              // timestamp
+      b.put(0x02.toByte)                // QUERY
+      b.putInt(1)                       // server_id
+      b.putInt((eventSize & 0xffffffffL).toInt)
+      b.putInt(0)                       // log_pos
+      b.putShort(0)                     // flags
+      b.array()
+    }
+    def stream(declared: Long, bodyBytes: Int) =
+      new java.io.ByteArrayInputStream(
+        BinlogParser.Magic ++ hdr(declared) ++ new Array[Byte](bodyBytes))
+    // 2 GiB declared: above MaxEventSize — rejected before any read
+    assert(BinlogParser.parseStream(stream(2L << 30, 100)).toSeq.isEmpty)
+    // 900 MiB declared, 100 bytes present: probe read hits EOF
+    assert(BinlogParser.parseStream(stream(900L << 20, 100)).toSeq.isEmpty)
+    // ...and 2 MiB present (a full probe chunk, then EOF mid-commit)
+    assert(BinlogParser.parseStream(stream(900L << 20, 2 << 20)).toSeq.isEmpty)
+    // an intact event BEFORE the hostile header still parses
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_hostile_")
+    val f = dir.resolve("mysql-bin.000001").toString
+    BinlogGen.writeFile(f, 3, rowsPerEvent = 1)
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val poisoned = good ++ hdr(2L << 30) ++ new Array[Byte](64)
+    assert(BinlogParser.parseStream(
+      new java.io.ByteArrayInputStream(poisoned)).toSeq ==
+      BinlogParser.parseFile(good))
+  }
+
   test("typed round-trip: BIT/ENUM/SET/DATE decode without misalignment") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_typed_")

@@ -208,6 +208,15 @@ class CdcSinkSpec extends AnyFunSuite {
     val coldFiles = m.entries.filter(_.partition.contains("p2"))
     assert(hotFiles.length > 1,
       s"hot partition compacted to ${hotFiles.length} file(s) — not sub-split")
+    // the sub-split exists to buy TASK parallelism, not just many
+    // files: maxRecordsPerFile alone would pass a file count from ONE
+    // task. Distinct part-NNNNN writer-task prefixes prove more than
+    // one task wrote the hot value.
+    val hotTasks = hotFiles
+      .map(e => new java.io.File(e.path).getName.split("-").take(2).mkString("-"))
+      .distinct
+    assert(hotTasks.length > 1,
+      s"hot partition written by ${hotTasks.length} task(s): ${hotTasks.mkString(",")}")
     assert(coldFiles.length == 1,
       s"cold partition fragmented into ${coldFiles.length} files")
     // every output file honors the record target (2x slack for a
