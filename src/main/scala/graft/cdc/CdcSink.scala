@@ -89,16 +89,27 @@ object CdcSink {
     val m = manifest.get
     partitionCol match {
       case None =>
-        // unpartitioned: full merge. allowMissingColumns both ways →
-        // schema EVOLVES when the changelog gains columns (reference
-        // DDL propagation: ALTER TABLE ADD COLUMN flows into the
-        // table; dropped columns stay, null-filled)
-        val existing = TxnLog.readEntries(spark, tableDir, m.entries)
-          .withColumn("op", lit(Op.Update))
-        val merged = CdcApply.snapshot(
-          existing.unionByName(changes, allowMissingColumns = true))
+        // unpartitioned: key-range-pruned merge. Files whose
+        // [min,max] key range no batch key can hit are carried
+        // forward untouched (Delta-style data skipping on the
+        // manifest's per-file stats); only intersecting files are
+        // read, folded with the batch, and rewritten. Stats-less
+        // files / key types and null-key batches degrade to
+        // everything-touched — a full rewrite, never a wrong prune.
+        // allowMissingColumns both ways → schema EVOLVES when the
+        // changelog gains columns (reference DDL propagation: ALTER
+        // TABLE ADD COLUMN flows into the table; dropped columns
+        // stay, null-filled).
+        val (touched, untouched) = splitByKeyRange(spark, changes, m)
+        val unioned =
+          if (touched.isEmpty) changes
+          else TxnLog.readEntries(spark, tableDir, touched)
+            .withColumn("op", lit(Op.Update))
+            .unionByName(changes, allowMissingColumns = true)
+        val merged = CdcApply.snapshot(unioned)
         val entries = TxnLog.writeCommitDir(merged, tableDir, None, m.version + 1)
-        TxnLog.commit(fs, tableDir, m.version + 1, merged.schema, entries)
+        TxnLog.commit(fs, tableDir, m.version + 1,
+          unionSchema(m.schema, merged.schema), untouched ++ entries)
       case Some(p) =>
         // collect touched partition values from the SMALL change batch
         val touched = changes.select(p).distinct().collect().map(_.get(0))
@@ -124,6 +135,78 @@ object CdcSink {
     }
     commitOffsets(changes, tableDir)
     maybeCompact(spark, tableDir, partitionCol)
+  }
+
+  /** Batches with at most this many rows get per-key prune precision
+    * (a distinct + broadcast-stats join); larger batches prune at
+    * range level only — a bulk redelivery that spans the keyspace
+    * must not pay a distinct pass to learn it touches everything.
+    */
+  private[cdc] val RefineMaxKeys = 200000L
+
+  /** Split the manifest's files into (touched, untouched) for a
+    * change batch using the per-file key-range stats.
+    *
+    * Stage 1 (always, one cheap agg over the batch): files whose
+    * [min, max] miss the batch's own [min, max] are untouched.
+    * Stage 2 (increment-sized batches only, ≤ [[RefineMaxKeys]]
+    * rows): a distinct + broadcast-stats join marks exactly the files
+    * some batch key lands in — a sparse scattered batch prunes the
+    * files BETWEEN its keys too.
+    *
+    * Comparisons run in Spark with both sides cast to the key's own
+    * type (a driver-side STRING compare would mis-prune numeric keys:
+    * "9" > "10"). Everything degrades conservatively to touched:
+    * files without stats, key types without stats support, null-key
+    * batches (a null can't range-compare).
+    */
+  private def splitByKeyRange(
+      spark: SparkSession,
+      changes: DataFrame,
+      m: TxnLog.Manifest): (Seq[TxnLog.Entry], Seq[TxnLog.Entry]) = {
+    val all = (m.entries, Seq.empty[TxnLog.Entry])
+    val keyField = changes.schema.fields
+      .find(f => f.name == TxnLog.StatsKeyCol && TxnLog.statsSupported(f.dataType))
+    val (withStats, statless) =
+      m.entries.partition(e => e.min.isDefined && e.max.isDefined)
+    if (keyField.isEmpty || withStats.isEmpty) return all
+    val kt = keyField.get.dataType
+    val k = col(TxnLog.StatsKeyCol)
+    val bounds = changes.agg(
+      min(k).cast("string"), max(k).cast("string"),
+      sum(when(k.isNull, 1L).otherwise(0L)), count(lit(1L))).head()
+    val nRows = bounds.getLong(3)
+    if (nRows == 0) return (Seq.empty, m.entries)
+    if (bounds.getLong(2) > 0) return all // null keys: no pruning
+    import spark.implicits._
+    val stats = withStats.map(e => (e.path, e.min.get, e.max.get))
+      .toDF("_p", "_min", "_max")
+    val (bLo, bHi) = (lit(bounds.getString(0)).cast(kt), lit(bounds.getString(1)).cast(kt))
+    val inRange = stats
+      .filter(col("_max").cast(kt) >= bLo && col("_min").cast(kt) <= bHi)
+    val touchedPaths =
+      (if (nRows <= RefineMaxKeys)
+        changes.select(k.as("_k")).distinct()
+          .join(broadcast(inRange),
+            col("_k").between(col("_min").cast(kt), col("_max").cast(kt)))
+          .select("_p")
+      else inRange.select("_p"))
+        .collect().map(_.getString(0)).toSet
+    val (touched, untouched) = withStats.partition(e => touchedPaths(e.path))
+    (touched ++ statless, untouched)
+  }
+
+  /** The committed schema after a pruned merge: the merged frame's
+    * fields, plus any manifest-schema column the touched slice
+    * happened not to carry — untouched files keep columns alive even
+    * when no rewritten file holds them.
+    */
+  private def unionSchema(
+      prev: org.apache.spark.sql.types.StructType,
+      now: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val have = now.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      now.fields ++ prev.fields.filterNot(f => have(f.name)))
   }
 
   /** Hive partition-directory encoding for a partition value (null →
@@ -173,8 +256,23 @@ object CdcSink {
           case Some(_) => snap // writeCommitDir clusters + sub-splits
           case None =>
             val n = snap.count()
-            snap.repartition(
-              math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt)
+            val parts = math.max(1L,
+              (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+            // range-cluster by key when it is orderable: compacted
+            // files become key-disjoint AND sorted, so the key-range
+            // stats turn every later merge into a touch-only-the-
+            // files-a-batch-hits rewrite instead of a table rewrite
+            val rangeKey = snap.schema.fields
+              .find(f => f.name == TxnLog.StatsKeyCol &&
+                TxnLog.statsSupported(f.dataType))
+            rangeKey match {
+              case Some(_) if parts > 1 =>
+                // sortWithinPartitions keeps maxRecordsPerFile
+                // sub-files disjoint too, not just the range tasks
+                snap.repartitionByRange(parts, col(TxnLog.StatsKeyCol))
+                  .sortWithinPartitions(TxnLog.StatsKeyCol)
+              case _ => snap.repartition(parts)
+            }
         }
         val entries = TxnLog.writeCommitDir(
           out, tableDir, partitionCol, m.version + 1, targetRecordsPerFile,

@@ -47,8 +47,18 @@ object TxnLog {
   /** One live data file. `partition` is the Hive-ESCAPED directory
     * fragment (`p%202`, `__HIVE_DEFAULT_PARTITION__`), matching
     * [[CdcSink.hivePartName]] output; None for unpartitioned tables.
+    * `min`/`max` are the file's key-column range (the typed min/max,
+    * canonically stringified — Delta-style per-file stats): a merge
+    * prunes files whose range no batch key can hit. None when the
+    * table has no stats-able key column, the file's keys are all
+    * null, or the manifest predates stats — all read as "cannot
+    * prune, always rewrite" (conservative, never wrong).
     */
-  final case class Entry(path: String, partition: Option[String])
+  final case class Entry(
+      path: String,
+      partition: Option[String],
+      min: Option[String] = None,
+      max: Option[String] = None)
 
   final case class Manifest(version: Long, schemaJson: String, entries: Seq[Entry]) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -130,7 +140,8 @@ object TxnLog {
     val schema = (j \ "schema").extract[String]
     val entries = (j \ "files") match {
       case JArray(items) => items.map { it =>
-        Entry((it \ "path").extract[String], (it \ "part").extractOpt[String])
+        Entry((it \ "path").extract[String], (it \ "part").extractOpt[String],
+          (it \ "min").extractOpt[String], (it \ "max").extractOpt[String])
       }
       case _ => Nil
     }
@@ -154,9 +165,15 @@ object TxnLog {
     val json = JObject(
       "version" -> JInt(BigInt(version)),
       "schema" -> JString(schema.json),
-      "files" -> JArray(entries.toList.map(e => JObject(
-        "path" -> JString(e.path),
-        "part" -> e.partition.map(JString.apply).getOrElse(JNull)))))
+      "files" -> JArray(entries.toList.map { e =>
+        val base = List(
+          "path" -> JString(e.path),
+          "part" -> e.partition.map(JString.apply).getOrElse(JNull))
+        val stats =
+          e.min.map(v => "min" -> JString(v)).toList :::
+          e.max.map(v => "max" -> JString(v)).toList
+        JObject(base ::: stats)
+      }))
     val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, false)
     try out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
@@ -281,13 +298,72 @@ object TxnLog {
           .parquet(dest.toString)
     }
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    listParquet(fs, dest).map { f =>
+    val files = listParquet(fs, dest)
+    // Per-file key-range stats for unpartitioned tables (partitioned
+    // merges prune on the partition value; file-level ranges only pay
+    // for themselves on the unpartitioned path). One extra
+    // single-column scan of the just-written, page-cache-hot commit
+    // dir — O(new data), never O(table).
+    val stats: Map[String, (String, String)] =
+      if (files.nonEmpty && partitionCol.isEmpty &&
+          df.schema.fields.exists(f =>
+            f.name == StatsKeyCol && statsSupported(f.dataType)))
+        fileKeyStats(spark, dest)
+      else Map.empty
+    files.map { f =>
       val rel = relativize(new Path(tableDir), f)
       val part = rel.split('/')
         .find(_.startsWith(PartDirCol + "="))
         .map(_.substring(PartDirCol.length + 1))
-      Entry(rel, part)
+      val st = stats.get(f.getName)
+      Entry(rel, part, st.map(_._1), st.map(_._2))
     }
+  }
+
+  /** Key column per-file range stats are computed over — the same
+    * column [[CdcApply.snapshot]] folds last-writer-wins by.
+    */
+  val StatsKeyCol = "key"
+
+  /** Types whose typed min/max survive a cast-to-string round trip,
+    * so a stored stat compares correctly after casting back to the
+    * key type at prune time. Unorderable/lossy types get no stats
+    * (their files are simply never pruned).
+    */
+  private[cdc] def statsSupported(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.StringType => true
+    case _: org.apache.spark.sql.types.ByteType => true
+    case _: org.apache.spark.sql.types.ShortType => true
+    case _: org.apache.spark.sql.types.IntegerType => true
+    case _: org.apache.spark.sql.types.LongType => true
+    case _: org.apache.spark.sql.types.FloatType => true
+    case _: org.apache.spark.sql.types.DoubleType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _: org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  /** Typed per-file min/max of [[StatsKeyCol]] under a FLAT
+    * (unpartitioned) commit dir, keyed by file NAME (unique there —
+    * one task never writes two files of the same name into a flat
+    * dir). Files whose keys are all null get no entry.
+    */
+  private def fileKeyStats(
+      spark: SparkSession, dest: Path): Map[String, (String, String)] = {
+    import org.apache.spark.sql.functions.{
+      element_at, input_file_name, max => fmax, min => fmin, split => fsplit}
+    spark.read.parquet(dest.toString)
+      .groupBy(element_at(fsplit(input_file_name(), "/"), -1).as("_f"))
+      .agg(fmin(col(StatsKeyCol)).cast("string").as("_min"),
+        fmax(col(StatsKeyCol)).cast("string").as("_max"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some(r.getString(0) -> (r.getString(1), r.getString(2)))
+      }
+      .toMap
   }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{CdcSink, TxnLog}
+
+/** Per-file key-range stats + file-pruned unpartitioned merge.
+  *
+  * The 100 TB property under test: after a range-clustered
+  * compaction, a key-localized delivery rewrites ONLY the files whose
+  * [min, max] intersect its keys — every other file's path is carried
+  * forward unchanged in the new manifest — and the result is
+  * byte-identical to a full merge. Plus the conservative degradations
+  * (stats-less manifests, null keys, numeric keys where a string
+  * compare would mis-prune).
+  */
+class CdcPruneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def strLog(rows: (String, String, Long, Double)*): DataFrame =
+    rows.toDF("key", "op", "offset", "value")
+      .withColumn("source_file", lit("bin.1"))
+
+  test("manifest entries carry per-file key min/max on unpartitioned writes") {
+    val dir = Files.createTempDirectory("graft_prune_stats_").toString
+    CdcSink.writeSnapshot(
+      strLog(("a", "c", 1, 1.0), ("m", "c", 2, 2.0), ("z", "c", 3, 3.0)), dir)
+    val m = TxnLog.current(fs, dir).get
+    assert(m.entries.nonEmpty)
+    assert(m.entries.forall(e => e.min.isDefined && e.max.isDefined))
+    val lo = m.entries.flatMap(_.min).min
+    val hi = m.entries.flatMap(_.max).max
+    assert(lo == "a" && hi == "z", s"stats range [$lo,$hi]")
+    // stats survive the JSON round trip (read back from disk, not memory)
+    val reread = TxnLog.manifestAt(fs, dir, m.version).get
+    assert(reread.entries.map(e => (e.path, e.min, e.max)).toSet ==
+      m.entries.map(e => (e.path, e.min, e.max)).toSet)
+  }
+
+  test("localized delivery rewrites only intersecting files after range compaction") {
+    val dir = Files.createTempDirectory("graft_prune_merge_").toString
+    // 10k keys k00000..k09999; compact at 1000/file → ~10 key-disjoint files
+    val base = spark.range(0, 10000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(base, dir)
+    CdcSink.compact(spark, dir, None, targetRecordsPerFile = 1000L)
+    val m0 = TxnLog.current(fs, dir).get
+    assert(m0.entries.length >= 8, s"expected ~10 files, got ${m0.entries.length}")
+    assert(m0.entries.forall(e => e.min.isDefined && e.max.isDefined))
+    // range-clustered: file key ranges must be pairwise disjoint
+    val ranges = m0.entries.map(e => (e.min.get, e.max.get)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi vs $lo2")
+      case _ =>
+    }
+    // a delivery touching only keys k00100..k00109 — one file's range
+    val batch = strLog((100 to 109).map(i =>
+      (f"k$i%05d", "u", 20000L + i, -1.0)): _*)
+    CdcSink.merge(spark, batch, dir, None)
+    val m1 = TxnLog.current(fs, dir).get
+    val carried = m1.entries.map(_.path).toSet
+      .intersect(m0.entries.map(_.path).toSet)
+    assert(carried.size >= m0.entries.length - 1,
+      s"only ${carried.size}/${m0.entries.length} files carried forward — " +
+        "pruning rewrote more than the intersecting file(s)")
+    assert(carried.size < m0.entries.length, "no file was rewritten at all")
+    // result identical to what a full merge would produce
+    val got = CdcSink.read(spark, dir)
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(got.size == 10000)
+    (100 to 109).foreach(i => assert(got(f"k$i%05d") == -1.0))
+    assert(got("k00099") == 99.0 && got("k00110") == 110.0)
+  }
+
+  test("deletes prune the same way and drop the key") {
+    val dir = Files.createTempDirectory("graft_prune_del_").toString
+    val base = spark.range(0, 3000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(base, dir)
+    CdcSink.compact(spark, dir, None, targetRecordsPerFile = 1000L)
+    val m0 = TxnLog.current(fs, dir).get
+    CdcSink.merge(spark, strLog(("k00042", "d", 9999L, 0.0)), dir, None)
+    val m1 = TxnLog.current(fs, dir).get
+    val carried = m1.entries.map(_.path).toSet
+      .intersect(m0.entries.map(_.path).toSet)
+    assert(carried.size == m0.entries.length - 1)
+    val got = CdcSink.read(spark, dir)
+    assert(got.count() == 2999)
+    assert(got.filter(col("key") === "k00042").isEmpty)
+  }
+
+  test("numeric keys compare typed, not as strings (9 vs 10 trap)") {
+    val dir = Files.createTempDirectory("graft_prune_num_").toString
+    // int keys 0..2999 → 3 range files [0,999][1000,1999][2000,2999].
+    // Key 9's file has min="0", max="999": a STRING compare says
+    // "9" > "999" is false... but "9" > "10" would wrongly place 9
+    // outside [“10”, …] ranges. Update keys 9 and 1500 — both must
+    // land (one row each, new value), with the untouched file carried.
+    val base = spark.range(0, 3000).select(
+      col("id").cast("int").as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(base, dir)
+    CdcSink.compact(spark, dir, None, targetRecordsPerFile = 1000L)
+    val m0 = TxnLog.current(fs, dir).get
+    assert(m0.entries.length >= 3 && m0.entries.length <= 5,
+      s"expected ~3 range files, got ${m0.entries.length}")
+    val batch = Seq((9, "u", 10000L, -9.0), (1500, "u", 10001L, -1500.0))
+      .toDF("key", "op", "offset", "value")
+      .withColumn("source_file", lit("bin.1"))
+    CdcSink.merge(spark, batch, dir, None)
+    val m1 = TxnLog.current(fs, dir).get
+    val carried = m1.entries.map(_.path).toSet
+      .intersect(m0.entries.map(_.path).toSet)
+    // expected untouched = files whose TYPED range misses both 9 and
+    // 1500 (a string compare would call "9" > "10" and mis-prune)
+    val expectedCarried = m0.entries.filter { e =>
+      val (lo, hi) = (e.min.get.toInt, e.max.get.toInt)
+      !Seq(9, 1500).exists(k => k >= lo && k <= hi)
+    }.map(_.path).toSet
+    assert(expectedCarried.nonEmpty, "fixture degenerate: every file intersects")
+    assert(carried == expectedCarried,
+      s"carried $carried, expected $expectedCarried")
+    val got = CdcSink.read(spark, dir)
+      .select("key", "value").as[(Int, Double)].collect().toMap
+    assert(got.size == 3000, "a mis-pruned file would leave a duplicate key")
+    assert(got(9) == -9.0 && got(1500) == -1500.0 && got(42) == 42.0)
+  }
+
+  test("null batch keys degrade to a full (never wrong) merge") {
+    val dir = Files.createTempDirectory("graft_prune_null_").toString
+    CdcSink.writeSnapshot(
+      strLog(("a", "c", 1, 1.0), ("b", "c", 2, 2.0)), dir)
+    val batch = Seq((Option.empty[String], "c", 3L, 3.0), (Some("a"), "u", 4L, 10.0))
+      .toDF("key", "op", "offset", "value")
+      .withColumn("source_file", lit("bin.1"))
+    CdcSink.merge(spark, batch, dir, None)
+    val got = CdcSink.read(spark, dir)
+    assert(got.count() == 3)
+    assert(got.filter(col("key").isNull).select("value").head.getDouble(0) == 3.0)
+    assert(got.filter(col("key") === "a").select("value").head.getDouble(0) == 10.0)
+  }
+
+  test("stats-less (legacy) manifests fall back to a full merge") {
+    val dir = Files.createTempDirectory("graft_prune_legacy_").toString
+    CdcSink.writeSnapshot(
+      strLog(("a", "c", 1, 1.0), ("b", "c", 2, 2.0)), dir)
+    // republish the manifest with stats stripped — the pre-stats format
+    val m = TxnLog.current(fs, dir).get
+    TxnLog.commit(fs, dir, m.version + 1, m.schema,
+      m.entries.map(_.copy(min = None, max = None)))
+    CdcSink.merge(spark, strLog(("b", "u", 3, 20.0)), dir, None)
+    val got = CdcSink.read(spark, dir)
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 1.0, "b" -> 20.0))
+  }
+}
