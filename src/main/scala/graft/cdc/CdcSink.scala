@@ -76,17 +76,33 @@ object CdcSink {
     */
   def merge(
       spark: SparkSession,
-      changes: DataFrame,
+      changes0: DataFrame,
       tableDir: String,
       partitionCol: Option[String] = None): Unit = {
     val fs = fsFor(spark, tableDir)
     val manifest = TxnLog.current(fs, tableDir)
     if (manifest.isEmpty || manifest.get.entries.isEmpty) {
       // bootstrap (or post-truncate repopulation — offsets merge in)
-      writeSnapshot(changes, tableDir, partitionCol)
+      writeSnapshot(changes0, tableDir, partitionCol)
       return
     }
-    val m = manifest.get
+    // a merge takes several actions over the batch (prune bounds /
+    // touched partitions, the write, committed-offset agg): cache the
+    // increment once instead of re-running its lineage per pass —
+    // batches are increment-sized by contract (bulk loads take
+    // writeSnapshot)
+    val changes = changes0.persist()
+    try mergeCached(spark, changes, tableDir, partitionCol, manifest.get, fs)
+    finally changes.unpersist()
+  }
+
+  private def mergeCached(
+      spark: SparkSession,
+      changes: DataFrame,
+      tableDir: String,
+      partitionCol: Option[String],
+      m: TxnLog.Manifest,
+      fs: FileSystem): Unit = {
     partitionCol match {
       case None =>
         // unpartitioned: key-range-pruned merge. Files whose
@@ -100,16 +116,27 @@ object CdcSink {
         // changelog gains columns (reference DDL propagation: ALTER
         // TABLE ADD COLUMN flows into the table; dropped columns
         // stay, null-filled).
-        val (touched, untouched) = splitByKeyRange(spark, changes, m)
+        val pr = splitByKeyRange(spark, changes, m)
         val unioned =
-          if (touched.isEmpty) changes
-          else TxnLog.readEntries(spark, tableDir, touched)
+          if (pr.touched.isEmpty) changes
+          else TxnLog.readEntries(spark, tableDir, pr.touched)
             .withColumn("op", lit(Op.Update))
             .unionByName(changes, allowMissingColumns = true)
         val merged = CdcApply.snapshot(unioned)
-        val entries = TxnLog.writeCommitDir(merged, tableDir, None, m.version + 1)
+        // computeStats=false: increment commits skip the per-file
+        // stats job — instead the new files inherit the FREE
+        // commit-level range (batch bounds ∪ touched files' ranges,
+        // already on the driver). Conservative but sound, and it
+        // keeps append-pattern increments key-disjoint, so later
+        // merges don't re-rewrite them; per-file precision comes
+        // back at the next compaction.
+        val entries = TxnLog.writeCommitDir(
+          merged, tableDir, None, m.version + 1, computeStats = false)
+          .map(e => pr.commitRange.fold(e) { case (lo, hi) =>
+            e.copy(min = Some(lo), max = Some(hi))
+          })
         TxnLog.commit(fs, tableDir, m.version + 1,
-          unionSchema(m.schema, merged.schema), untouched ++ entries)
+          unionSchema(m.schema, merged.schema), pr.untouched ++ entries)
       case Some(p) =>
         // collect touched partition values from the SMALL change batch
         val touched = changes.select(p).distinct().collect().map(_.get(0))
@@ -160,15 +187,29 @@ object CdcSink {
     * files without stats, key types without stats support, null-key
     * batches (a null can't range-compare).
     */
+  /** Result of [[splitByKeyRange]]: which manifest files a batch
+    * merge must rewrite, which carry forward, and — when computable
+    * with zero extra work — a sound outer key range for the commit's
+    * OUTPUT files (batch bounds ∪ touched files' ranges).
+    */
+  private final case class PruneSplit(
+      touched: Seq[TxnLog.Entry],
+      untouched: Seq[TxnLog.Entry],
+      commitRange: Option[(String, String)])
+
   private def splitByKeyRange(
       spark: SparkSession,
       changes: DataFrame,
-      m: TxnLog.Manifest): (Seq[TxnLog.Entry], Seq[TxnLog.Entry]) = {
-    val all = (m.entries, Seq.empty[TxnLog.Entry])
+      m: TxnLog.Manifest): PruneSplit = {
+    val all = PruneSplit(m.entries, Seq.empty, None)
     val keyField = changes.schema.fields
       .find(f => f.name == TxnLog.StatsKeyCol && TxnLog.statsSupported(f.dataType))
     val (withStats, statless) =
       m.entries.partition(e => e.min.isDefined && e.max.isDefined)
+    // no stats anywhere (legacy manifest) or unprunable key type: a
+    // bounds agg could not prune anything and any commit range would
+    // be unknowable through the stats-less touched files — skip all
+    // extra work
     if (keyField.isEmpty || withStats.isEmpty) return all
     val kt = keyField.get.dataType
     val k = col(TxnLog.StatsKeyCol)
@@ -176,24 +217,57 @@ object CdcSink {
       min(k).cast("string"), max(k).cast("string"),
       sum(when(k.isNull, 1L).otherwise(0L)), count(lit(1L))).head()
     val nRows = bounds.getLong(3)
-    if (nRows == 0) return (Seq.empty, m.entries)
+    if (nRows == 0) return PruneSplit(Seq.empty, m.entries, None)
     if (bounds.getLong(2) > 0) return all // null keys: no pruning
-    import spark.implicits._
-    val stats = withStats.map(e => (e.path, e.min.get, e.max.get))
-      .toDF("_p", "_min", "_max")
-    val (bLo, bHi) = (lit(bounds.getString(0)).cast(kt), lit(bounds.getString(1)).cast(kt))
-    val inRange = stats
-      .filter(col("_max").cast(kt) >= bLo && col("_min").cast(kt) <= bHi)
-    val touchedPaths =
-      (if (nRows <= RefineMaxKeys)
-        changes.select(k.as("_k")).distinct()
-          .join(broadcast(inRange),
+    val (bLo, bHi) = (bounds.getString(0), bounds.getString(1))
+    // stage 1 on the DRIVER (zero Spark jobs): a file survives iff
+    // its range intersects the batch's [min,max]; an uncomparable
+    // pair (NaN etc.) keeps the file touched
+    def intersects(e: TxnLog.Entry): Boolean = {
+      val misses = for {
+        c1 <- TxnLog.compareStat(kt, e.max.get, bLo) // file.max < batch.min
+        c2 <- TxnLog.compareStat(kt, e.min.get, bHi) // file.min > batch.max
+      } yield c1 < 0 || c2 > 0
+      !misses.getOrElse(false)
+    }
+    val (inRange, outOfRange) = withStats.partition(intersects)
+    val touched =
+      if (outOfRange.isEmpty || nRows > RefineMaxKeys) inRange
+      else {
+        // stage 2: per-key precision — only when stage 1 already
+        // showed locality and the batch is increment-sized, so a
+        // scattered bulk redelivery never pays a distinct pass just
+        // to learn it touches everything
+        import spark.implicits._
+        val stats = inRange.map(e => (e.path, e.min.get, e.max.get))
+          .toDF("_p", "_min", "_max")
+        val touchedPaths = changes.select(k.as("_k")).distinct()
+          .join(broadcast(stats),
             col("_k").between(col("_min").cast(kt), col("_max").cast(kt)))
-          .select("_p")
-      else inRange.select("_p"))
-        .collect().map(_.getString(0)).toSet
-    val (touched, untouched) = withStats.partition(e => touchedPaths(e.path))
-    (touched ++ statless, untouched)
+          .select("_p").distinct()
+          .collect().map(_.getString(0)).toSet
+        inRange.filter(e => touchedPaths(e.path))
+      }
+    val touchedSet = touched.map(_.path).toSet
+    val allTouched = touched ++ statless
+    // sound outer range for the commit's output files: batch bounds ∪
+    // every touched file's range — FREE (all on the driver). Unknowable
+    // when a stats-less file is being folded in.
+    val commitRange: Option[(String, String)] =
+      if (statless.nonEmpty) None
+      else {
+        def fold(acc: Option[(String, String)], r: (String, String)) =
+          acc.flatMap { case (lo, hi) =>
+            for {
+              cLo <- TxnLog.compareStat(kt, r._1, lo)
+              cHi <- TxnLog.compareStat(kt, r._2, hi)
+            } yield (if (cLo < 0) r._1 else lo, if (cHi > 0) r._2 else hi)
+          }
+        touched.foldLeft(Option((bLo, bHi))) { (acc, e) =>
+          fold(acc, (e.min.get, e.max.get))
+        }
+      }
+    PruneSplit(allTouched, withStats.filterNot(e => touchedSet(e.path)), commitRange)
   }
 
   /** The committed schema after a pruned merge: the merged frame's

@@ -227,12 +227,16 @@ object DeltaLog {
     }
     added.foreach { e =>
       val st = fs.getFileStatus(new Path(tableDir, e.path))
-      actions += JObject("add" -> JObject(
+      val base = List(
         "path" -> JString(encodePath(e.path)),
         "partitionValues" -> JObject(),
         "size" -> JInt(BigInt(st.getLen)),
         "modificationTime" -> JInt(BigInt(st.getModificationTime)),
-        "dataChange" -> JBool(true)))
+        "dataChange" -> JBool(true))
+      // per-file stats in the public format (a JSON string on the add
+      // action): foreign engines' data skipping works on graft tables
+      val stats = statsJson(e, schema).map(s => "stats" -> JString(s)).toList
+      actions += JObject("add" -> JObject(base ::: stats))
     }
     val body = actions.result()
       .map(j => JsonMethods.compact(JsonMethods.render(j)))
@@ -242,6 +246,32 @@ object DeltaLog {
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
         .foreach(writeCheckpoint(_, fs, tableDir, version, schema, entries))
   }
+
+  /** The Delta `stats` string for a manifest entry: numRecords plus
+    * the key column's min/max rendered at its schema type (numbers as
+    * JSON numbers, booleans as booleans, everything else — string,
+    * date, timestamp, decimal — as strings, matching how Delta
+    * writers serialize those types in stats). None when the entry
+    * predates stats or the table has no key-range stats.
+    */
+  private def statsJson(e: TxnLog.Entry, schema: StructType): Option[String] =
+    e.rows.map { n =>
+      import org.apache.spark.sql.types._
+      def typed(v: String): JValue =
+        schema.fields.find(_.name == TxnLog.StatsKeyCol).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) =>
+            JInt(BigInt(v))
+          case Some(FloatType | DoubleType) => JDouble(v.toDouble)
+          case Some(BooleanType) => JBool(v.toBoolean)
+          case _ => JString(v)
+        }
+      val fields = List("numRecords" -> (JInt(BigInt(n)): JValue)) :::
+        e.min.map(v => "minValues" ->
+          (JObject(TxnLog.StatsKeyCol -> typed(v)): JValue)).toList :::
+        e.max.map(v => "maxValues" ->
+          (JObject(TxnLog.StatsKeyCol -> typed(v)): JValue)).toList
+      JsonMethods.compact(JsonMethods.render(JObject(fields)))
+    }
 
   // ---- reader: open a Delta table via the public protocol ----------
 

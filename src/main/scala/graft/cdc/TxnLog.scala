@@ -58,7 +58,8 @@ object TxnLog {
       path: String,
       partition: Option[String],
       min: Option[String] = None,
-      max: Option[String] = None)
+      max: Option[String] = None,
+      rows: Option[Long] = None)
 
   final case class Manifest(version: Long, schemaJson: String, entries: Seq[Entry]) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -141,7 +142,8 @@ object TxnLog {
     val entries = (j \ "files") match {
       case JArray(items) => items.map { it =>
         Entry((it \ "path").extract[String], (it \ "part").extractOpt[String],
-          (it \ "min").extractOpt[String], (it \ "max").extractOpt[String])
+          (it \ "min").extractOpt[String], (it \ "max").extractOpt[String],
+          (it \ "rows").extractOpt[Long])
       }
       case _ => Nil
     }
@@ -171,7 +173,8 @@ object TxnLog {
           "part" -> e.partition.map(JString.apply).getOrElse(JNull))
         val stats =
           e.min.map(v => "min" -> JString(v)).toList :::
-          e.max.map(v => "max" -> JString(v)).toList
+          e.max.map(v => "max" -> JString(v)).toList :::
+          e.rows.map(n => "rows" -> JInt(BigInt(n))).toList
         JObject(base ::: stats)
       }))
     val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
@@ -216,7 +219,8 @@ object TxnLog {
       partitionCol: Option[String],
       version: Long,
       targetRecordsPerFile: Long = TargetRecordsPerFile,
-      subSplitHotPartitions: Boolean = false): Seq[Entry] = {
+      subSplitHotPartitions: Boolean = false,
+      computeStats: Boolean = true): Seq[Entry] = {
     val spark = df.sparkSession
     val dirName = s"c-$version-${UUID.randomUUID().toString.take(8)}"
     val dest = new Path(tableDir, dirName)
@@ -303,9 +307,14 @@ object TxnLog {
     // merges prune on the partition value; file-level ranges only pay
     // for themselves on the unpartitioned path). One extra
     // single-column scan of the just-written, page-cache-hot commit
-    // dir — O(new data), never O(table).
-    val stats: Map[String, (String, String)] =
-      if (files.nonEmpty && partitionCol.isEmpty &&
+    // dir — O(new data), never O(table). Callers writing
+    // increment-sized commits pass computeStats=false: the files
+    // worth protecting from rewrites are the BIG ones (bootstrap
+    // loads, compaction output); an increment file is cheap to
+    // rewrite and gets stats at the next compaction anyway, so a
+    // merge doesn't pay a stats job per micro-batch.
+    val stats: Map[String, (Option[String], Option[String], Long)] =
+      if (computeStats && files.nonEmpty && partitionCol.isEmpty &&
           df.schema.fields.exists(f =>
             f.name == StatsKeyCol && statsSupported(f.dataType)))
         fileKeyStats(spark, dest)
@@ -315,8 +324,10 @@ object TxnLog {
       val part = rel.split('/')
         .find(_.startsWith(PartDirCol + "="))
         .map(_.substring(PartDirCol.length + 1))
-      val st = stats.get(f.getName)
-      Entry(rel, part, st.map(_._1), st.map(_._2))
+      stats.get(f.getName) match {
+        case Some((lo, hi, n)) => Entry(rel, part, lo, hi, Some(n))
+        case None => Entry(rel, part)
+      }
     }
   }
 
@@ -345,23 +356,64 @@ object TxnLog {
     case _ => false
   }
 
-  /** Typed per-file min/max of [[StatsKeyCol]] under a FLAT
-    * (unpartitioned) commit dir, keyed by file NAME (unique there —
-    * one task never writes two files of the same name into a flat
-    * dir). Files whose keys are all null get no entry.
+  /** Driver-side typed comparison of two stored stat strings under
+    * the key's data type — negative/zero/positive like compareTo;
+    * None when the pair can't be ordered safely (NaN/Infinity floats,
+    * parse failure), which callers must treat as "don't prune".
+    * Exists so a merge's range pre-check costs ZERO Spark jobs.
+    */
+  private[cdc] def compareStat(dt: DataType, a: String, b: String): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+      case StringType =>
+        // Spark orders strings by UTF-8 bytes (code-point order); a
+        // java compareTo (UTF-16 code units) would misorder
+        // supplementary characters and prune wrongly
+        val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(ba.length, bb.length)
+        var i = 0
+        while (i < n) {
+          val d = (ba(i) & 0xff) - (bb(i) & 0xff)
+          if (d != 0) return Some(d)
+          i += 1
+        }
+        Some(ba.length - bb.length)
+      case DateType | TimestampType | BooleanType =>
+        // ISO date/timestamp renderings are order-preserving
+        // (zero-padded fields, fraction after fixed-width seconds);
+        // "false" < "true" matches boolean ordering
+        Some(a.compareTo(b))
+      case _ => None
+    }
+  }
+
+  /** Typed per-file min/max of [[StatsKeyCol]] plus the row count,
+    * under a FLAT (unpartitioned) commit dir, keyed by file NAME
+    * (unique there — one task never writes two files of the same name
+    * into a flat dir). Files whose keys are all null keep the row
+    * count but no range (min/max absent → never pruned).
     */
   private def fileKeyStats(
-      spark: SparkSession, dest: Path): Map[String, (String, String)] = {
+      spark: SparkSession,
+      dest: Path): Map[String, (Option[String], Option[String], Long)] = {
     import org.apache.spark.sql.functions.{
-      element_at, input_file_name, max => fmax, min => fmin, split => fsplit}
+      count, element_at, input_file_name, lit,
+      max => fmax, min => fmin, split => fsplit}
     spark.read.parquet(dest.toString)
       .groupBy(element_at(fsplit(input_file_name(), "/"), -1).as("_f"))
       .agg(fmin(col(StatsKeyCol)).cast("string").as("_min"),
-        fmax(col(StatsKeyCol)).cast("string").as("_max"))
+        fmax(col(StatsKeyCol)).cast("string").as("_max"),
+        count(lit(1L)).as("_n"))
       .collect()
-      .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None
-        else Some(r.getString(0) -> (r.getString(1), r.getString(2)))
+      .map { r =>
+        r.getString(0) -> (
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)),
+          r.getLong(3))
       }
       .toMap
   }

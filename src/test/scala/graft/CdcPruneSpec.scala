@@ -144,6 +144,38 @@ class CdcPruneSpec extends AnyFunSuite {
     assert(got(9) == -9.0 && got(1500) == -1500.0 && got(42) == 42.0)
   }
 
+  test("append-pattern merges: increments inherit a commit range and stop being rewritten") {
+    val dir = Files.createTempDirectory("graft_prune_append_").toString
+    CdcSink.writeSnapshot(
+      strLog(("a1", "c", 1, 1.0), ("a2", "c", 2, 2.0)), dir)
+    val m0 = TxnLog.current(fs, dir).get
+    // batch 1 entirely above the bootstrap range → pure append: the
+    // bootstrap file must carry forward, and the NEW file must carry
+    // the commit-level range (no per-file stats job ran)
+    CdcSink.merge(spark, strLog(("b1", "c", 10, 10.0), ("b2", "c", 11, 11.0)), dir, None)
+    val m1 = TxnLog.current(fs, dir).get
+    assert(m0.entries.map(_.path).toSet.subsetOf(m1.entries.map(_.path).toSet),
+      "bootstrap file was rewritten by a disjoint append batch")
+    val inc1 = m1.entries.filterNot(e => m0.entries.map(_.path).contains(e.path))
+    assert(inc1.nonEmpty && inc1.forall(e => e.min.contains("b1") && e.max.contains("b2")),
+      s"increment files missing the commit range: $inc1")
+    // batch 2 above again → BOTH earlier files carry forward
+    CdcSink.merge(spark, strLog(("c1", "c", 20, 20.0)), dir, None)
+    val m2 = TxnLog.current(fs, dir).get
+    assert(m1.entries.map(_.path).toSet.subsetOf(m2.entries.map(_.path).toSet),
+      "an earlier increment was rewritten by a later disjoint append")
+    // and an UPDATE into batch-1's range rewrites exactly that increment
+    CdcSink.merge(spark, strLog(("b1", "u", 30, -10.0)), dir, None)
+    val m3 = TxnLog.current(fs, dir).get
+    assert(m0.entries.map(_.path).toSet.subsetOf(m3.entries.map(_.path).toSet))
+    assert(!inc1.map(_.path).toSet.subsetOf(m3.entries.map(_.path).toSet),
+      "the increment holding b1 was not rewritten")
+    val got = CdcSink.read(spark, dir)
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(got == Map("a1" -> 1.0, "a2" -> 2.0, "b1" -> -10.0,
+      "b2" -> 11.0, "c1" -> 20.0))
+  }
+
   test("null batch keys degrade to a full (never wrong) merge") {
     val dir = Files.createTempDirectory("graft_prune_null_").toString
     CdcSink.writeSnapshot(

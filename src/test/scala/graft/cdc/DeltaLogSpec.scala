@@ -477,6 +477,51 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(sortedRows(healed) == sortedRows(CdcSink.read(spark, dir2)))
   }
 
+  test("add actions carry public-format stats (numRecords + key min/max)") {
+    implicit val fmt: Formats = DefaultFormats
+    // string keys → minValues/maxValues as JSON strings
+    val dir = Files.createTempDirectory("graft_delta_stats_").toString
+    CdcSink.writeSnapshot(
+      changelog(("a", "c", 1, "p1", 1.0), ("m", "c", 2, "p1", 2.0),
+        ("z", "c", 3, "p2", 3.0)), dir)
+    val adds = readJsonActions(
+      new Path(new Path(dir, "_delta_log"), f"${1L}%020d.json"))
+      .map(_ \ "add").filter(_ != JNothing)
+    assert(adds.nonEmpty)
+    val stats = adds.map { a =>
+      val s = (a \ "stats") match {
+        case JString(s) => s
+        case other => fail(s"add without stats string: $other")
+      }
+      JsonMethods.parse(s)
+    }
+    assert(stats.map(s => (s \ "numRecords").extract[Long]).sum == 3L)
+    val mins = stats.map(s => (s \ "minValues" \ "key").extract[String])
+    val maxs = stats.map(s => (s \ "maxValues" \ "key").extract[String])
+    assert(mins.min == "a" && maxs.max == "z")
+
+    // numeric keys → stats values as JSON numbers, not strings
+    val dirN = Files.createTempDirectory("graft_delta_statsn_").toString
+    CdcSink.writeSnapshot(
+      Seq((7, "c", 1L, 1.0), (1900, "c", 2L, 2.0))
+        .toDF("key", "op", "offset", "value")
+        .withColumn("source_file", lit("bin.1")), dirN)
+    val addsN = readJsonActions(
+      new Path(new Path(dirN, "_delta_log"), f"${1L}%020d.json"))
+      .map(_ \ "add").filter(_ != JNothing)
+    val minsN = addsN.flatMap { a =>
+      (a \ "stats") match {
+        case JString(s) =>
+          (JsonMethods.parse(s) \ "minValues" \ "key") match {
+            case JInt(v) => Some(v.toLong)
+            case other => fail(s"numeric key min not a JSON number: $other")
+          }
+        case _ => None
+      }
+    }
+    assert(minsN.min == 7L, "a string-typed stat would sort '1900' < '7'")
+  }
+
   test("vacuum keeps the delta log; current version stays readable through it") {
     val dir = Files.createTempDirectory("graft_delta_").toString
     CdcSink.writeSnapshot(changelog(("a", "c", 1, "p1", 1.0)), dir, Some("part"))
