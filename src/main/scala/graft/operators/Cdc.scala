@@ -54,7 +54,8 @@ object Cdc {
     QueryDef("cdc_replica_loop", replicaLoop, Some(replicaLoopSql)),
     QueryDef("cdc_wire_handshake", wireHandshake, None),
     QueryDef("cdc_wire_command", wireCommand, None),
-    QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql))
+    QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql)),
+    QueryDef("cdc_merge_pruned", mergePruned, Some(mergePrunedSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -530,6 +531,62 @@ object Cdc {
   // lazy: sinkSql is declared later in this object; a strict val here
   // would capture null at object init
   private lazy val deltaReadSql = sinkSql
+
+  // --- cdc_merge_pruned: key-range data skipping in the merge -------
+  // The 100 TB merge shape: bootstrap load → range-clustered
+  // compaction (key-disjoint files with min/max stats in the txn-log
+  // manifest) → a key-LOCALIZED change batch (updates + deletes on
+  // the first ~1% of the keyspace) merged by rewriting ONLY the
+  // files it intersects — every other file's path carries forward in
+  // the new manifest. The reference reaches the same idea through
+  // its delta-rs dependency (add-action stats in the public Delta
+  // protocol); graft's txnlog re-expresses it natively and mirrors
+  // the stats back out to the Delta log. The oracle replays the full
+  // changelog — a wrong prune surfaces as a stale/duplicate key.
+  private def mergePruned(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val w1 = orders.select(
+      format_string("k%012d", col("o_orderkey")).as("key"),
+      lit("c").as("op"),
+      col("o_orderkey").as("offset"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_prune_q_").toString
+    CdcSink.writeSnapshot(w1, tableDir, None)
+    val n = orders.count()
+    CdcSink.compact(s, tableDir, None,
+      targetRecordsPerFile = math.max(1000L, n / 16))
+    val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 100
+    val w2 = orders
+      .filter(col("o_orderkey") <= cut && col("o_orderkey") % 4 === 0)
+      .select(
+        format_string("k%012d", col("o_orderkey")).as("key"),
+        when(col("o_orderkey") % 8 === 4, lit("d")).otherwise(lit("u")).as("op"),
+        (col("o_orderkey") + 1000000000L).as("offset"),
+        (-col("o_totalprice")).cast("decimal(18,2)").cast("double").as("value"),
+        lit("bin.2").as("source_file"))
+    CdcSink.merge(s, w2, tableDir, None)
+    CdcSink.read(s, tableDir).select("key", "value").orderBy("key")
+  }
+
+  private val mergePrunedSql =
+    """WITH w1 AS (
+      |  SELECT printf('k%012d', o_orderkey) AS key, 'c' AS op,
+      |         o_orderkey AS off,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |  FROM orders),
+      |mx AS (SELECT max(o_orderkey) // 100 AS cut FROM orders),
+      |w2 AS (
+      |  SELECT printf('k%012d', o_orderkey) AS key,
+      |         CASE WHEN o_orderkey % 8 = 4 THEN 'd' ELSE 'u' END AS op,
+      |         o_orderkey + 1000000000 AS off,
+      |         CAST(CAST(-o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |  FROM orders, mx WHERE o_orderkey <= cut AND o_orderkey % 4 = 0)
+      |SELECT key, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+      |  FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2))
+      |WHERE rn = 1 AND op <> 'd' ORDER BY key""".stripMargin
 
   // --- cdc_wire_handshake: connection-phase codec inventory ---------
   // The byte half of the reference's replica transport (rust-cdc
