@@ -171,22 +171,6 @@ object CdcSink {
     */
   private[cdc] val RefineMaxKeys = 200000L
 
-  /** Split the manifest's files into (touched, untouched) for a
-    * change batch using the per-file key-range stats.
-    *
-    * Stage 1 (always, one cheap agg over the batch): files whose
-    * [min, max] miss the batch's own [min, max] are untouched.
-    * Stage 2 (increment-sized batches only, ≤ [[RefineMaxKeys]]
-    * rows): a distinct + broadcast-stats join marks exactly the files
-    * some batch key lands in — a sparse scattered batch prunes the
-    * files BETWEEN its keys too.
-    *
-    * Comparisons run in Spark with both sides cast to the key's own
-    * type (a driver-side STRING compare would mis-prune numeric keys:
-    * "9" > "10"). Everything degrades conservatively to touched:
-    * files without stats, key types without stats support, null-key
-    * batches (a null can't range-compare).
-    */
   /** Result of [[splitByKeyRange]]: which manifest files a batch
     * merge must rewrite, which carry forward, and — when computable
     * with zero extra work — a sound outer key range for the commit's
@@ -197,6 +181,18 @@ object CdcSink {
       untouched: Seq[TxnLog.Entry],
       commitRange: Option[(String, String)])
 
+  /** Split the manifest's files into (touched, untouched) for a
+    * change batch using the per-file key-range stats. Stage 1 runs on
+    * the driver with a typed comparator over one cheap bounds agg;
+    * stage 2 (increment-sized batches that stage 1 already pruned)
+    * sharpens to exactly the files some batch key lands in. Every
+    * uncertainty degrades to touched — a full rewrite, never a wrong
+    * prune: stats-less files, unsupported key types, null-key
+    * batches, and key-type drift between the batch and the table
+    * (the stored stat strings were rendered under the TABLE's key
+    * type; comparing them under a different batch type would be
+    * cross-type garbage).
+    */
   private def splitByKeyRange(
       spark: SparkSession,
       changes: DataFrame,
@@ -204,13 +200,15 @@ object CdcSink {
     val all = PruneSplit(m.entries, Seq.empty, None)
     val keyField = changes.schema.fields
       .find(f => f.name == TxnLog.StatsKeyCol && TxnLog.statsSupported(f.dataType))
+    val tableKeyType = m.schema.fields
+      .find(_.name == TxnLog.StatsKeyCol).map(_.dataType)
     val (withStats, statless) =
       m.entries.partition(e => e.min.isDefined && e.max.isDefined)
-    // no stats anywhere (legacy manifest) or unprunable key type: a
-    // bounds agg could not prune anything and any commit range would
-    // be unknowable through the stats-less touched files — skip all
-    // extra work
-    if (keyField.isEmpty || withStats.isEmpty) return all
+    // no stats anywhere (legacy manifest), unprunable key type, or a
+    // batch whose key TYPE differs from the table's: skip all extra
+    // work — a bounds agg couldn't prune anything safely
+    if (keyField.isEmpty || withStats.isEmpty ||
+        !tableKeyType.contains(keyField.get.dataType)) return all
     val kt = keyField.get.dataType
     val k = col(TxnLog.StatsKeyCol)
     val bounds = changes.agg(

@@ -42,6 +42,8 @@ object Offsets {
       orderCol: String,
       outCol: String,
       numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)

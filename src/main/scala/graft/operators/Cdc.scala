@@ -55,7 +55,8 @@ object Cdc {
     QueryDef("cdc_wire_handshake", wireHandshake, None),
     QueryDef("cdc_wire_command", wireCommand, None),
     QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql)),
-    QueryDef("cdc_merge_pruned", mergePruned, Some(mergePrunedSql))
+    QueryDef("cdc_merge_pruned", mergePruned, Some(mergePrunedSql)),
+    QueryDef("cdc_offsets_dense", offsetsDense, Some(offsetsDenseSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -587,6 +588,39 @@ object Cdc {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
       |  FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2))
       |WHERE rn = 1 AND op <> 'd' ORDER BY key""".stripMargin
+
+  // --- cdc_offsets_dense: Kafka-style offset assignment at width ----
+  // Dense per-partition sequence numbers for a topic-shaped changelog
+  // (the numbering a broker assigns, re-derived for replays/backfills)
+  // via Offsets.densePerGroup: range shuffle + cross-partition prefix
+  // sum — identical values to row_number().over(partitionBy(part)),
+  // but a 4-partition topic numbers at cluster width instead of
+  // through 4 single-task sorts. Summary = per-partition offset
+  // checksums so the oracle pins every assigned value.
+  private def offsetsDense(s: SparkSession, dir: String): DataFrame = {
+    val topic = Tables.events(s, dir)
+      .withColumn("partition", col("user_id") % 4)
+      .select("partition", "event_id")
+    // weighted checksum pins EVERY (event_id → offset) assignment;
+    // per-element mod keeps the sum inside BIGINT through sf100
+    Offsets.densePerGroup(topic, Seq("partition"), "event_id", "offset")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"),
+        max(col("offset")).as("max_offset"),
+        sum((col("offset") * col("event_id")) % lit(1000000007L))
+          .as("weighted_sum"))
+      .orderBy("partition")
+  }
+
+  private val offsetsDenseSql =
+    """SELECT partition, COUNT(*) AS n,
+      |       MAX("offset") AS max_offset,
+      |       CAST(SUM(("offset" * event_id) % 1000000007) AS BIGINT) AS weighted_sum
+      |FROM (SELECT user_id % 4 AS partition, event_id,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 4
+      |                                     ORDER BY event_id) AS BIGINT) AS "offset"
+      |      FROM events)
+      |GROUP BY partition ORDER BY partition""".stripMargin
 
   // --- cdc_wire_handshake: connection-phase codec inventory ---------
   // The byte half of the reference's replica transport (rust-cdc
