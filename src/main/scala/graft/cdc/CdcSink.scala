@@ -116,7 +116,7 @@ object CdcSink {
         // changelog gains columns (reference DDL propagation: ALTER
         // TABLE ADD COLUMN flows into the table; dropped columns
         // stay, null-filled).
-        val pr = splitByKeyRange(spark, changes, m)
+        val pr = splitByKeyRange(spark, changes, m.schema, m.entries)
         val unioned =
           if (pr.touched.isEmpty) changes
           else TxnLog.readEntries(spark, tableDir, pr.touched)
@@ -142,22 +142,32 @@ object CdcSink {
         val touched = changes.select(p).distinct().collect().map(_.get(0))
         if (touched.nonEmpty) {
           val touchedEsc = touched.map(hivePartName).toSet
-          val (touchedEntries, untouchedEntries) =
+          val (partTouched, untouchedEntries) =
             m.entries.partition(_.partition.exists(touchedEsc.contains))
+          // second pruning level: within the touched PARTITIONS, keep
+          // files whose key range no batch key can hit (hot-partition
+          // updates rewrite the files they intersect, not the whole
+          // partition value)
+          val pr = splitByKeyRange(spark, changes, m.schema, partTouched)
           val incoming = changes
-          val unioned = if (touchedEntries.isEmpty) incoming else {
+          val unioned = if (pr.touched.isEmpty) incoming else {
             // mergeSchema: after a partial (touched-partition) schema
             // evolution, untouched files still carry the old footer —
             // readEntries merges footers so evolved columns survive
-            TxnLog.readEntries(spark, tableDir, touchedEntries)
+            TxnLog.readEntries(spark, tableDir, pr.touched)
               .withColumn("op", lit(Op.Update))
               .unionByName(incoming, allowMissingColumns = true)
           }
           val merged = CdcApply.snapshot(unioned)
-          val newEntries = TxnLog.writeCommitDir(merged, tableDir, Some(p), m.version + 1)
+          val newEntries = TxnLog.writeCommitDir(
+            merged, tableDir, Some(p), m.version + 1, computeStats = false)
+            .map(e => pr.commitRange.fold(e) { case (lo, hi) =>
+              e.copy(min = Some(lo), max = Some(hi))
+            })
           // emptied partitions simply have no files in the new version
-          TxnLog.commit(fs, tableDir, m.version + 1, merged.schema,
-            untouchedEntries ++ newEntries)
+          TxnLog.commit(fs, tableDir, m.version + 1,
+            unionSchema(m.schema, merged.schema),
+            untouchedEntries ++ pr.untouched ++ newEntries)
         }
     }
     commitOffsets(changes, tableDir)
@@ -196,14 +206,15 @@ object CdcSink {
   private def splitByKeyRange(
       spark: SparkSession,
       changes: DataFrame,
-      m: TxnLog.Manifest): PruneSplit = {
-    val all = PruneSplit(m.entries, Seq.empty, None)
+      tableSchema: org.apache.spark.sql.types.StructType,
+      entries: Seq[TxnLog.Entry]): PruneSplit = {
+    val all = PruneSplit(entries, Seq.empty, None)
     val keyField = changes.schema.fields
       .find(f => f.name == TxnLog.StatsKeyCol && TxnLog.statsSupported(f.dataType))
-    val tableKeyType = m.schema.fields
+    val tableKeyType = tableSchema.fields
       .find(_.name == TxnLog.StatsKeyCol).map(_.dataType)
     val (withStats, statless) =
-      m.entries.partition(e => e.min.isDefined && e.max.isDefined)
+      entries.partition(e => e.min.isDefined && e.max.isDefined)
     // no stats anywhere (legacy manifest), unprunable key type, or a
     // batch whose key TYPE differs from the table's: skip all extra
     // work — a bounds agg couldn't prune anything safely
@@ -215,7 +226,7 @@ object CdcSink {
       min(k).cast("string"), max(k).cast("string"),
       sum(when(k.isNull, 1L).otherwise(0L)), count(lit(1L))).head()
     val nRows = bounds.getLong(3)
-    if (nRows == 0) return PruneSplit(Seq.empty, m.entries, None)
+    if (nRows == 0) return PruneSplit(Seq.empty, entries, None)
     if (bounds.getLong(2) > 0) return all // null keys: no pruning
     val (bLo, bHi) = (bounds.getString(0), bounds.getString(1))
     // stage 1 on the DRIVER (zero Spark jobs): a file survives iff

@@ -241,12 +241,15 @@ object TxnLog {
       case Some(p) =>
         // full-rewrite path (compaction): clustering by value ALONE
         // would serialize a skew-hot value into one write task, so
-        // each value sub-splits into ceil(n/targetRecordsPerFile)
-        // deterministic hash-salt buckets from an exact pre-count
-        // (map-side partial agg → value-cardinality rows, broadcast
-        // back); the repartition width is the total sub-split count —
-        // the data-volume-correct task count for the rewrite. The
-        // input is persisted across the count+write double pass.
+        // the rewrite runs at ceil(n/targetRecordsPerFile)-per-value
+        // total width from an exact pre-count. When the key column is
+        // orderable, the sub-split is a RANGE partition on
+        // (partition value, key) + in-task sort: a hot value spreads
+        // across tasks proportionally AND its files come out
+        // key-disjoint, so merges prune files within the partition.
+        // Unorderable/absent keys fall back to deterministic
+        // hash-salt buckets. The input is persisted across the
+        // count+write double pass.
         import org.apache.spark.sql.functions.{
           broadcast, ceil, coalesce, count, greatest, hash, lit, pmod, sum}
         val base = df.withColumn(PartDirCol, col(p)).persist()
@@ -258,36 +261,45 @@ object TxnLog {
               greatest(lit(1L), ceil(col("_n") / lit(targetRecordsPerFile)))
                 .cast("int").as("_nsplit"))
             .persist()
-          val totalSplits = splits
-            .agg(coalesce(sum(col("_nsplit")), lit(0L))).head.getLong(0)
-          // salt from the hashable columns only — Spark's hash()
-          // rejects MapType; a row set that is ALL maps still splits
-          // (monotonically_increasing_id is partition-local, no
-          // shuffle, and determinism of file ASSIGNMENT is not a
-          // correctness property of the rewrite)
-          def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
-            dt match {
-              case _: org.apache.spark.sql.types.MapType => true
-              case a: org.apache.spark.sql.types.ArrayType =>
-                hasMap(a.elementType)
-              case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-              case _ => false
-            }
-          val hashable = df.schema.fields
-            .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
-          val saltSrc =
-            if (hashable.nonEmpty) hash(hashable: _*)
-            else org.apache.spark.sql.functions
-              .monotonically_increasing_id()
-          base.join(broadcast(splits), base(PartDirCol) <=> col("_pv"), "left")
-            .withColumn("_salt",
-              pmod(saltSrc, coalesce(col("_nsplit"), lit(1))))
-            .repartition(math.max(1L, totalSplits).toInt,
-              col(PartDirCol), col("_salt"))
-            .drop("_pv", "_nsplit", "_salt")
-            .write
-            // belt for hash-bucket collisions into one task: the file
-            // itself still splits at the record target
+          val totalSplits = math.max(1L, splits
+            .agg(coalesce(sum(col("_nsplit")), lit(0L))).head.getLong(0)).toInt
+          val rangeKey = df.schema.fields
+            .find(f => f.name == StatsKeyCol && statsSupported(f.dataType))
+          val clustered = rangeKey match {
+            case Some(_) =>
+              base.repartitionByRange(
+                  totalSplits, col(PartDirCol), col(StatsKeyCol))
+                .sortWithinPartitions(PartDirCol, StatsKeyCol)
+            case None =>
+              // salt from the hashable columns only — Spark's hash()
+              // rejects MapType; a row set that is ALL maps still
+              // splits (monotonically_increasing_id is
+              // partition-local, no shuffle, and determinism of file
+              // ASSIGNMENT is not a correctness property)
+              def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+                dt match {
+                  case _: org.apache.spark.sql.types.MapType => true
+                  case a: org.apache.spark.sql.types.ArrayType =>
+                    hasMap(a.elementType)
+                  case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+                  case _ => false
+                }
+              val hashable = df.schema.fields
+                .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+              val saltSrc =
+                if (hashable.nonEmpty) hash(hashable: _*)
+                else org.apache.spark.sql.functions
+                  .monotonically_increasing_id()
+              base.join(broadcast(splits), base(PartDirCol) <=> col("_pv"), "left")
+                .withColumn("_salt",
+                  pmod(saltSrc, coalesce(col("_nsplit"), lit(1))))
+                .repartition(totalSplits, col(PartDirCol), col("_salt"))
+                .drop("_pv", "_nsplit", "_salt")
+          }
+          clustered.write
+            // belt for range-sampling imbalance / hash-bucket
+            // collisions into one task: the file itself still splits
+            // at the record target
             .option("maxRecordsPerFile", targetRecordsPerFile)
             .partitionBy(PartDirCol).parquet(dest.toString)
         } finally {
@@ -303,18 +315,17 @@ object TxnLog {
     }
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listParquet(fs, dest)
-    // Per-file key-range stats for unpartitioned tables (partitioned
-    // merges prune on the partition value; file-level ranges only pay
-    // for themselves on the unpartitioned path). One extra
-    // single-column scan of the just-written, page-cache-hot commit
-    // dir — O(new data), never O(table). Callers writing
+    // Per-file key-range stats (partitioned tables prune first on the
+    // partition value, then on these within touched partitions). One
+    // extra single-column scan of the just-written, page-cache-hot
+    // commit dir — O(new data), never O(table). Callers writing
     // increment-sized commits pass computeStats=false: the files
     // worth protecting from rewrites are the BIG ones (bootstrap
     // loads, compaction output); an increment file is cheap to
     // rewrite and gets stats at the next compaction anyway, so a
     // merge doesn't pay a stats job per micro-batch.
-    val stats: Map[String, (Option[String], Option[String], Long)] =
-      if (computeStats && files.nonEmpty && partitionCol.isEmpty &&
+    val stats: Map[(Option[String], String), (Option[String], Option[String], Long)] =
+      if (computeStats && files.nonEmpty &&
           df.schema.fields.exists(f =>
             f.name == StatsKeyCol && statsSupported(f.dataType)))
         fileKeyStats(spark, dest)
@@ -324,7 +335,7 @@ object TxnLog {
       val part = rel.split('/')
         .find(_.startsWith(PartDirCol + "="))
         .map(_.substring(PartDirCol.length + 1))
-      stats.get(f.getName) match {
+      stats.get((part, f.getName)) match {
         case Some((lo, hi, n)) => Entry(rel, part, lo, hi, Some(n))
         case None => Entry(rel, part)
       }
@@ -391,26 +402,37 @@ object TxnLog {
     }
   }
 
-  /** Typed per-file min/max of [[StatsKeyCol]] plus the row count,
-    * under a FLAT (unpartitioned) commit dir, keyed by file NAME
-    * (unique there — one task never writes two files of the same name
-    * into a flat dir). Files whose keys are all null keep the row
-    * count but no range (min/max absent → never pruned).
+  /** Typed per-file min/max of [[StatsKeyCol]] plus the row count
+    * under a commit dir, keyed by (partition dir fragment, file name)
+    * — unique within one commit: a task reuses its part-NNNNN name
+    * across partition subdirs but never within one. The scan-side
+    * path is URI-decoded back to the ON-DISK (Hive-escaped) fragment
+    * so it joins against what [[writeCommitDir]]'s listing saw; a
+    * fragment that fails to decode just loses its stats (never
+    * pruned). Files whose keys are all null keep the row count but no
+    * range.
     */
   private def fileKeyStats(
       spark: SparkSession,
-      dest: Path): Map[String, (Option[String], Option[String], Long)] = {
+      dest: Path): Map[(Option[String], String), (Option[String], Option[String], Long)] = {
     import org.apache.spark.sql.functions.{
-      count, element_at, input_file_name, lit,
-      max => fmax, min => fmin, split => fsplit}
+      count, input_file_name, lit, max => fmax, min => fmin}
     spark.read.parquet(dest.toString)
-      .groupBy(element_at(fsplit(input_file_name(), "/"), -1).as("_f"))
+      .groupBy(input_file_name().as("_f"))
       .agg(fmin(col(StatsKeyCol)).cast("string").as("_min"),
         fmax(col(StatsKeyCol)).cast("string").as("_max"),
         count(lit(1L)).as("_n"))
       .collect()
       .map { r =>
-        r.getString(0) -> (
+        val raw = r.getString(0)
+        val path =
+          try new java.net.URI(raw).getPath
+          catch { case _: java.net.URISyntaxException => raw }
+        val segs = path.split('/')
+        val part = segs.takeRight(2).headOption
+          .filter(_.startsWith(PartDirCol + "="))
+          .map(_.substring(PartDirCol.length + 1))
+        (part, segs.last) -> (
           if (r.isNullAt(1)) None else Some(r.getString(1)),
           if (r.isNullAt(2)) None else Some(r.getString(2)),
           r.getLong(3))

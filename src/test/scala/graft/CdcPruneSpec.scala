@@ -190,6 +190,50 @@ class CdcPruneSpec extends AnyFunSuite {
     assert(got.filter(col("key") === "a").select("value").head.getDouble(0) == 10.0)
   }
 
+  test("partitioned tables prune at two levels: partition value, then file range") {
+    val dir = Files.createTempDirectory("graft_prune_part_").toString
+    // two partitions × 4000 DISTINCT keys (per-partition prefix — the
+    // sink's LWW folds per key, so shared keys would supersede each
+    // other); compact at 1000/file → ~4 range files per value
+    def rows(part: String, pfx: String, base: Long) = spark.range(0, 4000).select(
+      format_string(pfx + "%05d", col("id")).as("key"), lit("c").as("op"),
+      (col("id") + base).as("offset"), lit(part).as("part"),
+      col("id").cast("double").as("value"), lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(
+      rows("p1", "a", 0).unionAll(rows("p2", "b", 10000)), dir, Some("part"))
+    CdcSink.compact(spark, dir, Some("part"), targetRecordsPerFile = 1000L)
+    val m0 = TxnLog.current(fs, dir).get
+    val p1Files = m0.entries.filter(_.partition.contains("p1"))
+    assert(p1Files.length >= 3, s"expected ~4 p1 files, got ${p1Files.length}")
+    assert(m0.entries.forall(e => e.min.isDefined && e.max.isDefined),
+      "compaction output lost its per-file stats on the partitioned path")
+    // a batch updating ONE narrow key range in p1 only
+    val batch = Seq(("a00100", "u", 99999L, "p1", -1.0))
+      .toDF("key", "op", "offset", "part", "value")
+      .withColumn("source_file", lit("bin.2"))
+    CdcSink.merge(spark, batch, dir, Some("part"))
+    val m1 = TxnLog.current(fs, dir).get
+    val carried = m1.entries.map(_.path).toSet
+      .intersect(m0.entries.map(_.path).toSet)
+    // level 1: every p2 file carried; level 2: all p1 files except
+    // the one holding k00100
+    val p2Paths = m0.entries.filter(_.partition.contains("p2")).map(_.path).toSet
+    assert(p2Paths.subsetOf(carried), "untouched partition was rewritten")
+    val expectedP1Carried = p1Files.filter(e =>
+      !(e.min.get <= "a00100" && "a00100" <= e.max.get)).map(_.path).toSet
+    assert(expectedP1Carried.nonEmpty)
+    assert(carried.intersect(p1Files.map(_.path).toSet) == expectedP1Carried,
+      "file-level pruning inside the touched partition is off")
+    val got = CdcSink.read(spark, dir)
+      .select("key", "part", "value").as[(String, String, Double)]
+      .collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(got == Map("p1" -> 4000, "p2" -> 4000))
+    val v = CdcSink.read(spark, dir)
+      .filter(col("key") === "a00100" && col("part") === "p1")
+      .select("value").head.getDouble(0)
+    assert(v == -1.0)
+  }
+
   test("stats-less (legacy) manifests fall back to a full merge") {
     val dir = Files.createTempDirectory("graft_prune_legacy_").toString
     CdcSink.writeSnapshot(
