@@ -225,9 +225,41 @@ object CdcSink {
     val bounds = changes.agg(
       min(k).cast("string"), max(k).cast("string"),
       sum(when(k.isNull, 1L).otherwise(0L)), count(lit(1L))).head()
+    def foldRanges(
+        seed: Option[(String, String)],
+        es: Seq[TxnLog.Entry]): Option[(String, String)] =
+      es.foldLeft(seed) { (acc, e) =>
+        acc.flatMap { case (lo, hi) =>
+          for {
+            cLo <- TxnLog.compareStat(kt, e.min.get, lo)
+            cHi <- TxnLog.compareStat(kt, e.max.get, hi)
+          } yield (if (cLo < 0) e.min.get else lo,
+            if (cHi > 0) e.max.get else hi)
+        }
+      }
     val nRows = bounds.getLong(3)
     if (nRows == 0) return PruneSplit(Seq.empty, entries, None)
-    if (bounds.getLong(2) > 0) return all // null keys: no pruning
+    if (bounds.getLong(2) > 0) {
+      // null keys can hide in ANY file (ranges only witness non-null
+      // keys), so every file is touched — but the OUTPUT's non-null
+      // key range is still knowable: min/max over non-null keys stay
+      // sound for future non-null batches, and future null-key
+      // batches rewrite everything regardless. Without this, one
+      // null-key batch would wipe the table's stats until the next
+      // compaction.
+      val batchRange =
+        if (bounds.isNullAt(0) || bounds.isNullAt(1)) None
+        else Some((bounds.getString(0), bounds.getString(1)))
+      val commitRange =
+        if (statless.nonEmpty) None
+        else batchRange match {
+          case Some(br) => foldRanges(Some(br), withStats)
+          case None => foldRanges(
+            withStats.headOption.map(e => (e.min.get, e.max.get)),
+            withStats.drop(1))
+        }
+      return PruneSplit(entries, Seq.empty, commitRange)
+    }
     val (bLo, bHi) = (bounds.getString(0), bounds.getString(1))
     // stage 1 on the DRIVER (zero Spark jobs): a file survives iff
     // its range intersects the batch's [min,max]; an uncomparable
@@ -264,18 +296,7 @@ object CdcSink {
     // when a stats-less file is being folded in.
     val commitRange: Option[(String, String)] =
       if (statless.nonEmpty) None
-      else {
-        def fold(acc: Option[(String, String)], r: (String, String)) =
-          acc.flatMap { case (lo, hi) =>
-            for {
-              cLo <- TxnLog.compareStat(kt, r._1, lo)
-              cHi <- TxnLog.compareStat(kt, r._2, hi)
-            } yield (if (cLo < 0) r._1 else lo, if (cHi > 0) r._2 else hi)
-          }
-        touched.foldLeft(Option((bLo, bHi))) { (acc, e) =>
-          fold(acc, (e.min.get, e.max.get))
-        }
-      }
+      else foldRanges(Some((bLo, bHi)), touched)
     PruneSplit(allTouched, withStats.filterNot(e => touchedSet(e.path)), commitRange)
   }
 

@@ -234,6 +234,69 @@ class CdcPruneSpec extends AnyFunSuite {
     assert(v == -1.0)
   }
 
+  test("randomized equivalence: pruned merges == legacy full merges, batch by batch") {
+    // the strongest pin on the skipping logic: the SAME seeded random
+    // batch stream (creates/updates/deletes, keys clustered AND
+    // scattered, occasional nulls) applied to two tables — one keeps
+    // its stats manifest (pruned path), the other has stats stripped
+    // after every commit (legacy full-rewrite path) — must read back
+    // identically after every single merge
+    val rnd = new scala.util.Random(20260815L)
+    val prunedDir = Files.createTempDirectory("graft_prune_eqA_").toString
+    val legacyDir = Files.createTempDirectory("graft_prune_eqB_").toString
+    def stripStats(dir: String): Unit = {
+      val m = TxnLog.current(fs, dir).get
+      TxnLog.commit(fs, dir, m.version + 1, m.schema,
+        m.entries.map(_.copy(min = None, max = None)))
+    }
+    def randBatch(offBase: Long): DataFrame = {
+      val n = 20 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val key: Option[String] =
+          if (rnd.nextInt(40) == 0) None
+          else if (rnd.nextBoolean()) Some(f"k${rnd.nextInt(400)}%05d") // scattered
+          else Some(f"k${3000 + rnd.nextInt(40)}%05d")                  // clustered
+        val op = rnd.nextInt(10) match {
+          case 0     => "d"
+          case 1 | 2 => "c"
+          case _     => "u"
+        }
+        (key, op, offBase + i, rnd.nextDouble())
+      }
+      rows.toDF("key", "op", "offset", "value")
+        .withColumn("source_file", lit("bin.eq"))
+    }
+    val boot = spark.range(0, 4000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(boot, prunedDir)
+    CdcSink.compact(spark, prunedDir, None, targetRecordsPerFile = 500L)
+    CdcSink.writeSnapshot(boot, legacyDir)
+    CdcSink.compact(spark, legacyDir, None, targetRecordsPerFile = 500L)
+    stripStats(legacyDir)
+    // a sorted multiset, NOT a map — a wrong prune that leaves a
+    // duplicate key must not collapse away in the comparison
+    def snap(dir: String): Seq[(String, Double)] =
+      CdcSink.read(spark, dir).select("key", "value")
+        .collect().map(r => String.valueOf(r.getString(0)) -> r.getDouble(1))
+        .toSeq.sorted
+    (0 until 8).foreach { i =>
+      val batch = randBatch(100000L + i * 1000).persist()
+      try {
+        CdcSink.merge(spark, batch, prunedDir, None)
+        CdcSink.merge(spark, batch, legacyDir, None)
+        stripStats(legacyDir)
+      } finally batch.unpersist()
+      assert(snap(prunedDir) == snap(legacyDir), s"diverged after batch $i")
+    }
+    // and at least one of those merges actually pruned something
+    // (clustered batches against ~8 range files)
+    val finalEntries = TxnLog.current(fs, prunedDir).get.entries
+    assert(finalEntries.exists(e => e.min.isDefined),
+      "pruned table lost all stats — the equivalence proved nothing")
+  }
+
   test("stats-less (legacy) manifests fall back to a full merge") {
     val dir = Files.createTempDirectory("graft_prune_legacy_").toString
     CdcSink.writeSnapshot(
