@@ -324,12 +324,21 @@ object TxnLog {
     // loads, compaction output); an increment file is cheap to
     // rewrite and gets stats at the next compaction anyway, so a
     // merge doesn't pay a stats job per micro-batch.
+    val keyType = df.schema.fields
+      .find(f => f.name == StatsKeyCol && statsSupported(f.dataType))
+      .map(_.dataType)
     val stats: Map[(Option[String], String), (Option[String], Option[String], Long)] =
-      if (computeStats && files.nonEmpty &&
-          df.schema.fields.exists(f =>
-            f.name == StatsKeyCol && statsSupported(f.dataType)))
-        fileKeyStats(spark, dest)
-      else Map.empty
+      if (computeStats && files.nonEmpty && keyType.isDefined) {
+        // fast path: read the just-written parquet FOOTERS on the
+        // driver (no Spark job; ~ms per file) for the common key
+        // types whose footer statistics decode to the exact canonical
+        // string form; a big commit (many files) or another key type
+        // takes the distributed single-column scan instead
+        if (files.length <= FooterStatsMaxFiles &&
+            footerStatsDecodable(keyType.get))
+          fileKeyStatsFromFooters(spark, tableDir, files, keyType.get)
+        else fileKeyStats(spark, dest)
+      } else Map.empty
     files.map { f =>
       val rel = relativize(new Path(tableDir), f)
       val part = rel.split('/')
@@ -400,6 +409,86 @@ object TxnLog {
         Some(a.compareTo(b))
       case _ => None
     }
+  }
+
+  /** Above this many files a commit's stats come from the distributed
+    * scan — driver-serial footer reads would add latency instead of
+    * removing a job.
+    */
+  private val FooterStatsMaxFiles = 512
+
+  /** Key types whose parquet footer statistics decode to EXACTLY the
+    * canonical string form the scan path produces (UTF-8 binary →
+    * String; int32/int64 → toString). Other supported types (double,
+    * decimal, date, timestamp) have representational gaps between
+    * footer values and Spark's cast-to-string, so they keep the scan.
+    */
+  private def footerStatsDecodable(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.StringType => true
+    case _: org.apache.spark.sql.types.IntegerType => true
+    case _: org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Per-file stats straight from the parquet footers, driver-side —
+    * zero Spark jobs. Statistics missing or unreliable for a file
+    * (huge values dropped by the writer, no non-null values) degrade
+    * to a row-count-only entry, exactly like the scan path's all-null
+    * files. Footer min/max are whole-value (column chunk statistics
+    * are not truncated by parquet-mr; only column INDEXES truncate),
+    * so the decoded strings match the scan path byte-for-byte —
+    * FooterStatsSpec pins the equivalence.
+    */
+  private def fileKeyStatsFromFooters(
+      spark: SparkSession,
+      tableDir: String,
+      files: Seq[Path],
+      keyType: DataType): Map[(Option[String], String), (Option[String], Option[String], Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      val (rows, range) =
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val perBlock = blocks.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == StatsKeyCol)
+              .map(_.getStatistics)
+          }
+          val usable = perBlock.size == blocks.size &&
+            perBlock.forall(s => s != null && !s.isEmpty && s.hasNonNullValue)
+          def decode(v: Any): String = v match {
+            case b: org.apache.parquet.io.api.Binary =>
+              new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+            case other => String.valueOf(other)
+          }
+          val range =
+            if (!usable || perBlock.isEmpty) None
+            else {
+              val mins = perBlock.map(s => decode(s.genericGetMin))
+              val maxs = perBlock.map(s => decode(s.genericGetMax))
+              // reduce across blocks with the TYPED comparator — a
+              // string min-reduce would misorder numeric blocks
+              def pick(vs: Seq[String], wantMin: Boolean): Option[String] =
+                vs.map(Option(_)).reduceLeft { (ao, bo) =>
+                  for { a <- ao; b <- bo; c <- compareStat(keyType, a, b) }
+                    yield if ((c <= 0) == wantMin) a else b
+                  // an uncomparable pair dissolves to None → no stats
+                }
+              for { lo <- pick(mins, wantMin = true)
+                    hi <- pick(maxs, wantMin = false) } yield (lo, hi)
+            }
+          (rows, range)
+        } finally reader.close()
+      val rel = relativize(new Path(tableDir), f)
+      val part = rel.split('/')
+        .find(_.startsWith(PartDirCol + "="))
+        .map(_.substring(PartDirCol.length + 1))
+      (part, f.getName) -> (range.map(_._1), range.map(_._2), rows)
+    }.toMap
   }
 
   /** Typed per-file min/max of [[StatsKeyCol]] plus the row count

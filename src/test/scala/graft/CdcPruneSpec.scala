@@ -50,6 +50,46 @@ class CdcPruneSpec extends AnyFunSuite {
       m.entries.map(e => (e.path, e.min, e.max)).toSet)
   }
 
+  test("footer-derived stats equal an independent scan of the same files") {
+    // string keys and int keys take the driver-side parquet-footer
+    // fast path; every manifest stat must match what a Spark scan of
+    // that exact file computes (min/max canonical strings + rows)
+    def check(dir: String): Unit = {
+      val m = TxnLog.current(fs, dir).get
+      assert(m.entries.nonEmpty)
+      m.entries.foreach { e =>
+        val r = spark.read.parquet(s"$dir/${e.path}")
+          .agg(min(col("key")).cast("string"), max(col("key")).cast("string"),
+            count(lit(1L))).head
+        assert(e.min.contains(r.getString(0)) && e.max.contains(r.getString(1)),
+          s"${e.path}: manifest [${e.min},${e.max}] vs scan [${r.getString(0)},${r.getString(1)}]")
+        assert(e.rows.contains(r.getLong(2)), s"${e.path}: rows ${e.rows}")
+      }
+    }
+    val dirS = Files.createTempDirectory("graft_footer_s_").toString
+    CdcSink.writeSnapshot(spark.range(0, 5000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file")), dirS)
+    CdcSink.compact(spark, dirS, None, targetRecordsPerFile = 1000L)
+    check(dirS)
+    val dirI = Files.createTempDirectory("graft_footer_i_").toString
+    CdcSink.writeSnapshot(spark.range(0, 5000).select(
+      (col("id") * 7 % 5000).cast("int").as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file")), dirI)
+    CdcSink.compact(spark, dirI, None, targetRecordsPerFile = 1000L)
+    check(dirI)
+    // double keys take the SCAN path (footer decode gap) — stats must
+    // still appear and match
+    val dirD = Files.createTempDirectory("graft_footer_d_").toString
+    CdcSink.writeSnapshot(spark.range(0, 2000).select(
+      (col("id").cast("double") / 8).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file")), dirD)
+    check(dirD)
+  }
+
   test("localized delivery rewrites only intersecting files after range compaction") {
     val dir = Files.createTempDirectory("graft_prune_merge_").toString
     // 10k keys k00000..k09999; compact at 1000/file → ~10 key-disjoint files
