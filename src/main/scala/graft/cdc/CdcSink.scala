@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *    visible only when the manifest version is atomically published
   *    — a crash mid-merge can never lose or half-expose the table,
   *    and a reader racing a writer sees a consistent version;
-  *  - [[merge]] rewrites ONLY the partitions the incoming changelog
-  *    touches: the manifest maps files to partition values, so the
-  *    pruned read selects files directly (no directory listing);
+  *  - [[merge]] rewrites ONLY the files the incoming changelog can
+  *    touch, pruned at two levels: partition value first (the
+  *    manifest maps files to partition values — no directory
+  *    listing), then per-file key range within the touched
+  *    partitions (the manifest carries typed min/max of the LWW key
+  *    per file, Delta-style data skipping); merge cost tracks the
+  *    TOUCHED data volume, not the table;
   *  - commit offsets are written after data (write-ahead by data,
   *    like the reference commits the log AFTER a successful flush)
   *    via temp-file + atomic rename, and re-merging an
