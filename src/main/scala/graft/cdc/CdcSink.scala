@@ -53,6 +53,48 @@ object CdcSink {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     TxnLog.read(spark, tableDir)
 
+  /** Read only the rows whose key falls in `[lo, hi]` (both
+    * inclusive, encoded as canonical stat strings — i.e. the value's
+    * cast-to-string form), opening ONLY the files whose manifest key
+    * range intersects it. The read-side complement of the pruned
+    * merge: a point lookup on a range-compacted 100 TB table opens
+    * one file instead of listing and footer-probing all of them.
+    * Files without stats are always read (never wrongly skipped);
+    * the row-level filter is applied on top either way, so the
+    * result is exact even when stats are absent or conservative.
+    */
+  def readRange(
+      spark: SparkSession,
+      tableDir: String,
+      lo: String,
+      hi: String): DataFrame = {
+    val fs = fsFor(spark, tableDir)
+    val k = col(TxnLog.StatsKeyCol)
+    TxnLog.current(fs, tableDir) match {
+      case Some(m) if m.entries.nonEmpty =>
+        val kt = m.schema.fields
+          .find(_.name == TxnLog.StatsKeyCol).map(_.dataType)
+        def overlaps(e: TxnLog.Entry): Boolean =
+          (for {
+            t <- kt
+            eLo <- e.min; eHi <- e.max
+            c1 <- TxnLog.compareStat(t, eHi, lo) // file.max < lo
+            c2 <- TxnLog.compareStat(t, eLo, hi) // file.min > hi
+          } yield !(c1 < 0 || c2 > 0)).getOrElse(true)
+        val live = m.entries.filter(overlaps)
+        val filter = kt match {
+          case Some(t) => k.between(lit(lo).cast(t), lit(hi).cast(t))
+          case None => k.cast("string").between(lo, hi)
+        }
+        if (live.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        else TxnLog.readEntries(spark, tableDir, live).filter(filter)
+      case _ => read(spark, tableDir)
+          .filter(k.cast("string").between(lo, hi))
+    }
+  }
+
   private def fsFor(spark: SparkSession, tableDir: String): FileSystem =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -337,6 +337,40 @@ class CdcPruneSpec extends AnyFunSuite {
       "pruned table lost all stats — the equivalence proved nothing")
   }
 
+  test("readRange opens only intersecting files and is exact regardless") {
+    val dir = Files.createTempDirectory("graft_prune_read_").toString
+    val base = spark.range(0, 5000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(base, dir)
+    CdcSink.compact(spark, dir, None, targetRecordsPerFile = 1000L)
+    val got = CdcSink.readRange(spark, dir, "k01200", "k01399")
+      .select("key").as[String].collect().sorted
+    assert(got.length == 200 && got.head == "k01200" && got.last == "k01399")
+    // the physical proof: the pruned read scans fewer files than the
+    // manifest lists (exactly the ones whose range intersects)
+    val m = TxnLog.current(fs, dir).get
+    val expected = m.entries.count(e =>
+      e.min.get <= "k01399" && "k01200" <= e.max.get)
+    val scanned = CdcSink.readRange(spark, dir, "k01200", "k01399")
+      .select(input_file_name()).distinct().count()
+    assert(expected < m.entries.length, "fixture degenerate")
+    assert(scanned <= expected,
+      s"read $scanned files, stats said $expected intersect")
+    // int keys: typed bounds (string compare would misplace "9")
+    val dirI = Files.createTempDirectory("graft_prune_readi_").toString
+    CdcSink.writeSnapshot(spark.range(0, 3000).select(
+      col("id").cast("int").as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file")), dirI)
+    val gotI = CdcSink.readRange(spark, dirI, "9", "11")
+      .select("key").as[Int].collect().sorted
+    assert(gotI.toSeq == Seq(9, 10, 11))
+    // empty range off the end of the keyspace → zero files, empty frame
+    assert(CdcSink.readRange(spark, dir, "z", "zz").isEmpty)
+  }
+
   test("stats-less (legacy) manifests fall back to a full merge") {
     val dir = Files.createTempDirectory("graft_prune_legacy_").toString
     CdcSink.writeSnapshot(
