@@ -54,14 +54,19 @@ object CdcSink {
     TxnLog.read(spark, tableDir)
 
   /** Read only the rows whose key falls in `[lo, hi]` (both
-    * inclusive, encoded as canonical stat strings — i.e. the value's
-    * cast-to-string form), opening ONLY the files whose manifest key
-    * range intersects it. The read-side complement of the pruned
+    * inclusive, encoded as canonical stat strings — the value's
+    * cast-to-string form; epoch micros/days for timestamp/date keys,
+    * see [[TxnLog.statExpr]]), opening ONLY the files whose manifest
+    * key range intersects it. The read-side complement of the pruned
     * merge: a point lookup on a range-compacted 100 TB table opens
     * one file instead of listing and footer-probing all of them.
     * Files without stats are always read (never wrongly skipped);
     * the row-level filter is applied on top either way, so the
-    * result is exact even when stats are absent or conservative.
+    * result is exact even when stats are absent or conservative. A
+    * key type outside [[TxnLog.statsSupported]] (binary, struct, …)
+    * never has stats — it degrades to an unpruned read with the
+    * bounds compared on the cast-to-string form, instead of throwing
+    * on an impossible string→type cast.
     */
   def readRange(
       spark: SparkSession,
@@ -70,6 +75,12 @@ object CdcSink {
       hi: String): DataFrame = {
     val fs = fsFor(spark, tableDir)
     val k = col(TxnLog.StatsKeyCol)
+    def rowFilter(kt: Option[org.apache.spark.sql.types.DataType]) =
+      kt match {
+        case Some(t) if TxnLog.statsSupported(t) =>
+          k.between(TxnLog.statDecode(t, lit(lo)), TxnLog.statDecode(t, lit(hi)))
+        case _ => k.cast("string").between(lo, hi)
+      }
     TxnLog.current(fs, tableDir) match {
       case Some(m) if m.entries.nonEmpty =>
         val kt = m.schema.fields
@@ -82,16 +93,14 @@ object CdcSink {
             c2 <- TxnLog.compareStat(t, eLo, hi) // file.min > hi
           } yield !(c1 < 0 || c2 > 0)).getOrElse(true)
         val live = m.entries.filter(overlaps)
-        val filter = kt match {
-          case Some(t) => k.between(lit(lo).cast(t), lit(hi).cast(t))
-          case None => k.cast("string").between(lo, hi)
-        }
         if (live.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        else TxnLog.readEntries(spark, tableDir, live).filter(filter)
-      case _ => read(spark, tableDir)
-          .filter(k.cast("string").between(lo, hi))
+        else TxnLog.readEntries(spark, tableDir, live).filter(rowFilter(kt))
+      case _ =>
+        val full = read(spark, tableDir)
+        full.filter(rowFilter(
+          full.schema.fields.find(_.name == TxnLog.StatsKeyCol).map(_.dataType)))
     }
   }
 
@@ -269,7 +278,7 @@ object CdcSink {
     val kt = keyField.get.dataType
     val k = col(TxnLog.StatsKeyCol)
     val bounds = changes.agg(
-      min(k).cast("string"), max(k).cast("string"),
+      TxnLog.statExpr(kt, min(k)), TxnLog.statExpr(kt, max(k)),
       sum(when(k.isNull, 1L).otherwise(0L)), count(lit(1L))).head()
     def foldRanges(
         seed: Option[(String, String)],
@@ -330,7 +339,8 @@ object CdcSink {
           .toDF("_p", "_min", "_max")
         val touchedPaths = changes.select(k.as("_k")).distinct()
           .join(broadcast(stats),
-            col("_k").between(col("_min").cast(kt), col("_max").cast(kt)))
+            col("_k").between(TxnLog.statDecode(kt, col("_min")),
+              TxnLog.statDecode(kt, col("_max"))))
           .select("_p").distinct()
           .collect().map(_.getString(0)).toSet
         inRange.filter(e => touchedPaths(e.path))

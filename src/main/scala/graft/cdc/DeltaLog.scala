@@ -251,25 +251,41 @@ object DeltaLog {
     * the key column's min/max rendered at its schema type (numbers as
     * JSON numbers, booleans as booleans, everything else — string,
     * date, timestamp, decimal — as strings, matching how Delta
-    * writers serialize those types in stats). None when the entry
-    * predates stats or the table has no key-range stats.
+    * writers serialize those types in stats). Graft's internal
+    * canonical stat form stores timestamps/dates as UTC epoch
+    * micros/days; those decode back to the ISO-8601 strings the Delta
+    * spec expects (a legacy ISO-rendered stat passes through as-is).
+    * NaN/Infinity float stats are OMITTED — json4s would render the
+    * bare token `NaN`, invalid JSON that breaks foreign readers, and
+    * Spark's max() ordering treats NaN as largest so the value is
+    * useless for skipping anyway. None when the entry predates stats
+    * or the table has no key-range stats.
     */
   private def statsJson(e: TxnLog.Entry, schema: StructType): Option[String] =
     e.rows.map { n =>
       import org.apache.spark.sql.types._
-      def typed(v: String): JValue =
+      def typed(v: String): Option[JValue] =
         schema.fields.find(_.name == TxnLog.StatsKeyCol).map(_.dataType) match {
           case Some(ByteType | ShortType | IntegerType | LongType) =>
-            JInt(BigInt(v))
-          case Some(FloatType | DoubleType) => JDouble(v.toDouble)
-          case Some(BooleanType) => JBool(v.toBoolean)
-          case _ => JString(v)
+            Some(JInt(BigInt(v)))
+          case Some(FloatType | DoubleType) =>
+            val d = v.toDouble
+            if (java.lang.Double.isFinite(d)) Some(JDouble(d)) else None
+          case Some(BooleanType) => Some(JBool(v.toBoolean))
+          case Some(TimestampType) => Some(JString(
+            try java.time.Instant.EPOCH
+              .plus(v.toLong, java.time.temporal.ChronoUnit.MICROS).toString
+            catch { case _: NumberFormatException => v }))
+          case Some(DateType) => Some(JString(
+            try java.time.LocalDate.ofEpochDay(v.toLong).toString
+            catch { case _: NumberFormatException => v }))
+          case _ => Some(JString(v))
         }
       val fields = List("numRecords" -> (JInt(BigInt(n)): JValue)) :::
-        e.min.map(v => "minValues" ->
-          (JObject(TxnLog.StatsKeyCol -> typed(v)): JValue)).toList :::
-        e.max.map(v => "maxValues" ->
-          (JObject(TxnLog.StatsKeyCol -> typed(v)): JValue)).toList
+        e.min.flatMap(typed).map(tv => "minValues" ->
+          (JObject(TxnLog.StatsKeyCol -> tv): JValue)).toList :::
+        e.max.flatMap(typed).map(tv => "maxValues" ->
+          (JObject(TxnLog.StatsKeyCol -> tv): JValue)).toList
       JsonMethods.compact(JsonMethods.render(JObject(fields)))
     }
 

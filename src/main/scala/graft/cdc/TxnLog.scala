@@ -2,7 +2,7 @@ package graft.cdc
 
 import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
@@ -337,7 +337,7 @@ object TxnLog {
         if (files.length <= FooterStatsMaxFiles &&
             footerStatsDecodable(keyType.get))
           fileKeyStatsFromFooters(spark, tableDir, files, keyType.get)
-        else fileKeyStats(spark, dest)
+        else fileKeyStats(spark, dest, keyType.get)
       } else Map.empty
     files.map { f =>
       val rel = relativize(new Path(tableDir), f)
@@ -356,10 +356,11 @@ object TxnLog {
     */
   val StatsKeyCol = "key"
 
-  /** Types whose typed min/max survive a cast-to-string round trip,
-    * so a stored stat compares correctly after casting back to the
-    * key type at prune time. Unorderable/lossy types get no stats
-    * (their files are simply never pruned).
+  /** Types whose typed min/max survive the canonical stat encoding
+    * ([[statExpr]]) round trip, so a stored stat compares correctly
+    * after decoding back to the key type at prune time.
+    * Unorderable/lossy types get no stats (their files are simply
+    * never pruned).
     */
   private[cdc] def statsSupported(dt: DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.StringType => true
@@ -376,17 +377,60 @@ object TxnLog {
     case _ => false
   }
 
+  /** Canonical stat encoding of a key value as a string — the form
+    * [[Entry.min]]/[[Entry.max]] store and [[compareStat]] orders.
+    * Timestamps and dates encode as UTC epoch micros/days (plain
+    * decimal integers): timezone-independent and order-preserving,
+    * where a session-timezone rendering misorders across a DST
+    * fall-back transition and breaks when stats written under one
+    * session timezone are compared against bounds rendered under
+    * another. Every other supported type keeps Spark's
+    * cast-to-string. Producers ([[fileKeyStats]], the merge's batch
+    * bounds agg) and decoders ([[statDecode]]) must stay in lockstep
+    * with this — CompareStatSpec pins encode→compare agreement with
+    * Spark's own ordering per type.
+    */
+  private[cdc] def statExpr(dt: DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType =>
+        org.apache.spark.sql.functions.unix_micros(c).cast("string")
+      case DateType =>
+        org.apache.spark.sql.functions.unix_date(c).cast("string")
+      case _ => c.cast("string")
+    }
+  }
+
+  /** Inverse of [[statExpr]]: decode a canonical stat string column
+    * back to the key's type for typed row-level comparison (refine
+    * joins, [[graft.cdc.CdcSink.readRange]] filters).
+    */
+  private[cdc] def statDecode(dt: DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType =>
+        org.apache.spark.sql.functions.timestamp_micros(c.cast("long"))
+      case DateType =>
+        org.apache.spark.sql.functions.date_from_unix_date(c.cast("int"))
+      case _ => c.cast(dt)
+    }
+  }
+
   /** Driver-side typed comparison of two stored stat strings under
     * the key's data type — negative/zero/positive like compareTo;
     * None when the pair can't be ordered safely (NaN/Infinity floats,
     * parse failure), which callers must treat as "don't prune".
     * Exists so a merge's range pre-check costs ZERO Spark jobs.
+    * Date/timestamp stats are epoch numbers ([[statExpr]]) and
+    * compare numerically; a LEGACY manifest's ISO-rendered stat fails
+    * the numeric parse → None → the file stays un-pruned (sound).
     */
   private[cdc] def compareStat(dt: DataType, a: String, b: String): Option[Int] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | _: DecimalType =>
+           FloatType | DoubleType | _: DecimalType |
+           DateType | TimestampType =>
         try Some(BigDecimal(a).compare(BigDecimal(b)))
         catch { case _: NumberFormatException => None }
       case StringType =>
@@ -402,9 +446,7 @@ object TxnLog {
           i += 1
         }
         Some(ba.length - bb.length)
-      case DateType | TimestampType | BooleanType =>
-        // ISO date/timestamp renderings are order-preserving
-        // (zero-padded fields, fraction after fixed-width seconds);
+      case BooleanType =>
         // "false" < "true" matches boolean ordering
         Some(a.compareTo(b))
       case _ => None
@@ -437,7 +479,8 @@ object TxnLog {
     * files. Footer min/max are whole-value (column chunk statistics
     * are not truncated by parquet-mr; only column INDEXES truncate),
     * so the decoded strings match the scan path byte-for-byte —
-    * FooterStatsSpec pins the equivalence.
+    * CdcPruneSpec's "footer-derived stats equal an independent scan"
+    * test pins the equivalence.
     */
   private def fileKeyStatsFromFooters(
       spark: SparkSession,
@@ -503,13 +546,14 @@ object TxnLog {
     */
   private def fileKeyStats(
       spark: SparkSession,
-      dest: Path): Map[(Option[String], String), (Option[String], Option[String], Long)] = {
+      dest: Path,
+      keyType: DataType): Map[(Option[String], String), (Option[String], Option[String], Long)] = {
     import org.apache.spark.sql.functions.{
       count, input_file_name, lit, max => fmax, min => fmin}
     spark.read.parquet(dest.toString)
       .groupBy(input_file_name().as("_f"))
-      .agg(fmin(col(StatsKeyCol)).cast("string").as("_min"),
-        fmax(col(StatsKeyCol)).cast("string").as("_max"),
+      .agg(statExpr(keyType, fmin(col(StatsKeyCol))).as("_min"),
+        statExpr(keyType, fmax(col(StatsKeyCol))).as("_max"),
         count(lit(1L)).as("_n"))
       .collect()
       .map { r =>

@@ -371,6 +371,59 @@ class CdcPruneSpec extends AnyFunSuite {
     assert(CdcSink.readRange(spark, dir, "z", "zz").isEmpty)
   }
 
+  test("timestamp keys prune correctly across a DST fall-back in a non-UTC session tz") {
+    // The wrong-prune trap: under America/Los_Angeles the local
+    // renderings around 2026-11-01 01:xx repeat across the fall-back,
+    // so a session-tz string encoding would misorder instants an hour
+    // apart and a merge could skip a file that holds a batch key.
+    // Epoch-micros stats are tz-independent; this runs the full
+    // bootstrap → compact → localized merge cycle under the DST zone
+    // and checks both the prune (files carried forward) and the fold.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val dir = Files.createTempDirectory("graft_prune_ts_").toString
+      // 6000 keys at 1-minute spacing straddling 2026-11-01 08:30 UTC
+      // (the PDT→PST transition minute)
+      val t0 = 1793521800000000L - 3000L * 60000000L
+      val base = spark.range(0, 6000).select(
+        timestamp_micros(lit(t0) + col("id") * 60000000L).as("key"),
+        lit("c").as("op"), col("id").as("offset"),
+        col("id").cast("double").as("value"), lit("bin.1").as("source_file"))
+      CdcSink.writeSnapshot(base, dir)
+      CdcSink.compact(spark, dir, None, targetRecordsPerFile = 1000L)
+      val m0 = TxnLog.current(fs, dir).get
+      assert(m0.entries.length >= 5)
+      assert(m0.entries.forall(e => e.min.isDefined && e.max.isDefined))
+      // stats are the canonical epoch form — parseable as longs
+      m0.entries.foreach(e => e.min.get.toLong)
+      // update 10 keys RIGHT AT the transition (ids 2995..3004)
+      val batch = spark.range(2995, 3005).select(
+        timestamp_micros(lit(t0) + col("id") * 60000000L).as("key"),
+        lit("u").as("op"), (col("id") + 100000L).as("offset"),
+        lit(-1.0).as("value"), lit("bin.1").as("source_file"))
+      CdcSink.merge(spark, batch, dir, None)
+      val m1 = TxnLog.current(fs, dir).get
+      val carried = m1.entries.map(_.path).toSet
+        .intersect(m0.entries.map(_.path).toSet)
+      assert(carried.size >= m0.entries.length - 2,
+        s"only ${carried.size}/${m0.entries.length} carried — ts stats did not prune")
+      assert(carried.size < m0.entries.length, "no file rewritten at all")
+      val got = CdcSink.read(spark, dir)
+        .select(((unix_micros(col("key")) - t0) / 60000000L).cast("long"), col("value"))
+        .as[(Long, Double)].collect().toMap
+      assert(got.size == 6000)
+      (2995L to 3004L).foreach(i => assert(got(i) == -1.0, s"id $i not folded"))
+      assert(got(2994L) == 2994.0 && got(3005L) == 3005.0)
+      // readRange point lookup with canonical epoch bounds
+      val lo = (t0 + 2995L * 60000000L).toString
+      val hi = (t0 + 3004L * 60000000L).toString
+      val rr = CdcSink.readRange(spark, dir, lo, hi)
+      assert(rr.count() == 10)
+      assert(rr.select(input_file_name()).distinct().count() < m1.entries.length)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("stats-less (legacy) manifests fall back to a full merge") {
     val dir = Files.createTempDirectory("graft_prune_legacy_").toString
     CdcSink.writeSnapshot(

@@ -27,7 +27,8 @@ class CompareStatSpec extends AnyFunSuite {
 
   private def checkPairs(dt: DataType, pairs: org.apache.spark.sql.DataFrame): Unit = {
     val rows = pairs
-      .select(col("a").cast("string").as("sa"), col("b").cast("string").as("sb"),
+      .select(TxnLog.statExpr(dt, col("a")).as("sa"),
+        TxnLog.statExpr(dt, col("b")).as("sb"),
         (col("a") < col("b")).as("lt"), (col("a") === col("b")).as("eq"))
       .collect()
     assert(rows.nonEmpty)
@@ -68,17 +69,50 @@ class CompareStatSpec extends AnyFunSuite {
     checkPairs(DoubleType, ds.toDF("a", "b"))
   }
 
-  test("timestamps and dates: ISO renderings are order-preserving") {
+  test("timestamps and dates: epoch encodings are order-preserving") {
     val ts = Seq.fill(300) {
       def t() = 1500000000000000L + (rnd.nextLong() % 500000000000000L).abs
       (t(), t())
     }
     checkPairs(TimestampType, ts.toDF("ua", "ub")
       .select(timestamp_micros(col("ua")).as("a"), timestamp_micros(col("ub")).as("b")))
-    val days = Seq.fill(200)((rnd.nextInt(40000), rnd.nextInt(40000)))
+    // BCE dates: negative epoch days must still order numerically (a
+    // lexicographic compare of "-0002-…" vs "-0001-…" inverts)
+    val days = Seq.fill(200)((rnd.nextInt(40000) - 800000, rnd.nextInt(40000) - 800000))
     checkPairs(DateType, days.toDF("da", "db")
-      .select(date_add(lit("1970-01-01").cast("date"), col("da")).as("a"),
-        date_add(lit("1970-01-01").cast("date"), col("db")).as("b")))
+      .select(date_from_unix_date(col("da")).as("a"),
+        date_from_unix_date(col("db")).as("b")))
+  }
+
+  test("timestamps across a DST fall-back order correctly in any session tz") {
+    // 2026-11-01 01:30 America/Los_Angeles happens twice; the
+    // session-tz STRING renderings of the two instants are equal (or
+    // inverted around the transition), which is exactly the wrong-
+    // prune bug the epoch encoding exists to prevent. Encode under
+    // the DST zone, compare, and require agreement with instant order.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // 2026-11-01 08:30:00 UTC = 01:30:00 PDT; +3600s = 01:30:00 PST
+      val base = 1793521800000000L
+      val pairs = Seq(
+        (base, base + 3600000000L), (base + 3600000000L, base),
+        (base - 1800000000L, base + 1800000000L),
+        (base + 5400000000L, base - 5400000000L))
+      checkPairs(TimestampType, pairs.toDF("ua", "ub")
+        .select(timestamp_micros(col("ua")).as("a"),
+          timestamp_micros(col("ub")).as("b")))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("legacy ISO-rendered date/timestamp stats degrade to None (no prune)") {
+    assert(TxnLog.compareStat(TimestampType,
+      "2026-11-01 01:30:00", "2026-11-01 01:35:00").isEmpty)
+    assert(TxnLog.compareStat(DateType, "2026-11-01", "2026-11-02").isEmpty)
+    // the canonical epoch forms compare fine
+    assert(TxnLog.compareStat(TimestampType, "1793521800000000", "1793525400000000")
+      .exists(_ < 0))
+    assert(TxnLog.compareStat(DateType, "-1", "3").exists(_ < 0))
   }
 
   test("NaN floats are uncomparable (prune must not trust them)") {
