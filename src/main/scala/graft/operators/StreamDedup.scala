@@ -68,40 +68,45 @@ object StreamDedup {
     */
   private def probe(s: SparkSession, dir: String): DataFrame = {
     val qn = s"dedup_stream_probe_${System.nanoTime()}"
-    // the PERSISTED standing index (Dedup.standingIndex): the gate
-    // probes a built index, it never re-shingles the corpus
-    val index = Dedup.standingIndex(s, dir)
-    // standing-bucket cap: precomputable with the index itself
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val capped = index
-      .withColumn("__bn", count(lit(1)).over(w))
-      .filter(col("__bn") <= Dedup.MaxBucket)
-      .drop("__bn")
+    // the PERSISTED, PRE-CAPPED standing index: the gate probes a
+    // built index, it never re-shingles the corpus, and it never
+    // re-runs the full-index bucket-cap window per micro-batch (the
+    // cap is a property of the index alone — materialized with it)
+    val capped = Dedup.cappedStandingIndex(s, dir)
     val arriving = docStream(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + Dedup.MutantBase).as("inc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
       .filter(size(split(col("text"), "\\s+")) >= 3)
+    // foreachBatch, not a stateful streaming dropDuplicates: the
+    // pair-level dedup is scoped to the batch BY CONTRACT (the gate
+    // answers "does this arrival duplicate the corpus" — cross-batch
+    // re-arrivals fold at the next compaction), and a state store
+    // keyed by pair was the entry's whale at scale — |pairs| grows
+    // with landing traffic × corpus duplication (4.5M keys at sf10
+    // ≈ state-store writes dwarfing the probe itself). A per-batch
+    // shuffle distinct costs one exchange of skinny pair rows.
+    CdcStream.runGateForeachBatch(s, qn, arriving) { batch =>
       // landing batches arrive as FEW files, and the md5-per-shingle
-      // banding is compute-bound: without this the whole batch bands
-      // in the file-split count of tasks (ONE for a single landed
-      // file — measured 9.1s vs 2.3s at sf0.1). The shuffle moves
-      // only the increment's text, never the corpus — the streaming
-      // analog of Tables.parallelized.
-      .repartition(s.sparkContext.defaultParallelism)
-    val streamBands = arriving
-      .select(col("inc_id"),
-        explode(Dedup.rowBandSignatures(col("text"))).as("bs"))
-      .select(col("inc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val pairs = streamBands
-      .join(capped, Seq("band", "sig")) // stream-static, stateless
-      .select(col("doc_id").as("doc_a"), col("inc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // PARQUET file sink (pair volume scales with landing traffic —
-    // a memory sink would accumulate it on the driver), scratch +
-    // checkpoint dirs pruned per base name by the shared runner
-    CdcStream.runToParquetSink(s, qn, pairs)
-      .orderBy("doc_a", "doc_b")
+      // banding is compute-bound: without the spread the whole batch
+      // bands in the file-split count of tasks (ONE for a single
+      // landed file — measured 9.1s vs 2.3s at sf0.1). The shuffle
+      // moves only the increment's text, never the corpus.
+      val spread = batch.repartition(s.sparkContext.defaultParallelism)
+      spread
+        // two-projection banding: the md5-half array materializes
+        // once, the k min-hash lanes then read the attribute — see
+        // Dedup.rowShingleHalves on why one fused projection re-runs
+        // the md5 work per lane
+        .select(col("inc_id"), Dedup.rowShingleHalves(col("text")).as("__vs"))
+        .select(col("inc_id"),
+          explode(Dedup.rowBandsFromHalves(col("__vs"))).as("bs"))
+        .select(col("inc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .join(capped, Seq("band", "sig")) // static side: cached, pre-capped
+        .select(col("doc_id").as("doc_a"), col("inc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .persist()
+    }(identity)
   }
 
   private lazy val probeSql = {
