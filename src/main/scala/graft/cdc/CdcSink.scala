@@ -67,12 +67,19 @@ object CdcSink {
     * never has stats — it degrades to an unpruned read with the
     * bounds compared on the cast-to-string form, instead of throwing
     * on an impossible string→type cast.
+    *
+    * `asOf` composes the pruned read with time travel: the range is
+    * evaluated against THAT version's manifest (and only its files),
+    * with [[TxnLog.readVersion]]'s contract — a vacuumed or
+    * never-committed version throws rather than silently serving a
+    * different state of the data.
     */
   def readRange(
       spark: SparkSession,
       tableDir: String,
       lo: String,
-      hi: String): DataFrame = {
+      hi: String,
+      asOf: Option[Long] = None): DataFrame = {
     val fs = fsFor(spark, tableDir)
     val k = col(TxnLog.StatsKeyCol)
     def rowFilter(kt: Option[org.apache.spark.sql.types.DataType]) =
@@ -81,7 +88,15 @@ object CdcSink {
           k.between(TxnLog.statDecode(t, lit(lo)), TxnLog.statDecode(t, lit(hi)))
         case _ => k.cast("string").between(lo, hi)
       }
-    TxnLog.current(fs, tableDir) match {
+    val manifest = asOf match {
+      case Some(v) => Some(TxnLog.manifestAt(fs, tableDir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"txnlog: version $v of $tableDir is not readable (never " +
+            s"committed, or vacuumed; retained: " +
+            s"${TxnLog.versions(fs, tableDir).mkString(",")})")))
+      case None => TxnLog.current(fs, tableDir)
+    }
+    manifest match {
       case Some(m) if m.entries.nonEmpty =>
         val kt = m.schema.fields
           .find(_.name == TxnLog.StatsKeyCol).map(_.dataType)
@@ -97,7 +112,10 @@ object CdcSink {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
         else TxnLog.readEntries(spark, tableDir, live).filter(rowFilter(kt))
-      case _ =>
+      case Some(m) => // committed but empty version (e.g. post-truncate)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      case None =>
         val full = read(spark, tableDir)
         full.filter(rowFilter(
           full.schema.fields.find(_.name == TxnLog.StatsKeyCol).map(_.dataType)))

@@ -56,7 +56,8 @@ object Cdc {
     QueryDef("cdc_wire_command", wireCommand, None),
     QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("cdc_merge_pruned", mergePruned, Some(mergePrunedSql)),
-    QueryDef("cdc_offsets_dense", offsetsDense, Some(offsetsDenseSql))
+    QueryDef("cdc_offsets_dense", offsetsDense, Some(offsetsDenseSql)),
+    QueryDef("cdc_point_lookup", pointLookup, Some(pointLookupSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -335,15 +336,16 @@ object Cdc {
     }
   }
 
-  // --- cdc_control_events: STOP / INCIDENT / IGNORABLE surfacing ---
+  // --- cdc_control_events: STOP/INCIDENT/IGNORABLE/HEARTBEAT ---
   // The reference decodes the control ids too (rust-cdc
-  // src/mysql/event/mod.rs:301-338); INCIDENT in particular signals
-  // possible replica divergence and must never be silently dropped.
-  // A generated stream plants one of each after a normal row batch;
-  // the typed INCIDENT rows (number + message) are routed through
-  // the sink's dead-letter path and the summary reports, per event
-  // type, the stream count, how many of that type the DLQ holds,
-  // and the decoded incident detail. Rows-only (binary input),
+  // src/mysql/event/mod.rs:287,301-338); INCIDENT in particular
+  // signals possible replica divergence and must never be silently
+  // dropped. A generated stream plants one of each after a normal
+  // row batch; the typed INCIDENT rows (number + message) are routed
+  // through the sink's dead-letter path and the summary reports, per
+  // event type, the stream count, how many of that type the DLQ
+  // holds, the decoded incident detail, and HEARTBEAT's log_ident
+  // (the idle-master resume-file pointer). Rows-only (binary input),
   // content-pinned in ContentPinSpec.
   private def controlEvents(s: SparkSession, dir: String): DataFrame = {
     val genDir = ensureControlGenerated()
@@ -352,7 +354,9 @@ object Cdc {
     val ev = graft.sources.binlog.BinlogSource.events(s, genDir)
     CdcSink.deadLetter(ev, tableDir, col("event_type") === "INCIDENT")
     val dlq = s.read.parquet(CdcSink.dlqDir(tableDir))
-    val summary = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val summary = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("next_binlog")).as("heartbeat_ident"))
     val dlqSummary = dlq.groupBy("event_type")
       .agg(count(lit(1)).as("n_dlq"),
         max(col("int_value")).as("incident_no"),
@@ -433,6 +437,15 @@ object Cdc {
             .cast("string")).as("title"),
         lit(0L).as("epoch"), lit("bootstrap").as("source_file"))
     CdcSink.writeSnapshot(bootstrap, tableDir, None)
+    // range-cluster the bootstrap (the 100 TB load shape): snapshot
+    // files come out of a hash shuffle with overlapping key ranges,
+    // so without this every replay merge intersects every file — a
+    // full rewrite per micro-batch; compacted key-disjoint files let
+    // each batch rewrite only the files its contiguous gno range
+    // touches, and give the post-loop resume-point lookup below
+    // something to prune against
+    CdcSink.compact(s, tableDir, None,
+      targetRecordsPerFile = math.max(1000L, nTxns * ReplicaRowsPerTxn / 32))
     // resume: stream every file; per micro-batch assemble + skip + merge
     val qn = s"cdc_replica_loop_${System.nanoTime()}"
     CdcStream.registerStreamingSession(s)
@@ -478,6 +491,20 @@ object Cdc {
     // cleanup for every later query in this session
     try q.awaitTermination()
     finally CdcStream.releaseStreamResources(s)
+    // resume-point lookup through the stat-pruned read path (the
+    // reference replica answers "did txn N land?" from its store;
+    // here it opens only the files whose key range covers the probe,
+    // not the table): gno bound+1 is the first REPLAYED txn — it is
+    // outside the executed set by construction ((1 % step) != 3) —
+    // so its rows must all carry the resumed epoch
+    val probe = CdcSink.readRange(s, tableDir,
+      (bound * ReplicaRowsPerTxn + 1).toString,
+      ((bound + 1) * ReplicaRowsPerTxn).toString)
+      .groupBy("epoch").agg(count(lit(1)).as("n")).collect()
+    require(probe.toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, ReplicaRowsPerTxn.toLong)),
+      s"resume-point lookup at gno ${bound + 1} returned " +
+        s"${probe.mkString(",")} — expected $ReplicaRowsPerTxn rows all epoch 1")
     CdcSink.read(s, tableDir)
       .select(col("key").as("id"), col("title"), col("epoch"))
       .orderBy("id")
@@ -588,6 +615,92 @@ object Cdc {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
       |  FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2))
       |WHERE rn = 1 AND op <> 'd' ORDER BY key""".stripMargin
+
+  // --- cdc_point_lookup: stat-pruned range read + AS-OF compose -----
+  // The read-side complement of cdc_merge_pruned: bootstrap →
+  // range-clustered compaction → localized merge, then serve a key
+  // WINDOW through CdcSink.readRange — which opens only the manifest
+  // files whose min/max intersect the bounds (a point lookup on a
+  // 100 TB range-compacted table opens one file, not the table) —
+  // both at the current version and AS-OF the pre-merge version
+  // (time travel composed with the pruned read). The window
+  // deliberately straddles the merge's touched keyspace, so the two
+  // states differ and a wrong prune OR a wrong version surfaces as a
+  // hash mismatch against the oracle's dual replay. CdcPruneSpec
+  // asserts the physical side (files opened < manifest size).
+  private def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val w1 = orders.select(
+      format_string("k%012d", col("o_orderkey")).as("key"),
+      lit("c").as("op"),
+      col("o_orderkey").as("offset"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc_lookup_q_").toString
+    CdcSink.writeSnapshot(w1, tableDir, None)
+    val n = orders.count()
+    CdcSink.compact(s, tableDir, None,
+      targetRecordsPerFile = math.max(1000L, n / 16))
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val preVersion = TxnLog.current(fs, tableDir).get.version
+    val mk = orders.agg(max("o_orderkey")).head.getLong(0)
+    val cut = mk / 100
+    val w2 = orders
+      .filter(col("o_orderkey") <= cut && col("o_orderkey") % 4 === 0)
+      .select(
+        format_string("k%012d", col("o_orderkey")).as("key"),
+        when(col("o_orderkey") % 8 === 4, lit("d")).otherwise(lit("u")).as("op"),
+        (col("o_orderkey") + 1000000000L).as("offset"),
+        (-col("o_totalprice")).cast("decimal(18,2)").cast("double").as("value"),
+        lit("bin.2").as("source_file"))
+    CdcSink.merge(s, w2, tableDir, None)
+    // window [mk/200, mk/100 + mk/200] straddles the touched (<= cut)
+    // and untouched keyspace
+    val lo = f"k${mk / 200}%012d"
+    val hi = f"k${cut + mk / 200}%012d"
+    val ranged = CdcSink.readRange(s, tableDir, lo, hi)
+    // the physical claim, asserted in-entry: the window covers ~1.5%
+    // of the keyspace of a range-compacted table, so the pruned read
+    // must open strictly fewer files than the manifest lists
+    val scanned = ranged.select(input_file_name()).distinct().count()
+    val nEntries = TxnLog.current(fs, tableDir).get.entries.length
+    require(scanned < nEntries,
+      s"point lookup opened $scanned of $nEntries files — stats pruned nothing")
+    val post = ranged
+      .select(lit("post").as("state"), col("key"), col("value"))
+    val pre = CdcSink.readRange(s, tableDir, lo, hi, asOf = Some(preVersion))
+      .select(lit("pre").as("state"), col("key"), col("value"))
+    post.unionAll(pre).orderBy("state", "key")
+  }
+
+  private val pointLookupSql =
+    """WITH w1 AS (
+      |  SELECT printf('k%012d', o_orderkey) AS key, 'c' AS op,
+      |         o_orderkey AS off,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |  FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |w2 AS (
+      |  SELECT printf('k%012d', o_orderkey) AS key,
+      |         CASE WHEN o_orderkey % 8 = 4 THEN 'd' ELSE 'u' END AS op,
+      |         o_orderkey + 1000000000 AS off,
+      |         CAST(CAST(-o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |  FROM orders, mx WHERE o_orderkey <= mk // 100 AND o_orderkey % 4 = 0),
+      |bounds AS (SELECT printf('k%012d', mk // 200) AS lo,
+      |                  printf('k%012d', mk // 100 + mk // 200) AS hi FROM mx),
+      |post AS (
+      |  SELECT key, value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+      |    FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2))
+      |  WHERE rn = 1 AND op <> 'd')
+      |SELECT 'post' AS state, key, value FROM post, bounds
+      |  WHERE key BETWEEN lo AND hi
+      |UNION ALL
+      |SELECT 'pre' AS state, key, value FROM w1, bounds
+      |  WHERE key BETWEEN lo AND hi
+      |ORDER BY state, key""".stripMargin
 
   // --- cdc_offsets_dense: Kafka-style offset assignment at width ----
   // Dense per-partition sequence numbers for a topic-shaped changelog
@@ -721,7 +834,7 @@ object Cdc {
   }
 
   private def ensureControlGenerated(): String =
-    ensureGenerated("graft_binlog_ctrl_v1") { tmp =>
+    ensureGenerated("graft_binlog_ctrl_v2") { tmp =>
       graft.sources.binlog.BinlogGen.writeControlFile(
         tmp.resolve("mysql-bin.000001").toString, nRows = 10)
     }

@@ -349,16 +349,20 @@ object BinlogGen {
     */
   val TypedTableId = 78L
 
-  /** Control-event stream: rows, then IGNORABLE, INCIDENT (possible
+  /** Control-event stream: rows, then HEARTBEAT (idle-master
+    * keep-alive carrying log_ident), IGNORABLE, INCIDENT (possible
     * replica divergence: number + message), STOP — the reference's
-    * control surface (rust-cdc `src/mysql/event/mod.rs:301-338`)
+    * control surface (rust-cdc `src/mysql/event/mod.rs:287,301-338`)
     * for the typed-row decode + DLQ-surfacing specs.
     */
+  val HeartbeatIdent = "mysql-bin.000042"
+
   def writeControlFile(path: String, nRows: Int = 10): Unit = {
     withBinlog(path) { emit =>
       emit(0x13, tableMapBody())
       emit(0x1e, writeRowsBody(1, nRows))
       emit(0x10, xidBody(1L))
+      emit(0x1b, HeartbeatIdent.getBytes("UTF-8"))
       emit(0x1c, Array.empty[Byte])
       emit(0x1a, incidentBody(1, "binlog gap on master"))
       emit(0x03, Array.empty[Byte])

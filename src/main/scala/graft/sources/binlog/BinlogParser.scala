@@ -454,6 +454,17 @@ object BinlogParser {
         } else null
       Seq(Decoded(h, "INCIDENT", intValue = num, query = msg))
 
+    case 0x1b => // HEARTBEAT (reference event/mod.rs:287, decode.rs:266):
+      // the master's keep-alive when no events flow for
+      // master_heartbeat_period. The body is log_ident — the name of
+      // the binlog file the master is currently at, unprefixed,
+      // filling the whole (checksum-stripped) body. Decoded into
+      // next_binlog so an idle replica can still advance its resume
+      // FILE pointer (log_pos in the header gives the offset), the
+      // same role ROTATE plays on an active master.
+      Seq(Decoded(h, "HEARTBEAT",
+        nextBinlog = if (b.remaining() > 0) fixedString(b, b.remaining()) else null))
+
     // STOP (0x03, clean server shutdown) and IGNORABLE (0x1c) carry
     // no payload — the typed name row from the table below IS their
     // full decode.

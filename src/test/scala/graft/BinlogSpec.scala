@@ -673,13 +673,14 @@ class BinlogSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == "16_xid").map(_._2).toSeq == Seq(852L))
   }
 
-  test("control events decode typed: STOP, IGNORABLE, INCIDENT number+message") {
+  test("control events decode typed: STOP, IGNORABLE, INCIDENT number+message, HEARTBEAT ident") {
     import graft.sources.binlog.BinlogGen
     val dir = java.nio.file.Files.createTempDirectory("binlog_ctrl_").toString
     BinlogGen.writeControlFile(s"$dir/mysql-bin.000001", nRows = 5)
     val ev = BinlogSource.events(spark, dir).collect()
-    // mirrors rust-cdc src/mysql/event/mod.rs:301-338: 0x03 STOP,
-    // 0x1a INCIDENT, 0x1c IGNORABLE all surface as typed rows
+    // mirrors rust-cdc src/mysql/event/mod.rs:287,301-338: 0x03 STOP,
+    // 0x1a INCIDENT, 0x1c IGNORABLE, 0x1b HEARTBEAT all surface as
+    // typed rows
     val byType = ev.groupBy(_.getAs[String]("event_type"))
     assert(byType.contains("STOP"))
     assert(byType.contains("IGNORABLE"))
@@ -687,6 +688,11 @@ class BinlogSpec extends AnyFunSuite {
     assert(inc.length == 1)
     assert(inc.head.getAs[Long]("int_value") == 1L) // LOST_EVENTS
     assert(inc.head.getAs[String]("query") == "binlog gap on master")
+    // HEARTBEAT's body is log_ident — the master's current binlog
+    // file name — decoded into next_binlog (the resume-file pointer)
+    val hb = byType("HEARTBEAT")
+    assert(hb.length == 1)
+    assert(hb.head.getAs[String]("next_binlog") == BinlogGen.HeartbeatIdent)
     // control rows ride AFTER the data batch in log order
     val stopPos = byType("STOP").head.getAs[Long]("log_pos")
     val rowPos = byType("WRITE_ROWS_V2").map(_.getAs[Long]("log_pos")).max
@@ -698,6 +704,7 @@ class BinlogSpec extends AnyFunSuite {
     assert(out("INCIDENT") == (1L, 1L)) // counted AND dead-lettered
     assert(out("STOP") == (1L, 0L))
     assert(out("IGNORABLE") == (1L, 0L))
+    assert(out("HEARTBEAT") == (1L, 0L))
     assert(out("WRITE_ROWS_V2")._2 == 0L)
   }
 }

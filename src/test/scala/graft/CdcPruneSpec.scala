@@ -424,6 +424,123 @@ class CdcPruneSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("readRange composes with AS-OF: pre-merge window, throw contract, empty version") {
+    val dir = Files.createTempDirectory("graft_prune_asof_").toString
+    val base = spark.range(0, 3000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(base, dir)
+    CdcSink.compact(spark, dir, None, targetRecordsPerFile = 500L)
+    val preV = TxnLog.current(fs, dir).get.version
+    CdcSink.merge(spark,
+      strLog(("k00100", "u", 9999, -1.0), ("k00101", "d", 9998, 0.0)), dir, None)
+    // current version: the update and the delete are visible
+    val post = CdcSink.readRange(spark, dir, "k00099", "k00102")
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(post == Map("k00099" -> 99.0, "k00100" -> -1.0, "k00102" -> 102.0))
+    // AS-OF the pre-merge version: the original window, evaluated
+    // against THAT manifest's files and stats
+    val pre = CdcSink.readRange(spark, dir, "k00099", "k00102", asOf = Some(preV))
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(pre == Map("k00099" -> 99.0, "k00100" -> 100.0,
+      "k00101" -> 101.0, "k00102" -> 102.0))
+    // ... and the historical read still prunes physically
+    val preM = TxnLog.manifestAt(fs, dir, preV).get
+    val scanned = CdcSink.readRange(spark, dir, "k00099", "k00102", asOf = Some(preV))
+      .select(input_file_name()).distinct().count()
+    assert(preM.entries.length >= 5, "fixture degenerate")
+    assert(scanned < preM.entries.length,
+      s"as-of read opened $scanned of ${preM.entries.length} files")
+    // a never-committed version throws (readVersion's contract) —
+    // time travel must not silently serve a different state
+    intercept[IllegalArgumentException] {
+      CdcSink.readRange(spark, dir, "a", "z", asOf = Some(9999L))
+    }
+    // a committed-but-EMPTY version (post-truncate shape) yields an
+    // empty frame with the version's schema, not the current table
+    val cur = TxnLog.current(fs, dir).get
+    TxnLog.commit(fs, dir, cur.version + 1, cur.schema, Seq.empty)
+    val empty = CdcSink.readRange(spark, dir, "a", "z", asOf = Some(cur.version + 1))
+    assert(empty.isEmpty && empty.columns.contains("key"))
+  }
+
+  test("randomized equivalence: readRange == full-scan filter across seeded merge streams") {
+    // The property the whole read path hangs on: for ANY window and
+    // ANY merge history — clustered and scattered keys, updates,
+    // deletes, NULL keys, stats-bearing and stats-less (post-merge,
+    // computeStats=false) files mixed in one manifest — the pruned
+    // read returns exactly what a full scan + row filter returns.
+    val rnd = new scala.util.Random(20260815L)
+    val dir = Files.createTempDirectory("graft_prune_rreq_").toString
+    val boot = spark.range(0, 4000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+    CdcSink.writeSnapshot(boot, dir)
+    CdcSink.compact(spark, dir, None, targetRecordsPerFile = 500L)
+    def randBatch(offBase: Long, withNulls: Boolean): DataFrame = {
+      val n = 20 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val key: Option[String] =
+          // nulls only in the LAST batch: a null batch key forces a
+          // full (stats-less) rewrite, which would destroy the mixed
+          // prunable shape the earlier windows are exercising
+          if (withNulls && rnd.nextInt(10) == 0) None
+          else if (rnd.nextBoolean()) Some(f"k${rnd.nextInt(400)}%05d") // scattered low
+          else Some(f"k${1500 + rnd.nextInt(40)}%05d")                  // clustered mid
+        val op = rnd.nextInt(10) match {
+          case 0     => "d"
+          case 1 | 2 => "c"
+          case _     => "u"
+        }
+        (key, op, offBase + i, rnd.nextDouble())
+      }
+      rows.toDF("key", "op", "offset", "value")
+        .withColumn("source_file", lit("bin.eq"))
+    }
+    def sortedRows(df: DataFrame): Seq[(String, Double)] =
+      df.select("key", "value").collect()
+        .map(r => String.valueOf(r.getString(0)) -> r.getDouble(1)).toSeq.sorted
+    (0 until 5).foreach { b =>
+      CdcSink.merge(spark, randBatch(500000L + b * 1000, withNulls = b == 4), dir, None)
+      if (b == 2) {
+        // strip stats from half the entries mid-stream (a legacy/
+        // foreign-writer manifest shape) so later windows run
+        // against a genuinely MIXED manifest
+        val m = TxnLog.current(fs, dir).get
+        TxnLog.commit(fs, dir, m.version + 1, m.schema,
+          m.entries.zipWithIndex.map { case (e, i) =>
+            if (i % 2 == 0) e.copy(min = None, max = None) else e
+          })
+        // the manifest now really holds the mixed shape the property
+        // claims (later merges rewrite stats-less files — they always
+        // "intersect" — so assert here, while the mix exists)
+        val mixed = TxnLog.current(fs, dir).get
+        assert(mixed.entries.exists(_.min.isDefined) &&
+          mixed.entries.exists(_.min.isEmpty))
+      }
+      (0 until 3).foreach { _ =>
+        val a = rnd.nextInt(4500)
+        val (lo, hi) = (f"k$a%05d", f"k${a + rnd.nextInt(400)}%05d")
+        val pruned = sortedRows(CdcSink.readRange(spark, dir, lo, hi))
+        val full = sortedRows(
+          CdcSink.read(spark, dir).filter(col("key").between(lo, hi)))
+        assert(pruned == full, s"batch $b window [$lo,$hi] diverged")
+      }
+      if (b == 3) {
+        // pruning still happens deep into the stream (before the
+        // null-key batch degrades the table to a full rewrite): a
+        // narrow window must open fewer files than the manifest lists
+        val m = TxnLog.current(fs, dir).get
+        val scanned = CdcSink.readRange(spark, dir, "k02100", "k02200")
+          .select(input_file_name()).distinct().count()
+        assert(scanned < m.entries.length,
+          s"window opened $scanned of ${m.entries.length} files")
+      }
+    }
+  }
+
   test("stats-less (legacy) manifests fall back to a full merge") {
     val dir = Files.createTempDirectory("graft_prune_legacy_").toString
     CdcSink.writeSnapshot(

@@ -65,7 +65,11 @@ class ContentPinSpec extends AnyFunSuite {
   pin("mm_scene_cut", 125, "16939260401471902718")
   pin("mm_audio_vad", 125, "-20136297477257002396")
   pin("mm_phash_cluster", 376, "84625292651535797446")
-  pin("cdc_control_events", 7, "-4994099265738202205")
+  // cdc_control_events re-pinned r14: the stream gained a planted
+  // HEARTBEAT (+1 row) and the summary a heartbeat_ident column when
+  // the log_ident body decode landed (BinlogSpec asserts the ident
+  // value independently — the pin change is justified drift)
+  pin("cdc_control_events", 8, "1005756745707448531")
   // cdc_wire_handshake re-pinned r10: the caching_sha2 scramble's
   // concatenation order was corrected to the canonical
   // SHA256(SHA256(SHA256(pw)) || nonce) (digest-of-digest first) —

@@ -207,6 +207,70 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(ck.filter(col("metaData").isNotNull).count() == 1)
   }
 
+  test("multi-part checkpoint: parted files read back; stale part falls back to replay") {
+    // The public spec's `parts` form: _last_checkpoint carries
+    // {"version":V,"parts":N} and the state lives in N files named
+    // V.checkpoint.%010d-of-%010d.parquet — a big table's checkpoint
+    // is written by many tasks. Foreign writers produce these; the
+    // graft reader must union ALL parts (protocol/metaData/adds can
+    // land in different parts) and must treat a missing part as a
+    // stale hint (degrade to JSON replay), never serve partial state.
+    val dir = Files.createTempDirectory("graft_delta_mp_").toString
+    CdcSink.writeSnapshot(changelog(("k0", "c", 1, "p1", 0.0)), dir, Some("part"))
+    (1 to 11).foreach { i =>
+      CdcSink.merge(spark,
+        changelog((s"k$i", "c", i + 1L, s"p${i % 3}", i.toDouble)),
+        dir, Some("part"))
+    }
+    val d = new Path(dir, "_delta_log")
+    val single = new Path(d, f"${10L}%020d.checkpoint.parquet")
+    assert(fs.exists(single))
+    val expect = sortedRows(CdcSink.read(spark, dir))
+    // split the single checkpoint's rows across 3 part files so that
+    // protocol, metaData, and the adds land in DIFFERENT parts
+    val ck = spark.read.parquet(single.toString)
+    val rows = ck.collect()
+    val protoIdx = ck.columns.indexOf("protocol")
+    val metaIdx = ck.columns.indexOf("metaData")
+    val proto = rows.filter(r => !r.isNullAt(protoIdx))
+    val meta = rows.filter(r => !r.isNullAt(metaIdx))
+    val rest = rows.filter(r => r.isNullAt(protoIdx) && r.isNullAt(metaIdx))
+    assert(proto.length == 1 && meta.length == 1 && rest.length >= 2,
+      "fixture degenerate: need protocol+metaData+adds")
+    val nParts = 3
+    val slices = Seq(proto.toSeq, meta.toSeq, rest.toSeq)
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val tmp = new Path(d, s".ckpt_part_tmp_$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice, 1), ck.schema)
+        .coalesce(1).write.parquet(tmp.toString)
+      val written = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet")).get
+      fs.rename(written,
+        new Path(d, f"${10L}%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"))
+      fs.delete(tmp, true)
+    }
+    val hint = new Path(d, "_last_checkpoint")
+    val out = fs.create(hint, true)
+    out.write("""{"version":10,"parts":3}""".getBytes("UTF-8"))
+    out.close()
+    fs.delete(single, false)
+    // parted discovery serves the exact table state
+    assert(sortedRows(DeltaLog.read(spark, dir)) == expect)
+    // log-cleaned table (JSON 0..9 gone): ONLY the parted checkpoint
+    // can seed the replay — still exact
+    (0L to 9L).foreach(v => fs.delete(new Path(d, f"$v%020d.json"), false))
+    assert(sortedRows(DeltaLog.read(spark, dir)) == expect)
+    // a missing part = stale hint: on the log-cleaned table that is
+    // unreadable (no silent partial state) …
+    val part2 = new Path(d, f"${10L}%020d.checkpoint.${2}%010d.$nParts%010d.parquet")
+    val bak = new Path(d, ".part2.bak")
+    fs.rename(part2, bak)
+    intercept[IllegalArgumentException] { DeltaLog.read(spark, dir) }
+    fs.rename(bak, part2)
+    assert(sortedRows(DeltaLog.read(spark, dir)) == expect)
+  }
+
   test("DeltaLog.read/readVersion (library reader) agree with TxnLog and the replay") {
     val dir = Files.createTempDirectory("graft_delta_").toString
     CdcSink.writeSnapshot(
