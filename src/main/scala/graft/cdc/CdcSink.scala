@@ -346,7 +346,14 @@ object CdcSink {
     }
     val (inRange, outOfRange) = withStats.partition(intersects)
     val touched =
-      if (outOfRange.isEmpty || nRows > RefineMaxKeys) inRange
+      // stage-2 refine only when it can actually prune something:
+      // with ≤1 surviving file the join job could at best turn 1
+      // file into 0 (a batch landing entirely in a stats gap — rare,
+      // and the false rewrite it avoids costs one file), so the
+      // per-merge fixed cost of a distinct+broadcast-join pass is
+      // not worth paying
+      if (outOfRange.isEmpty || nRows > RefineMaxKeys || inRange.length <= 1)
+        inRange
       else {
         // stage 2: per-key precision — only when stage 1 already
         // showed locality and the batch is increment-sized, so a
@@ -433,7 +440,12 @@ object CdcSink {
         val out = partitionCol match {
           case Some(_) => snap // writeCommitDir clusters + sub-splits
           case None =>
-            val n = snap.count()
+            // row count from the manifest when every entry carries one
+            // (stats-era commits do) — saves a full count scan of the
+            // table per compaction; legacy manifests pay the count
+            val n =
+              if (m.entries.forall(_.rows.isDefined)) m.entries.flatMap(_.rows).sum
+              else snap.count()
             val parts = math.max(1L,
               (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
             // range-cluster by key when it is orderable: compacted

@@ -489,7 +489,27 @@ object TxnLog {
       keyType: DataType): Map[(Option[String], String), (Option[String], Option[String], Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
+    // footer opens are independent ms-scale IO: batch them through a
+    // bounded pool instead of one-at-a-time (a 512-file commit's
+    // stats pass drops from ~0.5 s serial to the slowest stripe)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.length)))
+    val futs =
+      try files.map(f => pool.submit(
+        new java.util.concurrent.Callable[((Option[String], String), (Option[String], Option[String], Long))] {
+          def call() = footerStatOne(tableDir, f, conf, keyType)
+        }))
+      finally pool.shutdown()
+    futs.map(_.get()).toMap
+  }
+
+  private def footerStatOne(
+      tableDir: String,
+      f: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      keyType: DataType): ((Option[String], String), (Option[String], Option[String], Long)) = {
+    import scala.jdk.CollectionConverters._
+    {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
       val (rows, range) =
@@ -531,7 +551,7 @@ object TxnLog {
         .find(_.startsWith(PartDirCol + "="))
         .map(_.substring(PartDirCol.length + 1))
       (part, f.getName) -> (range.map(_._1), range.map(_._2), rows)
-    }.toMap
+    }
   }
 
   /** Typed per-file min/max of [[StatsKeyCol]] plus the row count

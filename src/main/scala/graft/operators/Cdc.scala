@@ -582,10 +582,11 @@ object Cdc {
     val tableDir = java.nio.file.Files
       .createTempDirectory("cdc_prune_q_").toString
     CdcSink.writeSnapshot(w1, tableDir, None)
-    val n = orders.count()
+    // one agg pass serves both the compaction target and the cut
+    val nmk = orders.agg(count(lit(1)), max("o_orderkey")).head
+    val (n, cut) = (nmk.getLong(0), nmk.getLong(1) / 100)
     CdcSink.compact(s, tableDir, None,
       targetRecordsPerFile = math.max(1000L, n / 16))
-    val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 100
     val w2 = orders
       .filter(col("o_orderkey") <= cut && col("o_orderkey") % 4 === 0)
       .select(
@@ -639,13 +640,14 @@ object Cdc {
     val tableDir = java.nio.file.Files
       .createTempDirectory("cdc_lookup_q_").toString
     CdcSink.writeSnapshot(w1, tableDir, None)
-    val n = orders.count()
+    // one agg pass serves both the compaction target and the bounds
+    val nmk = orders.agg(count(lit(1)), max("o_orderkey")).head
+    val (n, mk) = (nmk.getLong(0), nmk.getLong(1))
     CdcSink.compact(s, tableDir, None,
       targetRecordsPerFile = math.max(1000L, n / 16))
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val preVersion = TxnLog.current(fs, tableDir).get.version
-    val mk = orders.agg(max("o_orderkey")).head.getLong(0)
     val cut = mk / 100
     val w2 = orders
       .filter(col("o_orderkey") <= cut && col("o_orderkey") % 4 === 0)
