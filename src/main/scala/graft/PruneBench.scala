@@ -62,9 +62,29 @@ object PruneBench {
 
     val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // read side: the same locality argument for point lookups —
+    // readRange on the stats manifest must open O(touched) files and
+    // its wall must stay ~flat per decade, while a stats-less
+    // manifest degrades to opening (and row-filtering) every file.
+    // Runs BEFORE each table's merge so both paths read the identical
+    // compaction-shaped file layout.
+    def readAll(dir: String): (Double, Long) = {
+      var opened = 0L
+      val t = time {
+        val df = CdcSink.readRange(spark, dir, f"k${4L}%012d", f"k${4000L}%012d")
+        // inputFiles = the files the scan will OPEN (the metadata-
+        // level quantity manifest pruning bounds); input_file_name()
+        // would only count files that survive the row filter
+        opened = df.inputFiles.length.toLong
+        df.agg(count(lit(1)), sum("value")).collect()
+      }
+      (t, opened)
+    }
+
     // pruned: stats manifest as compaction left it
     val prunedDir = buildTable()
     val nFiles = TxnLog.current(fs, prunedDir).get.entries.length
+    val (tReadPruned, openedPruned) = readAll(prunedDir)
     val tPruned = time(CdcSink.merge(spark, batch(1000), prunedDir, None))
     val carried = {
       val vs = TxnLog.versions(fs, prunedDir)
@@ -78,12 +98,15 @@ object PruneBench {
     val m = TxnLog.current(fs, legacyDir).get
     TxnLog.commit(fs, legacyDir, m.version + 1, m.schema,
       m.entries.map(_.copy(min = None, max = None)))
+    val (tReadLegacy, openedLegacy) = readAll(legacyDir)
     val tLegacy = time(CdcSink.merge(spark, batch(1000), legacyDir, None))
 
     val rows = Tables.orders(spark, sfDir).count()
     println(s"""{"metric":"prune_merge","sf":"$sfDir","table_rows":$rows,""" +
       s""""files":$nFiles,"carried":$carried,""" +
-      s""""pruned_sec":${f"$tPruned%.3f"},"legacy_sec":${f"$tLegacy%.3f"}}""")
+      s""""pruned_sec":${f"$tPruned%.3f"},"legacy_sec":${f"$tLegacy%.3f"},""" +
+      s""""read_pruned_sec":${f"$tReadPruned%.3f"},"read_opened":$openedPruned,""" +
+      s""""read_legacy_sec":${f"$tReadLegacy%.3f"},"read_legacy_opened":$openedLegacy}""")
     spark.stop()
   }
 }
