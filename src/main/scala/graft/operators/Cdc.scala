@@ -1107,6 +1107,19 @@ object Cdc {
   /** The streaming fold must land exactly on the batch snapshot. */
   private val snapshotSqlStream = snapshotSql
 
+  /** State partitions scaled to input volume. RocksDB store spin-up
+    * dominates small inputs (a stream-stream join runs FOUR stores
+    * per partition per micro-batch), so they stay at 8; past tens of
+    * millions of rows the per-partition sort/state work dominates
+    * and width wins. Measured on the events ladder (isolated
+    * min-of-3, stream-stream join): 100k rows 4.0 s @8 vs 11.6 s
+    * @32; 1M 5.8 @8 vs 8.7 @32; 10M 33.9 @8 vs 19.8 @32 — threshold
+    * between the last two decades. The count probe is a
+    * footer-metadata job, not a scan.
+    */
+  private def streamStateParts(s: SparkSession, dir: String): Option[Int] =
+    Some(if (Tables.events(s, dir).count() > 3000000L) 32 else 8)
+
   // --- cdc_stream_join: stream-stream interval join ---------------
   // Two live changelogs correlated on (user, event-time range): each
   // click joined to the same user's purchases within 30 minutes. The
@@ -1115,7 +1128,8 @@ object Cdc {
   // state) must land exactly on it.
   private def streamJoin(s: SparkSession, dir: String): DataFrame =
     CdcStream.streamStreamJoin(s, dir,
-      s"cdc_stream_join_${System.nanoTime()}", statePartitions = Some(8))
+      s"cdc_stream_join_${System.nanoTime()}",
+      statePartitions = streamStateParts(s, dir))
 
   private val streamJoinSql =
     """SELECT CAST(DATE_TRUNC('day', c.ts) AS TIMESTAMP) AS day,
@@ -1643,7 +1657,8 @@ object Cdc {
   // must land exactly on the single-delivery batch counts.
   private def streamDedup(s: SparkSession, dir: String): DataFrame =
     CdcStream.streamingDedup(s, dir,
-      s"cdc_stream_dedup_${System.nanoTime()}", statePartitions = Some(8))
+      s"cdc_stream_dedup_${System.nanoTime()}",
+      statePartitions = streamStateParts(s, dir))
 
   private val streamDedupSql =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n
