@@ -500,7 +500,12 @@ object TxnLog {
           def call() = footerStatOne(tableDir, f, conf, keyType)
         }))
       finally pool.shutdown()
-    futs.map(_.get()).toMap
+    futs.map { f =>
+      try f.get()
+      catch { // surface the worker's own failure, not the pool wrapper
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }.toMap
   }
 
   private def footerStatOne(
