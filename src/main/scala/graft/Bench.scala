@@ -124,14 +124,89 @@ object Bench {
     // audited from the artifact). The file is the audit record; the
     // stdout lines remain the at-a-glance view.
     val mapPath = sys.env.getOrElse("SPARK_GRAFT_MAP_PATH", "BENCH_map.json")
+    // Min-MERGE into an existing map by default (round-14 postmortem:
+    // an end-of-round overwrite clobbered the committed min-over-N map
+    // with one hot run and cost a phantom-regression hunt). --fresh or
+    // SPARK_GRAFT_MAP_FRESH=1 restores overwrite semantics.
+    val fresh = args.contains("--fresh") ||
+      sys.env.get("SPARK_GRAFT_MAP_FRESH").contains("1")
+    val passTotals = all.map(_.map(_._2).sum)
+    // A run whose pass totals are non-monotone by >15% (a later pass
+    // slower than an earlier one beyond noise) ran on a loaded host;
+    // its numbers measure the host, not the code — refuse to fold it
+    // over an existing map.
+    val suspect = passTotals.sliding(2).exists {
+      case Seq(a, b) => b > a * 1.15
+      case _         => false
+    }
+    val existing: Option[(Map[String, Double], Map[String, Double], Seq[Double], String)] =
+      if (fresh) None
+      else try {
+        val p = java.nio.file.Paths.get(mapPath)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          def objToMap(name: String): Map[String, Double] = {
+            val n = root.get(name)
+            if (n == null) Map.empty
+            else {
+              val it = n.fields()
+              val b = Map.newBuilder[String, Double]
+              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+              b.result()
+            }
+          }
+          val hist = Option(root.get("pass_totals")).toSeq.flatMap { n =>
+            (0 until n.size()).map(n.get(_).asDouble())
+          }
+          val sf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+          Some((objToMap("best"), objToMap("spread"), hist, sf))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] existing map unreadable, writing fresh: ${e.getMessage}")
+        None
+      }
+    val (mergedBest, mergedSpread, mergedHist, merged) = existing match {
+      case Some((exBest, exSpread, exHist, exSf)) if exSf != sfDir =>
+        System.err.println(s"[bench] map at $mapPath is for sf '$exSf' != '$sfDir'; writing fresh")
+        (best, spread, passTotals, false)
+      case Some((exBest, exSpread, exHist, _)) if suspect && exBest.nonEmpty =>
+        System.err.println(s"[bench] pass totals non-monotone >15% (${passTotals.map(r3).mkString(",")}): loaded host, NOT folding into $mapPath")
+        // keys the map has never seen still enter (a suspect number
+        // beats a missing one); existing keys stay untouched
+        val novel = best.filter { case (k, _) => !exBest.contains(k) }
+        val kept = (exBest.toSeq ++ novel).sortBy(_._1)
+        val ns = spread.toMap
+        (kept,
+         kept.map { case (k, _) =>
+           k -> exSpread.getOrElse(k, ns.getOrElse(k, 1.0)) },
+         exHist, true)
+      case Some((exBest, exSpread, exHist, _)) if exBest.nonEmpty =>
+        val keys = (exBest.keySet ++ best.map(_._1)).toSeq.sorted
+        val newBest = best.toMap
+        val newSpread = spread.toMap
+        val mb = keys.map { k =>
+          k -> math.min(exBest.getOrElse(k, Double.MaxValue),
+                        newBest.getOrElse(k, Double.MaxValue))
+        }
+        // per-key spread travels with whichever run supplied the min
+        val ms = keys.map { k =>
+          val fromNew = newBest.get(k).exists(v => v <= exBest.getOrElse(k, Double.MaxValue))
+          k -> (if (fromNew) newSpread.getOrElse(k, 1.0) else exSpread.getOrElse(k, 1.0))
+        }
+        (mb, ms, exHist ++ passTotals, true)
+      case _ => (best, spread, passTotals, false)
+    }
+    val mergedTotal = mergedBest.map(_._2).sum
     val mapJson = new StringBuilder("{\n")
-    mapJson ++= s""""sf":"$sfDir","passes":$passes,"nq":${best.size},"""
-    mapJson ++= s""""best_total":${r3(bestTotal)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"""
-    mapJson ++= s""""pass_totals":[${all.map(p => r3(p.map(_._2).sum)).mkString(",")}],"""
+    mapJson ++= s""""sf":"$sfDir","passes":$passes,"nq":${mergedBest.size},"merged":$merged,"""
+    mapJson ++= s""""best_total":${r3(mergedTotal)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"""
+    mapJson ++= s""""pass_totals":[${mergedHist.map(r3).mkString(",")}],"""
     mapJson ++= "\n" + all.zipWithIndex.map { case (p, i) =>
       s""""pass$i":${toJson(p)}""" }.mkString(",\n")
-    mapJson ++= s""",\n"spread":${toJson(spread)}"""
-    mapJson ++= s""",\n"best":${toJson(best)}\n}"""
+    mapJson ++= s""",\n"spread":${toJson(mergedSpread)}"""
+    mapJson ++= s""",\n"best":${toJson(mergedBest)}\n}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(mapPath), mapJson.toString)
     catch { case e: Throwable =>

@@ -442,7 +442,13 @@ object CdcSink {
           case None =>
             // row count from the manifest when every entry carries one
             // (stats-era commits do) — saves a full count scan of the
-            // table per compaction; legacy manifests pay the count
+            // table per compaction; legacy manifests pay the count.
+            // Invariant: Entry.rows must equal the file's parquet
+            // footer row count (graft writes it from the footer and
+            // merge is copy-on-write). A foreign manifest with
+            // present-but-wrong rows mis-sizes the repartition —
+            // performance only, never correctness: writeCommitDir
+            // still enforces targetRecordsPerFile sub-splitting
             val n =
               if (m.entries.forall(_.rows.isDefined)) m.entries.flatMap(_.rows).sum
               else snap.count()

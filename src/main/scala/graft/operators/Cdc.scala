@@ -676,8 +676,12 @@ object Cdc {
     val ranged = CdcSink.readRange(s, tableDir, lo, hi)
     // the physical claim, asserted in-entry: the window covers ~1.5%
     // of the keyspace of a range-compacted table, so the pruned read
-    // must open strictly fewer files than the manifest lists
-    val scanned = ranged.select(input_file_name()).distinct().count()
+    // must open strictly fewer files than the manifest lists.
+    // inputFiles is the METADATA-level opened-file count — a
+    // post-filter input_file_name() would only count files with
+    // surviving rows and pass even if manifest pruning degraded to
+    // keep-everything (the row filter alone confines survivors)
+    val scanned = ranged.inputFiles.length
     val nEntries = TxnLog.current(fs, tableDir).get.entries.length
     require(scanned < nEntries,
       s"point lookup opened $scanned of $nEntries files — stats pruned nothing")
@@ -1117,8 +1121,14 @@ object Cdc {
     * between the last two decades. The count probe is a
     * footer-metadata job, not a scan.
     */
+  private val stateParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
   private def streamStateParts(s: SparkSession, dir: String): Option[Int] =
-    Some(if (Tables.events(s, dir).count() > 3000000L) 32 else 8)
+    // the row count is immutable per generated dir, so the probe
+    // (a footer-metadata job, ~0.3-0.5 s of fixed cost) runs once per
+    // (session, dir) instead of once per streaming entry
+    Some(stateParts.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
+      if (Tables.events(s, dir).count() > 3000000L) 32 else 8))
 
   // --- cdc_stream_join: stream-stream interval join ---------------
   // Two live changelogs correlated on (user, event-time range): each

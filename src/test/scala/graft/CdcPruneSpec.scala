@@ -353,8 +353,10 @@ class CdcPruneSpec extends AnyFunSuite {
     val m = TxnLog.current(fs, dir).get
     val expected = m.entries.count(e =>
       e.min.get <= "k01399" && "k01200" <= e.max.get)
+    // inputFiles = metadata-level opened-file count; a post-filter
+    // input_file_name() would pass even if pruning kept everything
     val scanned = CdcSink.readRange(spark, dir, "k01200", "k01399")
-      .select(input_file_name()).distinct().count()
+      .inputFiles.length
     assert(expected < m.entries.length, "fixture degenerate")
     assert(scanned <= expected,
       s"read $scanned files, stats said $expected intersect")
@@ -420,7 +422,7 @@ class CdcPruneSpec extends AnyFunSuite {
       val hi = (t0 + 3004L * 60000000L).toString
       val rr = CdcSink.readRange(spark, dir, lo, hi)
       assert(rr.count() == 10)
-      assert(rr.select(input_file_name()).distinct().count() < m1.entries.length)
+      assert(rr.inputFiles.length < m1.entries.length)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
@@ -448,7 +450,7 @@ class CdcPruneSpec extends AnyFunSuite {
     // ... and the historical read still prunes physically
     val preM = TxnLog.manifestAt(fs, dir, preV).get
     val scanned = CdcSink.readRange(spark, dir, "k00099", "k00102", asOf = Some(preV))
-      .select(input_file_name()).distinct().count()
+      .inputFiles.length
     assert(preM.entries.length >= 5, "fixture degenerate")
     assert(scanned < preM.entries.length,
       s"as-of read opened $scanned of ${preM.entries.length} files")
@@ -534,7 +536,7 @@ class CdcPruneSpec extends AnyFunSuite {
         // narrow window must open fewer files than the manifest lists
         val m = TxnLog.current(fs, dir).get
         val scanned = CdcSink.readRange(spark, dir, "k02100", "k02200")
-          .select(input_file_name()).distinct().count()
+          .inputFiles.length
         assert(scanned < m.entries.length,
           s"window opened $scanned of ${m.entries.length} files")
       }
