@@ -142,6 +142,45 @@ object CdcSink {
     commitOffsets(changelog, tableDir)
   }
 
+  /** Full rewrite like [[writeSnapshot]], but range-clustered by the
+    * stats key in the same pass — equivalent to writeSnapshot followed
+    * by [[compact]] without materializing and re-reading the table in
+    * between. The 100 TB bootstrap shape: a snapshot load's files come
+    * out key-disjoint and sorted on day one, so the very first merge
+    * already prunes, and the table never pays a full compaction
+    * rewrite just to earn its key-range stats. Falls back to plain
+    * writeSnapshot when the key column isn't stats-orderable.
+    */
+  def writeSnapshotClustered(
+      changelog: DataFrame,
+      tableDir: String,
+      targetRecordsPerFile: Long = TxnLog.TargetRecordsPerFile): Unit = {
+    val spark = changelog.sparkSession
+    val snap0 = CdcApply.snapshot(changelog)
+    val rangeKey = snap0.schema.fields.find(f =>
+      f.name == TxnLog.StatsKeyCol && TxnLog.statsSupported(f.dataType))
+    if (rangeKey.isEmpty) { writeSnapshot(changelog, tableDir, None); return }
+    val fs = fsFor(spark, tableDir)
+    // persisted across the count+write double pass (same contract as
+    // compact's sub-split path)
+    val snap = snap0.persist()
+    try {
+      val n = snap.count()
+      val parts = math.max(1L,
+        (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      val out =
+        if (parts > 1)
+          snap.repartitionByRange(parts, col(TxnLog.StatsKeyCol))
+            .sortWithinPartitions(TxnLog.StatsKeyCol)
+        else snap.repartition(parts)
+      val version = TxnLog.current(fs, tableDir).map(_.version + 1).getOrElse(1L)
+      val entries = TxnLog.writeCommitDir(
+        out, tableDir, None, version, targetRecordsPerFile)
+      TxnLog.commit(fs, tableDir, version, out.schema, entries)
+      commitOffsets(changelog, tableDir)
+    } finally snap.unpersist()
+  }
+
   /** Incremental upsert merge: apply `changes` (a changelog batch)
     * to the existing snapshot, rewriting only touched partitions.
     * The new version's manifest carries the untouched partitions'

@@ -436,15 +436,13 @@ object Cdc {
           ((col("gno") - 1) * ReplicaRowsPerTxn + col("j"))
             .cast("string")).as("title"),
         lit(0L).as("epoch"), lit("bootstrap").as("source_file"))
-    CdcSink.writeSnapshot(bootstrap, tableDir, None)
-    // range-cluster the bootstrap (the 100 TB load shape): snapshot
-    // files come out of a hash shuffle with overlapping key ranges,
-    // so without this every replay merge intersects every file — a
-    // full rewrite per micro-batch; compacted key-disjoint files let
-    // each batch rewrite only the files its contiguous gno range
-    // touches, and give the post-loop resume-point lookup below
-    // something to prune against
-    CdcSink.compact(s, tableDir, None,
+    // range-clustered bootstrap in ONE pass (the 100 TB load shape):
+    // key-disjoint sorted files mean each replay merge rewrites only
+    // the files its contiguous gno range touches, and the post-loop
+    // resume-point lookup below has stats to prune against — without
+    // paying writeSnapshot+compact's write-read-rewrite double pass
+    // over the whole bootstrap
+    CdcSink.writeSnapshotClustered(bootstrap, tableDir,
       targetRecordsPerFile = math.max(1000L, nTxns * ReplicaRowsPerTxn / 32))
     // resume: stream every file; per micro-batch assemble + skip + merge
     val qn = s"cdc_replica_loop_${System.nanoTime()}"
@@ -838,14 +836,35 @@ object Cdc {
       .orderBy("server")
   }
 
+  /** Rotated-file count of the GENERATED replica stream. Decoupled
+    * from [[ReplicaFiles]] (the stream-size multiplier mirrored in
+    * the DuckDB oracle): binlogs cannot be split at arbitrary offsets
+    * (length-prefixed events, no sync markers), so parse AND the
+    * per-file txn-assembly window both run at file-count parallelism
+    * — 8 files capped the entry's two heaviest sf10 stages at 8 of
+    * 32 cores. 32 rotated files at the SAME total volume matches a
+    * real deployment's log rotation and the box.
+    */
+  private val ReplicaGenFiles = 32
+
   private def ensureReplicaGenerated(nTxns: Long): String = {
-    val txnsPerFile = (nTxns / ReplicaFiles).toInt
-    ensureGenerated(s"graft_binlog_replica_v2_$nTxns") { tmp =>
-      (1 to ReplicaFiles).foreach { f =>
-        graft.sources.binlog.BinlogGen.writeReplicaFile(
-          tmp.resolve(f"mysql-bin.$f%06d").toString,
-          firstGno = (f - 1).toLong * txnsPerFile + 1,
-          nTxns = txnsPerFile, rowsPerTxn = ReplicaRowsPerTxn)
+    // contiguous gno ranges with the remainder spread over the first
+    // files — nTxns is divisible by ReplicaFiles, not necessarily by
+    // ReplicaGenFiles, and a truncating split would drop txns the
+    // oracle counts
+    val base = nTxns / ReplicaGenFiles
+    val rem = (nTxns % ReplicaGenFiles).toInt
+    ensureGenerated(s"graft_binlog_replica_v3_$nTxns") { tmp =>
+      var firstGno = 1L
+      (1 to ReplicaGenFiles).foreach { f =>
+        val count = (base + (if (f <= rem) 1 else 0)).toInt
+        if (count > 0) {
+          graft.sources.binlog.BinlogGen.writeReplicaFile(
+            tmp.resolve(f"mysql-bin.$f%06d").toString,
+            firstGno = firstGno, nTxns = count,
+            rowsPerTxn = ReplicaRowsPerTxn)
+          firstGno += count
+        }
       }
     }
   }

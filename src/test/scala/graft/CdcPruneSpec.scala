@@ -337,6 +337,42 @@ class CdcPruneSpec extends AnyFunSuite {
       "pruned table lost all stats — the equivalence proved nothing")
   }
 
+  test("writeSnapshotClustered = writeSnapshot + compact in one pass") {
+    // the clustered bootstrap write must produce key-disjoint sorted
+    // files (so merges prune from version 1) and the exact snapshot a
+    // plain writeSnapshot produces
+    val log = spark.range(0, 5000).select(
+      format_string("k%05d", col("id")).as("key"), lit("c").as("op"),
+      col("id").as("offset"), col("id").cast("double").as("value"),
+      lit("bin.1").as("source_file"))
+      // late update for one key: snapshot semantics (latest offset
+      // wins) must apply before clustering
+      .unionAll(strLog(("k00042", "u", 99999L, -42.0)))
+    val dirC = Files.createTempDirectory("graft_snapclust_").toString
+    CdcSink.writeSnapshotClustered(log, dirC, targetRecordsPerFile = 1000L)
+    val dirP = Files.createTempDirectory("graft_snapplain_").toString
+    CdcSink.writeSnapshot(log, dirP)
+    CdcSink.compact(spark, dirP, None, targetRecordsPerFile = 1000L)
+    def rows(d: String) = CdcSink.read(spark, d)
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(rows(dirC) == rows(dirP))
+    assert(rows(dirC)("k00042") == -42.0)
+    val m = TxnLog.current(fs, dirC).get
+    assert(m.entries.length >= 4, s"expected ~5 files, got ${m.entries.length}")
+    assert(m.entries.forall(e => e.min.isDefined && e.max.isDefined))
+    val ranges = m.entries.map(e => (e.min.get, e.max.get)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi vs $lo2")
+      case _ =>
+    }
+    // ...and the very first merge after the clustered load prunes
+    val m0 = TxnLog.current(fs, dirC).get
+    CdcSink.merge(spark, strLog(("k00100", "u", 200000L, -1.0)), dirC, None)
+    val carried = TxnLog.current(fs, dirC).get.entries.map(_.path).toSet
+      .intersect(m0.entries.map(_.path).toSet)
+    assert(carried.size == m0.entries.length - 1)
+  }
+
   test("readRange opens only intersecting files and is exact regardless") {
     val dir = Files.createTempDirectory("graft_prune_read_").toString
     val base = spark.range(0, 5000).select(
