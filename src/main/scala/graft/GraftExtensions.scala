@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CompressRatio, CosineSimilarity, DotProduct}
+import graft.functions.{CompressRatio, CosineSimilarity, DotProduct, SortedIntersectCount}
 
 /** Session extension point: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         val a = graft.functions.arity("compress_ratio", 1)(exprs)
         CompressRatio(a.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = graft.functions.arity("sorted_intersect_count", 2)(exprs)
+        SortedIntersectCount(a.head, a(1))
       }))
   }
 }

@@ -18,6 +18,9 @@ package object functions {
   def compress_ratio(text: Column): Column =
     toColumn(CompressRatio(toExpr(text)))
 
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
+
   /** Arity gate for SQL builders: extra arguments must not be
     * silently discarded and a missing one must raise a NAMED error,
     * not a bare NoSuchElement from exprs.head. */
@@ -43,6 +46,11 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "compress_ratio",
       exprs => { val a = arity("compress_ratio", 1)(exprs); CompressRatio(a.head) },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => { val a = arity("sorted_intersect_count", 2)(exprs)
+        SortedIntersectCount(a.head, a(1)) },
       "scala_udf")
   }
 }

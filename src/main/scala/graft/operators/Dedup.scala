@@ -103,10 +103,13 @@ object Dedup {
   val MaxBucket = 10000
 
   /** Max |touched| docs for which the verify stage broadcasts the
-    * gram table (≈ 450 B/row of hashed grams → ~90 MB at the cap);
-    * beyond it the verify joins fall back to shuffle joins.
+    * gram table (≈ 450 B/row of hashed grams → ~180 MB at the cap);
+    * beyond it the verify joins fall back to shuffle joins. Raised
+    * from 200k in round 15: sf10's 260k touched docs were falling to
+    * the shuffle path, dragging the 11.8M-pair candidate frame
+    * through two exchanges the broadcast form avoids entirely.
     */
-  private[graft] val BroadcastTouchedMax = 200000L
+  private[graft] val BroadcastTouchedMax = 400000L
 
   /** MinHash-LSH band signatures for a document table: one
     * (doc_id, band, sig) row per doc per band — the INDEX format of
@@ -276,17 +279,21 @@ object Dedup {
       r: Int = R,
       md5Hash: Boolean = false,
       maxBucket: Int = MaxBucket,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      indexPop: Option[DataFrame] = None,
+      indexGrams: Option[DataFrame] = None): DataFrame = {
     // candidate pairs are |collisions|-bounded and feed THREE
     // consumers (two id branches of the semi-join prune + the verify
     // join) — persist so the band join runs once, not three times
     val cand = incrementalCandidates(
-      index, increment, idCol, textCol, k, r, md5Hash, maxBucket).persist()
+      index, increment, idCol, textCol, k, r, md5Hash, maxBucket,
+      indexPop).persist()
     // the pruned gram table is |touched|-bounded and feeds BOTH sides
     // of the verify join — persist + materialize so the corpus scan +
     // semi-join + gram transform run once, not per branch (measured:
     // the unshared form re-did the gram work for ga and gb)
-    val g = touchedGramTable(cand, corpusTexts, idCol, textCol).persist()
+    val g = touchedGramTable(
+      cand, corpusTexts, idCol, textCol, indexGrams).persist()
     try {
       val touched = g.count()
       // the materializing count doubles as the broadcast gate: a
@@ -302,12 +309,24 @@ object Dedup {
     } finally { cand.unpersist(); g.unpersist() }
   }
 
-  /** Lazy candidate plan of [[incrementalDedupVerdicts]]: increment
-    * bands unioned onto the index, one (band, sig) window exchange
-    * carrying BOTH the population cap and the has-new-member prune,
-    * then the capped bucket self-join restricted to pairs touching
-    * the increment. Exposed for plan audits and callers that want
-    * candidates without the verify stage.
+  /** Lazy candidate plan of [[incrementalDedupVerdicts]]: the
+    * increment's bands probe the index as a BUCKET JOIN — the index
+    * never re-shuffles per probe (the r14 form unioned index +
+    * increment under one (band, sig) window, a full-index exchange
+    * on every daily probe; at 100 TB that is re-shuffling the whole
+    * index table to admit a day's arrivals). The population cap is
+    * identical: |bucket| counts index AND increment members, via the
+    * increment's per-bucket counts left-joined to the index's (pass
+    * `indexPop` — cached per session by the entry callers the way
+    * [[standingIndex]] itself is — to skip even the per-probe
+    * index-count pass). Candidate pairs = capped touched buckets ×
+    * (increment-vs-index ∪ increment-vs-increment), exactly the
+    * pairs-with-a-new-member the window form produced.
+    *
+    * The increment's bands are localCheckpointed: the frame feeds
+    * four consumers (bucket counts, the semi-join, both pair joins)
+    * and banding is the probe's dominant CPU — lineage re-execution
+    * would re-shingle the increment per consumer.
     */
   private[graft] def incrementalCandidates(
       index: DataFrame,
@@ -317,25 +336,43 @@ object Dedup {
       k: Int,
       r: Int,
       md5Hash: Boolean,
-      maxBucket: Int): DataFrame = {
-    val newBands = bandSignatures(increment, idCol, textCol, k, r, md5Hash)
-    val all = index.select(col("doc_id"), col("band"), col("sig"))
-      .withColumn("__new", lit(false))
-      .unionAll(newBands.withColumn("__new", lit(true)))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val capped = all
-      .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__nn", sum(when(col("__new"), 1).otherwise(0)).over(w))
-      .filter(col("__bn") <= maxBucket && col("__nn") >= 1)
-      .drop("__bn", "__nn")
-    val a = capped.as("a"); val b = capped.as("b")
-    a.join(b,
+      maxBucket: Int,
+      indexPop: Option[DataFrame] = None): DataFrame = {
+    val nb = bandSignatures(increment, idCol, textCol, k, r, md5Hash)
+      .localCheckpoint()
+    val pop = indexPop.getOrElse(
+      index.groupBy("band", "sig").agg(count(lit(1)).as("__idx_n")))
+    val popNew = nb.groupBy("band", "sig").agg(count(lit(1)).as("__new_n"))
+    val buckets = popNew.join(pop, Seq("band", "sig"), "left")
+      .filter(col("__new_n") + coalesce(col("__idx_n"), lit(0L)) <= maxBucket)
+      .select("band", "sig")
+    val nbC = nb.join(buckets, Seq("band", "sig"), "leftsemi")
+    // an increment-sized probe frame BROADCASTS into the index join —
+    // the index side then streams through a broadcast hash join with
+    // zero exchange and zero sort, whatever its cached layout. The
+    // count is a cheap pass over the checkpointed blocks; above the
+    // cap (a bulk backfill, not a daily increment) the join falls
+    // back to a shuffle on (band, sig).
+    val probeSide =
+      if (nb.count() <= BroadcastBandsMax) broadcast(nbC) else nbC
+    val idxPairs = probeSide.as("a").join(index.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.__new") || col("b.__new")))
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val newPairs = nbC.as("a").join(nbC.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    idxPairs.unionAll(newPairs).distinct()
   }
+
+  /** Probe-frame broadcast cap, in band ROWS (~50 B each → ~200 MB
+    * hashed relation at the cap): a daily increment's band signatures
+    * sit far below it; a bulk backfill above it takes the shuffle
+    * path instead of flooding executors.
+    */
+  private val BroadcastBandsMax = 4000000L
 
   /** Word-3-gram sets of exactly the docs some candidate pair
     * touches, as DISTINCT xxhash64 values (array<bigint>) rather than
@@ -360,19 +397,50 @@ object Dedup {
       cand: DataFrame,
       corpusTexts: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    // NOTE: a round-15 experiment persisted per-doc gram fingerprints
+    // with the index and served `precomputed` from that cache — it
+    // measured SLOWER than recomputing from text at sf10 (9.96 s vs
+    // 7.0 s: the union + re-persist of cached 240 MB arrays costs
+    // more than 260k docs of gram hashing on 32 cores), so entries
+    // pass None; the hook stays for wide-layout deployments where
+    // text re-reads are remote.
     val touchedIds = cand.select(col("doc_a").as(idCol))
       .unionAll(cand.select(col("doc_b").as(idCol)))
       .distinct()
-    corpusTexts
-      .join(touchedIds, Seq(idCol), "left_semi") // prune BEFORE gram work
-      .repartition(corpusTexts.sparkSession.sparkContext.defaultParallelism)
+    precomputed match {
+      case Some(pg) =>
+        val pre = pg.join(
+          touchedIds.withColumnRenamed(idCol, "doc_id"),
+          Seq("doc_id"), "left_semi")
+        val missing = touchedIds.join(
+          pg.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+        pre.unionAll(gramArrays(
+          corpusTexts.join(missing, Seq(idCol), "left_semi"), idCol, textCol))
+      case None =>
+        gramArrays(
+          corpusTexts.join(touchedIds, Seq(idCol), "left_semi"),
+          idCol, textCol)
+    }
+  }
+
+  /** (doc_id, g) word-3-gram fingerprints: DISTINCT xxhash64 gram
+    * values, SORTED — one array_sort per DOC here buys the verify
+    * stage a linear sorted-merge intersect per PAIR (pairs >> docs).
+    * Input spread only when the scan is few-file ([[Tables
+    * .parallelized]]): a wide layout is already parallel and a
+    * repartition would shuffle every document's text for nothing.
+    */
+  private def gramArrays(
+      texts: DataFrame, idCol: String, textCol: String): DataFrame =
+    texts
+      .transform(Tables.parallelized)
       .withColumn("w", split(col(textCol), "\\s+"))
       .filter(size(col("w")) >= 3)
-      .select(col(idCol).as("doc_id"), array_distinct(transform(expr(
+      .select(col(idCol).as("doc_id"), array_sort(array_distinct(transform(expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"),
-        x => xxhash64(x))).as("g"))
-  }
+        x => xxhash64(x)))).as("g"))
 
   /** Exact Jaccard verdicts for candidate pairs against a
     * [[touchedGramTable]].
@@ -392,7 +460,11 @@ object Dedup {
       .join(g.as("gb"), col("doc_b") === col("gb.doc_id"), "left")
       .select(col("doc_a"), col("doc_b"),
         size(col("ga.g")).as("n_a"), size(col("gb.g")).as("n_b"),
-        size(array_intersect(col("ga.g"), col("gb.g"))).as("n_common"))
+        // codegen'd two-pointer merge over the pre-sorted gram hashes
+        // (array_intersect builds a hash set AND materializes the
+        // intersection array per pair — the verify's former hot spot)
+        graft.functions.sorted_intersect_count(
+          col("ga.g"), col("gb.g")).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
@@ -524,8 +596,30 @@ object Dedup {
     })
   }
 
+  /** Bucketed-sorted layout for a cached index frame: partitioned and
+    * sorted by (band, sig) — the persisted analog of a bucketed sorted
+    * index TABLE. Probe joins and bucket-count aggs on (band, sig)
+    * then reuse the cached partitioning and ordering instead of
+    * re-exchanging (and re-sorting) the index per probe.
+    */
+  private def bucketLayout(idx: DataFrame): DataFrame =
+    idx.repartition(col("band"), col("sig"))
+      .sortWithinPartitions("band", "sig")
+
   private[graft] def standingIndex(s: SparkSession, dir: String): DataFrame =
-    cachedIndex(s, dir, builtIndex(s, dir))
+    cachedIndex(s, dir, bucketLayout(builtIndex(s, dir)))
+
+  /** Cached per-bucket population of a cached index (same lifecycle
+    * as the index itself): the probe's cap check left-joins this
+    * instead of re-counting the index per probe. Derived from the
+    * bucket-layout cache, so the agg itself is exchange-free.
+    */
+  private def cachedIndexPop(
+      s: SparkSession, key: String, index: => DataFrame): DataFrame =
+    cachedIndex(s, s"$key|pop",
+      index.groupBy("band", "sig").agg(count(lit(1)).as("__idx_n"))
+        .sortWithinPartitions("band", "sig"))
+
 
   /** The standing index with the over-populated-bucket filter ALREADY
     * applied — the form the streaming gate probes. Cached like
@@ -583,7 +677,8 @@ object Dedup {
     incrementalDedupVerdicts(
       standingIndex(s, dir),
       increment, corpusTexts, "doc_id", "text",
-      md5Hash = true)
+      md5Hash = true,
+      indexPop = Some(cachedIndexPop(s, dir, standingIndex(s, dir))))
   }
 
   /** DuckDB twin of an increment probe: batch-mine `corpus`, keep
@@ -645,6 +740,11 @@ object Dedup {
     // during day-1's admission (its banding cost is what
     // dedup_incremental / dedup_index_build measure), so day-2's
     // probe reads a persisted grown index, it does not re-band day1.
+    // plain union, NOT re-laid-out: with the probe frame broadcasting
+    // into the pair join, the grown index is only ever scanned — a
+    // bucketLayout here would re-shuffle and re-sort the whole index
+    // to admit one day's bands (measured +4 s at sf10); only its POP
+    // table (narrow rows) pays an exchange, once, at cache build
     val grown = cachedIndex(s, s"$dir|grown",
       standingIndex(s, dir)
         .select(col("doc_id"), col("band"), col("sig"))
@@ -653,7 +753,8 @@ object Dedup {
       grown, day2,
       Tables.documents(s, dir).select("doc_id", "text")
         .unionAll(day1).unionAll(day2), "doc_id", "text",
-      md5Hash = true)
+      md5Hash = true,
+      indexPop = Some(cachedIndexPop(s, s"$dir|grown", grown)))
   }
 
   private val maintainCorpusSql =

@@ -62,32 +62,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupFrac >= 0.9, s"planted near-dups verified as dups: $dupFrac")
   }
 
-  test("dedup_incremental candidates ride ONE (band,sig) exchange, reused across the join") {
+  test("dedup_incremental probe never re-shuffles the standing index") {
     import graft.operators.Dedup
     val standing = Tables.parallelized(
       Tables.documents(spark, sf).select("doc_id", "text"))
     val increment = standing.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    val cand = Dedup.incrementalCandidates(
-      Dedup.bandSignatures(standing, "doc_id", "text"),
-      increment, "doc_id", "text", 12, 3, false, 10000)
-    cand.collect() // finalize the adaptive plan — reuse only materializes at runtime
-    val full = cand.queryExecution.executedPlan.toString
-    val plan = full.split("== Initial Plan ==").head
-    // the population cap AND the has-new-member prune both ride one
-    // (band, sig) exchange; the self-join's second side must REUSE it
-    // (a second materialization doubles the dominant shuffle at scale)
-    val bandExchanges = plan.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning(band"))
-      .filterNot(_.contains("ReusedExchange")).size
-    assert(bandExchanges == 1,
-      s"expected exactly 1 (band,sig) exchange, got $bandExchanges:\n${plan.take(4000)}")
-    assert(plan.contains("ReusedExchange"),
-      s"join sides must reuse the (band,sig) exchange:\n${plan.take(4000)}")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"banded join degenerated to an all-pairs product:\n${plan.take(4000)}")
+    // the production shape the entries use: a bucketed-sorted cached
+    // index plus its cached per-bucket population
+    val idx = Dedup.bandSignatures(standing, "doc_id", "text", 12, 3, false)
+      .repartition(col("band"), col("sig"))
+      .sortWithinPartitions("band", "sig").persist()
+    val pop = idx.groupBy("band", "sig")
+      .agg(count(lit(1)).as("__idx_n")).persist()
+    try {
+      idx.count(); pop.count()
+      val cand = Dedup.incrementalCandidates(
+        idx, increment, "doc_id", "text", 12, 3, false, 10000, Some(pop))
+      cand.collect() // finalize the adaptive plan
+      val full = cand.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head
+      // the 100 TB contract: every (band,sig) exchange in the probe
+      // plan carries increment-sized frames — none may sit above the
+      // cached index scan (re-shuffling the whole index table to
+      // admit a day's arrivals is the plan shape this replaced)
+      val lines = plan.linesIterator.toVector
+      def indent(l: String): Int = l.segmentLength(c => " :+-".contains(c))
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange hashpartitioning(band") &&
+            !l.contains("ReusedExchange")) {
+          val self = indent(l)
+          val subtree = lines.drop(i + 1).takeWhile(x =>
+            x.trim.isEmpty || indent(x) > self)
+          assert(!subtree.exists(x => x.contains("InMemoryTableScan") ||
+              x.contains("TableCacheQueryStage")),
+            s"(band,sig) exchange above the cached index scan:\n$l\n" +
+              subtree.take(12).mkString("\n"))
+        }
+      }
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"banded join degenerated to an all-pairs product:\n${plan.take(4000)}")
+    } finally { pop.unpersist(); idx.unpersist() }
   }
 
   test("dedup_stream_probe lands exactly on the batch new-vs-index join") {
