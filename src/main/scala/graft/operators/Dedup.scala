@@ -565,36 +565,12 @@ object Dedup {
   // weak session key: a stopped session's cached plans are useless
   // (and identity hashes can recycle across lifetimes) — the whole
   // per-session map goes with the session
-  private val indexCache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
-
   /** Materialized-index cache: builds `build` once per (session,
     * key), persisted MEMORY_AND_DISK and counted eagerly so a probe
-    * finds the index BUILT, as in production. */
+    * finds the index BUILT, as in production (see [[SessionCache]]). */
   private def cachedIndex(
-      s: SparkSession, key: String, build: => DataFrame): DataFrame = {
-    val perSession = indexCache.synchronized {
-      // the cached DataFrames strongly reference their session, so
-      // the weak KEY alone can never clear (value → key edge, per
-      // WeakHashMap contract): sweep stopped sessions explicitly or
-      // every dead session's plans stay on the driver heap for the
-      // JVM lifetime
-      val it = indexCache.keySet.iterator()
-      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-      var m = indexCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-        indexCache.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(key, _ => {
-      val idx = build
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idx.count()
-      idx
-    })
-  }
+      s: SparkSession, key: String, build: => DataFrame): DataFrame =
+    SessionCache.get(s, key, build)
 
   /** Bucketed-sorted layout for a cached index frame: partitioned and
     * sorted by (band, sig) — the persisted analog of a bucketed sorted

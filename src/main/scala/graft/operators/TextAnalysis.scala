@@ -18,6 +18,7 @@ object TextAnalysis {
     QueryDef("text_tokens", tokens, Some(tokensSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_commonness", commonness, Some(commonnessSql)),
+    QueryDef("text_commonness_fast", commonnessFast, None),
     QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
@@ -550,6 +551,36 @@ object TextAnalysis {
         explode(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))")).as("bg"))
     val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("n_corpus"))
     bigrams.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus") >= CommonMin, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("commonness",
+        col("n_common").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Production twin of [[commonness]]: bigrams hash to xxhash64
+    * LONGS map-side, so the count groupBy and the corpus join shuffle
+    * and compare 8-byte keys instead of raw bigram strings — the
+    * dedup_minhash_fast precedent (xxhash64 differs across engines,
+    * so rows-only; TextFastSpec pins it to the oracled entry's exact
+    * output, collision odds |bigrams|²/2⁶⁵ ≈ 1e-7 corpus-wide).
+    */
+  private def commonnessFast(s: SparkSession, dir: String): DataFrame = {
+    // hash once per doc, checkpoint the 8-byte/bigram arrays: the
+    // corpus-count branch and the per-doc branch both re-explode the
+    // materialized longs instead of re-splitting and re-hashing the
+    // raw text (the oracled entry's double-explode recomputes both)
+    val docBg = Tables.parallelized(Tables.documents(s, dir))
+      .withColumn("w", split(col("text"), "\\s+"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(w) - 1), i -> xxhash64(concat_ws(' ', w[i-1], w[i])))").as("bhs"))
+      .localCheckpoint()
+    val bigrams = docBg.select(col("doc_id"), explode(col("bhs")).as("bh"))
+    val counts = bigrams.groupBy("bh").agg(count(lit(1)).as("n_corpus"))
+    bigrams.join(counts, "bh")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -312,6 +312,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((500L, 501L)), pairs.toString)
   }
 
+  test("text_commonness_fast equals the oracled entry exactly") {
+    // the xxhash64 production twin must land on the md5-free string
+    // entry's exact output: equal unless two distinct corpus bigrams
+    // collide in 64 bits (|bigrams|²/2⁶⁵ ≈ 1e-7 here)
+    val slow = run("text_commonness").collect().map(_.toSeq).toSeq
+    val fast = run("text_commonness_fast").collect().map(_.toSeq).toSeq
+    assert(fast == slow)
+  }
+
   test("dedup_minhash_fast (xxhash64) recalls the planted pairs too") {
     val pairs = run("dedup_minhash_fast").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
