@@ -23,7 +23,7 @@ object Cdc {
     QueryDef("cdc_offset_commit", offsetCommit, Some(offsetCommitSql)),
     QueryDef("cdc_commit_watermark", commitWatermark, Some(commitWatermarkSql)),
     QueryDef("cdc_ddl_parse", ddlParse, Some(ddlParseSql)),
-    QueryDef("cdc_type_decode", typeDecode, None),
+    QueryDef("cdc_type_decode", typeDecode, Some(typeDecodeSql)),
     QueryDef("cdc_binlog_source", binlogSource, None),
     QueryDef("cdc_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
     QueryDef("cdc_binlog_throughput", binlogThroughput, None),
@@ -57,7 +57,8 @@ object Cdc {
     QueryDef("cdc_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("cdc_merge_pruned", mergePruned, Some(mergePrunedSql)),
     QueryDef("cdc_offsets_dense", offsetsDense, Some(offsetsDenseSql)),
-    QueryDef("cdc_point_lookup", pointLookup, Some(pointLookupSql))
+    QueryDef("cdc_point_lookup", pointLookup, Some(pointLookupSql)),
+    QueryDef("cdc_multi_table", multiTable, Some(multiTableSql))
   )
 
   /** Shared op-mapping SQL fragment — mirror of Changelog.canonicalize. */
@@ -233,14 +234,74 @@ object Cdc {
       |    FROM part))
       |GROUP BY kind ORDER BY kind""".stripMargin
 
-  // --- cdc_type_decode: binlog type surface (rows-only check) ---
+  // --- cdc_type_decode: the column-type decode surface, ORACLED ---
+  // The reference's core type mapping (rust-cdc src/mysql/event/
+  // mod.rs:370-640) exercised through the REAL parse path: two
+  // generated binlogs — the typed table (INT, BIT(9), ENUM, SET,
+  // DATE) and the temporal table (DATETIME2(3), TIMESTAMP2(2),
+  // TIME2, JSON, GEOMETRY, legacy TIME/DATETIME, YEAR) — stream
+  // through the DSv2 source, decode into typed Spark columns, and
+  // compare against a DuckDB table re-derived from the generator's
+  // OWN arithmetic (the fixture values are formula-of-row-id by
+  // construction, so the oracle enumerates the same formulas as SQL
+  // literals: a one-bit decode slip in any of the 15 columns is a
+  // hash mismatch, not a pin drift).
+  private val TypeDecodeRows = 300
+
   private def typeDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    BinlogTypes.byCode.toSeq
-      .map { case (code, dt) => (code, dt.simpleString) }
-      .sortBy(_._1)
-      .toDF("type_code", "catalyst_type")
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val genDir = ensureGenerated("graft_binlog_typedecode_v1") { tmp =>
+      graft.sources.binlog.BinlogGen.writeTypedFile(
+        tmp.resolve("mysql-bin.000001").toString, n = TypeDecodeRows)
+      graft.sources.binlog.BinlogGen.writeTemporalFile(
+        tmp.resolve("mysql-bin.000002").toString, n = TypeDecodeRows)
+    }
+    val ev = graft.sources.binlog.BinlogSource.events(s, genDir)
+      .filter(col("event_type") === "WRITE_ROWS_V2")
+    def js(n: Int) = StructType(
+      (0 until n).map(i => StructField(s"col_$i", StringType)))
+    val t = ev.filter(col("table_name") === "typed")
+      .select(from_json(col("after"), js(5)).as("a"))
+      .select(
+        col("a.col_0").cast("int").as("id"),
+        col("a.col_1").as("bit_hex"),
+        col("a.col_2").cast("int").as("enum_idx"),
+        col("a.col_3").cast("int").as("set_mask"),
+        col("a.col_4").cast("date").as("d"))
+    val x = ev.filter(col("table_name") === "temporal")
+      .select(from_json(col("after"), js(10)).as("a"))
+      .select(
+        col("a.col_0").cast("int").as("id"),
+        col("a.col_1").cast("timestamp").as("dt2"),
+        col("a.col_2").cast("double").as("ts2_epoch"),
+        col("a.col_3").as("time2"),
+        col("a.col_4").as("json_hex"),
+        col("a.col_5").as("geom_hex"),
+        col("a.col_6").as("time_legacy"),
+        col("a.col_7").cast("timestamp").as("dt_legacy"),
+        col("a.col_8").as("time_neg"),
+        col("a.col_9").cast("int").as("yr"))
+    t.join(x, Seq("id")).orderBy("id")
   }
+
+  private val typeDecodeSql =
+    s"""WITH t AS (SELECT CAST(i AS INT) AS id
+       |           FROM generate_series(1, $TypeDecodeRows) g(i))
+       |SELECT id,
+       |  printf('0x%04x', id % 512) AS bit_hex,
+       |  CAST(1 + id % 3 AS INT) AS enum_idx,
+       |  CAST(id % 7 AS INT) AS set_mask,
+       |  make_date(2024, 1 + id % 12, 1 + id % 28) AS d,
+       |  TIMESTAMP '2024-01-02 03:04:05.678' AS dt2,
+       |  CAST(1700000000.25 AS DOUBLE) AS ts2_epoch,
+       |  '12:34:56' AS time2,
+       |  '0x0102' AS json_hex,
+       |  '0x0101000000000000000000f03f0000000000000040' AS geom_hex,
+       |  '09:34:56' AS time_legacy,
+       |  TIMESTAMP '2024-01-02 03:04:05' AS dt_legacy,
+       |  '-01:00:00' AS time_neg,
+       |  CAST(0 AS INT) AS yr
+       |FROM t ORDER BY id""".stripMargin
 
   // --- cdc_bloom_dedup: bloom-gated new-key detection --------------
   // Replays the reference's StableBloomFilter front gate: events in
@@ -716,6 +777,127 @@ object Cdc {
       |SELECT 'pre' AS state, key, value FROM w1, bounds
       |  WHERE key BETWEEN lo AND hi
       |ORDER BY state, key""".stripMargin
+
+  // --- cdc_multi_table: one stream fans into per-table sinks -------
+  // The reference's main loop routes ONE binlog stream into N tables
+  // via table_maps + MatchStrategy (rust-cdc src/mysql/conn.rs:181-
+  // 268, src/delta/mod.rs:95-124); graft proved the filter
+  // (cdc_match_filter) and the single-table sink (cdc_sink,
+  // cdc_replica_loop) separately — this entry is the COMPOSITION: a
+  // rotated multi-table stream (3 tables interleaved round-robin,
+  // txn-per-table, as a real server commits) consumed by one
+  // foreachBatch that routes rows by table_name through the
+  // MatchStrategy subscription predicate into three versioned sinks,
+  // each committing its OWN offsets. The DuckDB oracle re-derives
+  // all three tables' contents from the generator's arithmetic; the
+  // in-entry require proves every sink committed offsets for every
+  // rotated file.
+  private val RoutedTables = Seq(101L -> "t_alpha", 102L -> "t_beta", 103L -> "t_gamma")
+  private val RoutedRowsPerTxn = 4
+  private val RoutedFiles = 8
+  private val RoutedGenFiles = 32
+
+  private def routedTxns(s: SparkSession, dir: String): Long = {
+    val n = (Tables.orders(s, dir).count() / 40) * RoutedFiles
+    // multiTableSql enumerates txns from a fixed range() ceiling —
+    // see replicaTxns for why the ceiling must fail loudly
+    require(n <= 10000000L,
+      s"routed stream has $n txns, above the 10M ceiling baked into " +
+        "multiTableSql's DuckDB range(); raise both together")
+    n
+  }
+
+  private def multiTable(s: SparkSession, dir: String): DataFrame = {
+    val nTxns = routedTxns(s, dir)
+    val base = nTxns / RoutedGenFiles
+    val rem = (nTxns % RoutedGenFiles).toInt
+    val genDir = ensureGenerated(s"graft_binlog_routed_v1_$nTxns") { tmp =>
+      var firstTxn = 0L
+      (1 to RoutedGenFiles).foreach { f =>
+        val count = (base + (if (f <= rem) 1 else 0)).toInt
+        if (count > 0) {
+          graft.sources.binlog.BinlogGen.writeRoutedFile(
+            tmp.resolve(f"mysql-bin.$f%06d").toString,
+            RoutedTables, firstTxn, count, RoutedRowsPerTxn)
+          firstTxn += count
+        }
+      }
+    }
+    val tableDirs = RoutedTables.map { case (_, name) =>
+      name -> java.nio.file.Files
+        .createTempDirectory(s"cdc_multi_${name}_").toString
+    }
+    val qn = s"cdc_multi_table_${System.nanoTime()}"
+    CdcStream.registerStreamingSession(s)
+    val q = s.readStream.format("binlog").load(genDir)
+      .writeStream.queryName(qn)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("cdc_multi_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        // the SUBSCRIPTION predicate (reference MatchStrategy):
+        // pushable per-column filters, evaluated before row
+        // materialization in the DSv2 source
+        val rows = batch
+          .filter(graft.cdc.MatchStrategy.matchesCols(
+            col("schema_name"), col("table_name"),
+            Seq("gen"), RoutedTables.map(_._2)) &&
+            col("event_type") === "WRITE_ROWS_V2")
+          .withColumn("__a", from_json(col("after"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("col_0",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("col_1",
+                org.apache.spark.sql.types.StringType)))))
+          .select(col("table_name"),
+            col("__a.col_0").cast("long").as("key"),
+            lit("c").as("op"),
+            (regexp_extract(col("file"), "mysql-bin\\.(\\d+)", 1)
+              .cast("long") * 1000000000L + col("log_pos")).as("offset"),
+            col("__a.col_1").as("title"),
+            col("file").as("source_file"))
+          // one routed batch feeds N per-table merges — persist so the
+          // parse + json decode run once, not once per table
+          .persist()
+        try tableDirs.foreach { case (name, tdir) =>
+          CdcSink.merge(ss,
+            rows.filter(col("table_name") === name).drop("table_name"),
+            tdir, None)
+        } finally rows.unpersist()
+      }
+      .start()
+    try q.awaitTermination()
+    finally CdcStream.releaseStreamResources(s)
+    // per-table offset commits: every rotated file holds every
+    // table's txns (round-robin, >=3 txns/file at every SF), so each
+    // sink must have committed an offset for each file
+    val nFiles = new java.io.File(genDir).listFiles()
+      .count(_.getName.startsWith("mysql-bin"))
+    tableDirs.foreach { case (name, tdir) =>
+      val offs = CdcSink.committedOffsets(s, tdir)
+      require(offs.size == nFiles,
+        s"$name committed offsets for ${offs.size} of $nFiles files")
+    }
+    tableDirs.map { case (name, tdir) =>
+      CdcSink.read(s, tdir)
+        .select(lit(name).as("table_name"), col("key"), col("title"))
+    }.reduce(_ unionAll _).orderBy("table_name", "key")
+  }
+
+  private val multiTableSql = {
+    val r = RoutedRowsPerTxn; val f = RoutedFiles
+    s"""WITH sc AS (SELECT (count(*) // 40) * $f AS n FROM orders),
+       |txns AS (SELECT i AS txn FROM range(0, 10000001) t(i), sc WHERE i < sc.n),
+       |rws AS (
+       |  SELECT CASE CAST(txn % 3 AS INT)
+       |           WHEN 0 THEN 't_alpha' WHEN 1 THEN 't_beta'
+       |           ELSE 't_gamma' END AS table_name,
+       |         txn * $r + j AS key
+       |  FROM txns, range(1, ${r + 1}) g(j))
+       |SELECT table_name, key, 'row-' || key AS title
+       |FROM rws ORDER BY table_name, key""".stripMargin
+  }
 
   // --- cdc_offsets_dense: Kafka-style offset assignment at width ----
   // Dense per-partition sequence numbers for a topic-shaped changelog

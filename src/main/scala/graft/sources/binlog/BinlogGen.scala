@@ -229,12 +229,17 @@ object BinlogGen {
     b.array()
   }
 
-  private def tableMapBody(): Array[Byte] = {
+  private def tableMapBody(): Array[Byte] = namedTableMapBody(TableId, "gen")
+
+  /** `gen.<name> (id INT, title VARCHAR(160))` table map for an
+    * arbitrary (tableId, name) — the multi-table routed stream emits
+    * several of these interleaved, as a real server does. */
+  private def namedTableMapBody(tableId: Long, name: String): Array[Byte] = {
     val schema = "gen".getBytes("UTF-8")
-    val table = "gen".getBytes("UTF-8")
+    val table = name.getBytes("UTF-8")
     val b = ByteBuffer.allocate(6 + 2 + 1 + schema.length + 1 + 1 + table.length + 1 +
       1 + 2 + 1 + 2 + 1).order(ByteOrder.LITTLE_ENDIAN)
-    putU48(b, TableId)
+    putU48(b, tableId)
     b.putShort(1) // flags
     b.put(schema.length.toByte); b.put(schema); b.put(0.toByte)
     b.put(table.length.toByte); b.put(table); b.put(0.toByte)
@@ -330,17 +335,46 @@ object BinlogGen {
     b.array()
   }
 
-  private def writeRowsBody(firstId: Int, n: Int): Array[Byte] = {
+  private def writeRowsBody(firstId: Int, n: Int): Array[Byte] =
+    namedRowsBody(TableId, firstId, n)
+
+  private def namedRowsBody(tableId: Long, firstId: Int, n: Int): Array[Byte] = {
     val rows = (0 until n).map(i => rowImage(firstId + i, s"row-${firstId + i}"))
     val rowBytes = rows.map(_.length).sum
     val b = ByteBuffer.allocate(6 + 2 + 2 + 1 + 1 + rowBytes).order(ByteOrder.LITTLE_ENDIAN)
-    putU48(b, TableId)
+    putU48(b, tableId)
     b.putShort(1) // flags
     b.putShort(2) // extra data length (just itself)
     b.put(2.toByte) // col count lenenc
     b.put(0x03.toByte) // columns-present bitmap: both (bits 0,1)
     rows.foreach(b.put)
     b.array()
+  }
+
+  /** Routed multi-table stream: `nTxns` transactions starting at
+    * `firstTxn` (global index — rotation across files keeps the
+    * round-robin phase), each touching ONE of `tables` round-robin:
+    * TABLE_MAP + WRITE_ROWS_V2 + XID per transaction, the interleaved
+    * shape a real server's binlog has when several tables commit
+    * (rust-cdc routes these via table_maps + MatchStrategy,
+    * src/mysql/conn.rs:181-268). Row ids are globally unique:
+    * id = txn · rowsPerTxn + j, j in [1, rowsPerTxn].
+    */
+  def writeRoutedFile(
+      path: String,
+      tables: Seq[(Long, String)],
+      firstTxn: Long,
+      nTxns: Int,
+      rowsPerTxn: Int): Unit = {
+    withBinlog(path) { emit =>
+      (0 until nTxns).foreach { t =>
+        val txn = firstTxn + t
+        val (tid, name) = tables((txn % tables.size).toInt)
+        emit(0x13, namedTableMapBody(tid, name))
+        emit(0x1e, namedRowsBody(tid, (txn * rowsPerTxn + 1).toInt, rowsPerTxn))
+        emit(0x10, xidBody(txn + 1))
+      }
+    }
   }
 
   /** A second table exercising the metadata-bearing types: BIT(9),

@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Content-hash teeth for the rows-only gate entries (the BinlogSpec
   * :342-390 pattern, extended): mm_decode/mm_frames/mm_resize/
-  * mm_resample/mm_phash and cdc_type_decode have no DuckDB oracle
-  * (binary inputs / engine type table), but their inputs are
+  * mm_resample/mm_phash have no DuckDB oracle
+  * (binary inputs), but their inputs are
   * deterministic, so the full result CONTENT is pinnable — an
   * order-independent hash (decimal sum of per-row xxhash64 over
   * every output column) catches codec/resampler/type-map drift the
@@ -49,7 +49,6 @@ class ContentPinSpec extends AnyFunSuite {
         s"$name content drifted: got $h")
     }
 
-  pin("cdc_type_decode", 30, "-15577089598958490676")
   pin("cdc_txn_assemble", 12, "-1796980421773832028")
   pin("cdc_bloom_sweep", 5, "13618715941250525610")
   // mm_decode/mm_resize/mm_phash re-pinned r10: the JPEG modality
