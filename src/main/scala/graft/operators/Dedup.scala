@@ -716,15 +716,21 @@ object Dedup {
     // during day-1's admission (its banding cost is what
     // dedup_incremental / dedup_index_build measure), so day-2's
     // probe reads a persisted grown index, it does not re-band day1.
-    // plain union, NOT re-laid-out: with the probe frame broadcasting
-    // into the pair join, the grown index is only ever scanned — a
-    // bucketLayout here would re-shuffle and re-sort the whole index
-    // to admit one day's bands (measured +4 s at sf10); only its POP
-    // table (narrow rows) pays an exchange, once, at cache build
-    val grown = cachedIndex(s, s"$dir|grown",
-      standingIndex(s, dir)
-        .select(col("doc_id"), col("band"), col("sig"))
-        .unionAll(bandSignatures(day1, "doc_id", "text", md5Hash = true)))
+    // the grown index is a lazy union of the standing cache and a
+    // DELTA cache holding only day-1's bands — the admission appends
+    // an increment-sized table, it does not copy the index (an
+    // earlier form cached the whole union: a second full-index copy
+    // in executor storage, ~1 GB at sf10, squeezing later queries'
+    // execution memory; and a bucketLayout re-shuffle of it measured
+    // +4 s at sf10). With the probe frame broadcasting into the pair
+    // join the union is only ever SCANNED, so the layout of its
+    // branches is irrelevant; only the POP table (narrow rows) pays
+    // an exchange, once, at cache build.
+    val day1Bands = cachedIndex(s, s"$dir|day1bands",
+      bandSignatures(day1, "doc_id", "text", md5Hash = true))
+    val grown = standingIndex(s, dir)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .unionAll(day1Bands)
     incrementalDedupVerdicts(
       grown, day2,
       Tables.documents(s, dir).select("doc_id", "text")
