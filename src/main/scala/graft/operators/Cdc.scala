@@ -829,16 +829,27 @@ object Cdc {
     }
     val qn = s"cdc_multi_table_${System.nanoTime()}"
     CdcStream.registerStreamingSession(s)
-    val q = s.readStream.format("binlog").load(genDir)
+    // the subscription rides SOURCE OPTIONS (the Kafka-subscribe
+    // idiom): Spark applies no Catalyst pushdown to streaming DSv2
+    // scans, so a DataFrame filter would run only after the reader
+    // materialized every event — the options drop foreign tables'
+    // rows inside the reader (row decode gated in the parser),
+    // control events pass for txn boundaries
+    val q = s.readStream.format("binlog")
+      .option("subscribe.databases", "gen")
+      .option("subscribe.tables", RoutedTables.map(_._2).mkString(","))
+      .load(genDir)
       .writeStream.queryName(qn)
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("cdc_multi_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
-        // the SUBSCRIPTION predicate (reference MatchStrategy):
-        // pushable per-column filters, evaluated before row
-        // materialization in the DSv2 source
+        // residual re-check of the subscription (reference
+        // MatchStrategy semantics) — the heavy lifting happened in
+        // the reader via the subscribe.* options above; this keeps
+        // the routing correct even against a source without the
+        // option contract
         val rows = batch
           .filter(graft.cdc.MatchStrategy.matchesCols(
             col("schema_name"), col("table_name"),

@@ -122,6 +122,7 @@ object BinlogFilters {
   def pushable(f: Filter): Boolean = f match {
     case EqualTo(a, _: String) => pushableCols(a)
     case In(a, vs) => pushableCols(a) && vs.forall(_.isInstanceOf[String])
+    case IsNull(a) => pushableCols(a)
     case IsNotNull(a) => pushableCols(a)
     case StringStartsWith(a, _) => pushableCols(a)
     case And(l, r) => pushable(l) && pushable(r)
@@ -132,12 +133,51 @@ object BinlogFilters {
   def eval(f: Filter, fieldOf: String => String): Boolean = f match {
     case EqualTo(a, v: String) => fieldOf(a) == v
     case In(a, vs) => vs.contains(fieldOf(a))
+    case IsNull(a) => fieldOf(a) == null
     case IsNotNull(a) => fieldOf(a) != null
     case StringStartsWith(a, prefix) =>
       val v = fieldOf(a); v != null && v.startsWith(prefix)
     case And(l, r) => eval(l, fieldOf) && eval(r, fieldOf)
     case Or(l, r) => eval(l, fieldOf) || eval(r, fieldOf)
     case _ => true // unknown: keep, Spark re-applies residuals anyway
+  }
+}
+
+/** Kafka-`subscribe`-style SOURCE OPTIONS: `subscribe.databases` /
+  * `subscribe.tables` (comma-separated literal lists; `*` or absent
+  * = everything). Spark never applies Catalyst filter pushdown to
+  * STREAMING DSv2 scans (MicroBatchExecution builds the scan
+  * directly, no V2ScanRelationPushDown pass), so a replica-style
+  * subscription expressed as a DataFrame filter is evaluated only
+  * AFTER the reader materialized every foreign table's rows. These
+  * options compile to the same reader-level Filter dialect the batch
+  * pushdown uses and ride the scan into BOTH paths.
+  *
+  * Events that carry no table (XID, GTID, FORMAT_DESCRIPTION,
+  * HEARTBEAT…) always pass — consumers need transaction boundaries
+  * and control flow whatever they subscribe to, exactly like the
+  * reference's listener (rust-cdc src/mysql/mod.rs:21-90).
+  * Wildcard PATTERNS (beyond a bare `*`) are not accepted here —
+  * use [[graft.cdc.MatchStrategy.matchesCols]] as a DataFrame
+  * filter, which pushes down on batch reads.
+  */
+object BinlogSubscription {
+  import org.apache.spark.sql.sources._
+
+  def filters(options: Map[String, String]): Array[Filter] = {
+    def list(key: String): Seq[String] = options.get(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    def sub(colName: String, vs: Seq[String]): Option[Filter] =
+      if (vs.isEmpty || vs.contains("*")) None
+      else {
+        require(vs.forall(!_.contains("*")),
+          s"subscribe option for $colName takes literal comma lists " +
+            "or '*'; wildcard patterns go through " +
+            "MatchStrategy.matchesCols DataFrame filters")
+        Some(Or(IsNull(colName), In(colName, vs.toArray)))
+      }
+    (sub("schema_name", list("subscribe.databases")) ++
+      sub("table_name", list("subscribe.tables"))).toArray
   }
 }
 
@@ -148,7 +188,11 @@ class BinlogScan(
     required: StructType,
     val pushedDown: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
-  private def filters = pushedDown
+  // readers evaluate Catalyst-pushed filters AND the option-derived
+  // subscription; only the former is REPORTED via pushedFilters()
+  // (Spark re-applies residuals for those — the subscription is the
+  // source's own contract, like Kafka's subscribe)
+  private def filters = pushedDown ++ BinlogSubscription.filters(options)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)

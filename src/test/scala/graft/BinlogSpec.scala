@@ -114,6 +114,50 @@ class BinlogSpec extends AnyFunSuite {
     assert(in2.nonEmpty)
   }
 
+  test("subscribe.* source options drop foreign tables at the reader, keep control events") {
+    import graft.sources.binlog.BinlogGen
+    val dir = java.nio.file.Files.createTempDirectory("binlog_sub_")
+    BinlogGen.writeRoutedFile(dir.resolve("mysql-bin.000001").toString,
+      Seq(70L -> "t_a", 71L -> "t_b", 72L -> "t_c"),
+      firstTxn = 0L, nTxns = 9, rowsPerTxn = 2)
+    def read(opts: (String, String)*) = {
+      var r = spark.read.format("binlog")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(s"$dir/*").collect()
+    }
+    val all = read()
+    val sub = read("subscribe.databases" -> "gen", "subscribe.tables" -> "t_a,t_b")
+    // foreign table's events (TABLE_MAP + rows) dropped at the reader
+    val subTables = sub.flatMap(r => Option(r.getAs[String]("table_name"))).toSet
+    assert(subTables == Set("t_a", "t_b"), subTables)
+    // control events (XID — no table) always pass: one per txn
+    assert(sub.count(_.getAs[String]("event_type") == "XID") == 9)
+    // subscription equals the post-hoc filter on the table events
+    val expected = all.filter { r =>
+      val t = r.getAs[String]("table_name"); t == null || t == "t_a" || t == "t_b"
+    }.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("log_pos"))).toSet
+    assert(sub.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("log_pos"))).toSet
+      == expected)
+    // '*' and absent behave the same: everything
+    assert(read("subscribe.tables" -> "*").length == all.length)
+    // streaming path gets the same reader-level subscription (no
+    // Catalyst pushdown exists for streaming DSv2 scans)
+    val qn = s"binlog_sub_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("binlog")
+      .option("subscribe.tables", "t_c")
+      .load(s"$dir/*")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("binlog_sub_ckpt_").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val st = spark.table(qn).collect()
+    assert(st.flatMap(r => Option(r.getAs[String]("table_name"))).toSet == Set("t_c"))
+    assert(st.count(_.getAs[String]("event_type") == "XID") == 9)
+    // wildcard PATTERNS are rejected loudly, not silently unmatched
+    intercept[Exception] { read("subscribe.tables" -> "t_*") }
+  }
+
   test("MatchStrategy subscription pushes In/StartsWith to the binlog scan") {
     import graft.cdc.MatchStrategy
     // finite + prefix patterns compile to a pushable Or tree on the
