@@ -200,7 +200,12 @@ object Bench {
     }
     val mergedTotal = mergedBest.map(_._2).sum
     val mapJson = new StringBuilder("{\n")
-    mapJson ++= s""""sf":"$sfDir","passes":$passes,"nq":${mergedBest.size},"merged":$merged,"""
+    // provenance flag: pass0..N / cold_total / steady_total always
+    // describe THIS run; when a suspect run was refused, best/spread
+    // came from the prior map and this-run detail must not be read
+    // against them (last_run_folded=false marks exactly that)
+    val lastFolded = !(suspect && merged)
+    mapJson ++= s""""sf":"$sfDir","passes":$passes,"nq":${mergedBest.size},"merged":$merged,"last_run_folded":$lastFolded,"""
     mapJson ++= s""""best_total":${r3(mergedTotal)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"""
     mapJson ++= s""""pass_totals":[${mergedHist.map(r3).mkString(",")}],"""
     mapJson ++= "\n" + all.zipWithIndex.map { case (p, i) =>

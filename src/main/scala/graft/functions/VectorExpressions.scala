@@ -180,12 +180,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // a null ELEMENT violates the sorted-distinct contract and must
+  // fail loudly: ArrayData.getLong on a null slot silently reads
+  // garbage (0 for UnsafeArrayData), which would count phantom
+  // matches instead of erroring
+  private def nullElement(): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: null array element (inputs must be sorted " +
+        "arrays of non-null bigints)")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) nullElement()
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -208,6 +218,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: null array element (inputs must " +
+         |      "be sorted arrays of non-null bigints)");
+         |  }
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }

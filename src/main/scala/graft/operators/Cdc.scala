@@ -809,11 +809,17 @@ object Cdc {
 
   private def multiTable(s: SparkSession, dir: String): DataFrame = {
     val nTxns = routedTxns(s, dir)
-    val base = nTxns / RoutedGenFiles
-    val rem = (nTxns % RoutedGenFiles).toInt
+    // every generated file must hold at least one txn PER TABLE
+    // (round-robin ⇒ ≥ tables.size txns/file), or the per-file
+    // offset require below would fail spuriously on tiny dirs —
+    // shrink the file count rather than assume the invariant
+    val genFiles = math.max(1L,
+      math.min(RoutedGenFiles.toLong, nTxns / RoutedTables.size)).toInt
+    val base = nTxns / genFiles
+    val rem = (nTxns % genFiles).toInt
     val genDir = ensureGenerated(s"graft_binlog_routed_v1_$nTxns") { tmp =>
       var firstTxn = 0L
-      (1 to RoutedGenFiles).foreach { f =>
+      (1 to genFiles).foreach { f =>
         val count = (base + (if (f <= rem) 1 else 0)).toInt
         if (count > 0) {
           graft.sources.binlog.BinlogGen.writeRoutedFile(
@@ -881,7 +887,8 @@ object Cdc {
     try q.awaitTermination()
     finally CdcStream.releaseStreamResources(s)
     // per-table offset commits: every rotated file holds every
-    // table's txns (round-robin, >=3 txns/file at every SF), so each
+    // table's txns (the generator shrinks the file count so
+    // round-robin puts ≥1 txn per table in each file), so each
     // sink must have committed an offset for each file
     val nFiles = new java.io.File(genDir).listFiles()
       .count(_.getName.startsWith("mysql-bin"))

@@ -282,12 +282,19 @@ object Dedup {
       threshold: Double = 0.7,
       indexPop: Option[DataFrame] = None,
       indexGrams: Option[DataFrame] = None): DataFrame = {
+    // the increment's band frame feeds four consumers inside the
+    // candidate plan; verdicts OWNS its persist so it can be released
+    // with the other intermediates (a localCheckpoint inside
+    // incrementalCandidates had no release path — blocks lingered
+    // until GC across every probe of a suite run)
+    val nb = bandSignatures(increment, idCol, textCol, k, r, md5Hash)
+      .persist()
     // candidate pairs are |collisions|-bounded and feed THREE
     // consumers (two id branches of the semi-join prune + the verify
     // join) — persist so the band join runs once, not three times
     val cand = incrementalCandidates(
       index, increment, idCol, textCol, k, r, md5Hash, maxBucket,
-      indexPop).persist()
+      indexPop, Some(nb)).persist()
     // the pruned gram table is |touched|-bounded and feeds BOTH sides
     // of the verify join — persist + materialize so the corpus scan +
     // semi-join + gram transform run once, not per branch (measured:
@@ -297,7 +304,7 @@ object Dedup {
     try {
       val touched = g.count()
       // the materializing count doubles as the broadcast gate: a
-      // |touched| below the cap (~90 MB of hashed-gram rows) turns
+      // |touched| below the cap (~180 MB of hashed-gram rows) turns
       // BOTH verify joins map-side — the |pairs|-sized cand frame
       // never shuffles at all (measured: the two pair-granularity
       // shuffle joins dragged 51-element gram arrays through an
@@ -306,7 +313,7 @@ object Dedup {
       // materialize before unpersist: severing lineage here keeps the
       // persisted frames out of the returned plan
       verifyJoin(cand, gJoin, threshold).localCheckpoint()
-    } finally { cand.unpersist(); g.unpersist() }
+    } finally { cand.unpersist(); g.unpersist(); nb.unpersist() }
   }
 
   /** Lazy candidate plan of [[incrementalDedupVerdicts]]: the
@@ -323,10 +330,12 @@ object Dedup {
     * (increment-vs-index ∪ increment-vs-increment), exactly the
     * pairs-with-a-new-member the window form produced.
     *
-    * The increment's bands are localCheckpointed: the frame feeds
-    * four consumers (bucket counts, the semi-join, both pair joins)
-    * and banding is the probe's dominant CPU — lineage re-execution
-    * would re-shingle the increment per consumer.
+    * The increment's bands are materialized once (persisted by the
+    * verdicts caller via `newBands`, or localCheckpointed here for
+    * direct callers): the frame feeds four consumers (bucket counts,
+    * the semi-join, both pair joins) and banding is the probe's
+    * dominant CPU — lineage re-execution would re-shingle the
+    * increment per consumer.
     */
   private[graft] def incrementalCandidates(
       index: DataFrame,
@@ -337,9 +346,15 @@ object Dedup {
       r: Int,
       md5Hash: Boolean,
       maxBucket: Int,
-      indexPop: Option[DataFrame] = None): DataFrame = {
-    val nb = bandSignatures(increment, idCol, textCol, k, r, md5Hash)
-      .localCheckpoint()
+      indexPop: Option[DataFrame] = None,
+      newBands: Option[DataFrame] = None): DataFrame = {
+    // direct (audit/spec) callers get a localCheckpoint — simple, GC
+    // reclaims it; the production entries pass a persisted frame via
+    // `newBands` so incrementalDedupVerdicts can release it with the
+    // other intermediates
+    val nb = newBands.getOrElse(
+      bandSignatures(increment, idCol, textCol, k, r, md5Hash)
+        .localCheckpoint())
     val pop = indexPop.getOrElse(
       index.groupBy("band", "sig").agg(count(lit(1)).as("__idx_n")))
     val popNew = nb.groupBy("band", "sig").agg(count(lit(1)).as("__new_n"))
@@ -562,9 +577,6 @@ object Dedup {
     * see a predecessor's dead cached plan. `count()` materializes
     * eagerly — a probe finds the index BUILT, as in production.
     */
-  // weak session key: a stopped session's cached plans are useless
-  // (and identity hashes can recycle across lifetimes) — the whole
-  // per-session map goes with the session
   /** Materialized-index cache: builds `build` once per (session,
     * key), persisted MEMORY_AND_DISK and counted eagerly so a probe
     * finds the index BUILT, as in production (see [[SessionCache]]). */

@@ -70,8 +70,13 @@ object Similarity {
   private val PqDsub = 8
   private val PqCodes = 16
 
-  private def pqAdc(s: SparkSession, dir: String): DataFrame =
-    pqScore(s, dir, pqEncode(s, dir))
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    // one codebook collect shared by encode and score (they each
+    // accept it as a parameter precisely so this entry doesn't run
+    // the 16-row scan-and-collect job twice per invocation)
+    val seeds = pqSeeds(s, dir)
+    pqScore(s, dir, pqEncode(s, dir, seeds), seeds)
+  }
 
   /** First-PqCodes-vectors codebook, collected driver-side (16 rows). */
   private def pqSeeds(s: SparkSession, dir: String): Map[Int, Array[Float]] =
@@ -92,9 +97,10 @@ object Similarity {
     * run (it is the build+query entry); sim_recall_eval reads the
     * stored codes through [[SessionCache]].
     */
-  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+  private def pqEncode(
+      s: SparkSession, dir: String,
+      seeds: Map[Int, Array[Float]]): DataFrame = {
     val emb = Tables.parallelized(Tables.embeddings(s, dir))
-    val seeds = pqSeeds(s, dir)
     // Σ c_i² as a Scala left fold over double-cast floats — the same
     // accumulation order as the oracle's list_reduce, so the constant
     // is bit-identical
@@ -119,8 +125,8 @@ object Similarity {
   /** ADC scoring over a code table: per-query decimal term sums via
     * codebook lookup, top-k per query. */
   private def pqScore(
-      s: SparkSession, dir: String, encoded: DataFrame): DataFrame = {
-    val seeds = pqSeeds(s, dir)
+      s: SparkSession, dir: String, encoded: DataFrame,
+      seeds: Map[Int, Array[Float]]): DataFrame = {
     def centCol(sub: Int, code: Int): Column =
       array(pqCent(seeds, sub, code).map(lit): _*)
     val queries = Tables.embeddings(s, dir)
@@ -1063,8 +1069,10 @@ object Similarity {
             .as("recall_milli"))
     val int8 = int8TopK(
       SessionCache.get(s, s"sim|$dir|int8_corpus", quantizedCorpus(s, dir)))
+    val pqSeed = pqSeeds(s, dir)
     val pq4 = pqScore(s, dir,
-      SessionCache.get(s, s"sim|$dir|pq_codes", pqEncode(s, dir)))
+      SessionCache.get(s, s"sim|$dir|pq_codes", pqEncode(s, dir, pqSeed)),
+      pqSeed)
     arm("int8", int8)
       .unionByName(arm("pq4", pq4))
       .orderBy("q_id", "method")

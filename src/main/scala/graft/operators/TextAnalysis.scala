@@ -577,10 +577,13 @@ object TextAnalysis {
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), expr(
         "transform(sequence(1, size(w) - 1), i -> xxhash64(concat_ws(' ', w[i-1], w[i])))").as("bhs"))
-      .localCheckpoint()
+      .persist() // corpus-sized: released below, unlike a checkpoint
     val bigrams = docBg.select(col("doc_id"), explode(col("bhs")).as("bh"))
     val counts = bigrams.groupBy("bh").agg(count(lit(1)).as("n_corpus"))
-    bigrams.join(counts, "bh")
+    // the final per-doc frame is small; checkpointing it severs the
+    // lineage so the corpus-sized hash arrays can be unpersisted now
+    // instead of squatting in executor storage until GC
+    try bigrams.join(counts, "bh")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -588,6 +591,8 @@ object TextAnalysis {
       .withColumn("commonness",
         col("n_common").cast("double") / col("n_bigrams"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    finally docBg.unpersist()
   }
 
   private val commonnessSql =

@@ -98,6 +98,51 @@ class FunctionsSpec extends AnyFunSuite {
       .head.getDouble(0) == 2.0)
   }
 
+  test("sorted_intersect_count: codegen == interpreted, empty/null/dup/nullable-element contracts") {
+    import spark.implicits._
+    graft.functions.register(spark)
+    val df = Seq(
+      ("both", Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // overlap 2
+      ("disjoint", Seq(1L, 2L), Seq(3L, 4L)),
+      ("subset", Seq(2L, 4L), Seq(1L, 2L, 3L, 4L, 5L)),
+      ("emptyA", Seq.empty[Long], Seq(1L, 2L)),
+      ("emptyB", Seq(1L, 2L), Seq.empty[Long])
+    ).toDF("k", "a", "b")
+    // codegen path (whole-stage over a projection)
+    val got = df.select(col("k"),
+      graft.functions.sorted_intersect_count(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("both" -> 2, "disjoint" -> 0, "subset" -> 2,
+      "emptyA" -> 0, "emptyB" -> 0), got.toString)
+    // interpreted eval agrees (direct expression, no codegen)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val e = graft.functions.SortedIntersectCount(null, null)
+    def arr(xs: Long*): ArrayData =
+      ArrayData.toArrayData(xs.toArray)
+    assert(e.nullSafeEval(arr(1L, 3L, 5L, 9L), arr(2L, 3L, 5L, 10L)) == 2)
+    assert(e.nullSafeEval(arr(), arr(1L)) == 0)
+    // null ARRAY → null result (BinaryExpression null-safety)
+    val withNull = df.select(graft.functions.sorted_intersect_count(
+      col("a"), lit(null).cast("array<bigint>"))).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+    // SQL registration works and agrees
+    val viaSql = df.selectExpr("sorted_intersect_count(a, b) AS c")
+      .collect().map(_.getInt(0)).sum
+    assert(viaSql == 4)
+    // null ELEMENTS fail loudly, never miscount (getLong on a null
+    // slot reads garbage) — a 0L element in the other array would
+    // otherwise phantom-match the garbage read
+    val err = intercept[Exception] {
+      Seq((Seq(0L, 1L), 1)).toDF("b", "i")
+        .selectExpr("sorted_intersect_count(array(CAST(NULL AS BIGINT)), b)")
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(err).contains("null array element"), rootMsg(err))
+  }
+
   test("compress_ratio: codegen == interpreted, orders quality correctly") {
     import spark.implicits._
     graft.functions.register(spark)
