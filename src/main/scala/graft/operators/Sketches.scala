@@ -33,10 +33,17 @@ object Sketches {
   )
 
   private def kmv(s: SparkSession, dir: String): DataFrame = {
+    // distinct BEFORE md5: the dedup key is (flag, partkey) either
+    // way (md5 is deterministic, and a cross-partkey md5 collision
+    // would break the oracle's own DISTINCT identically), so hashing
+    // after the distinct computes |distinct| md5s instead of |rows|
+    // (~10× fewer at sf10) and the dedup exchange carries 16-byte
+    // rows instead of 32-char hex strings
     val d = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("flag"),
-        md5(col("l_partkey").cast("string")).as("h"))
+      .select(col("l_returnflag").as("flag"), col("l_partkey"))
       .distinct()
+      .withColumn("h", md5(col("l_partkey").cast("string")))
+      .drop("l_partkey")
       .withColumn("frac", DetHash.fracOfHex(col("h")))
       .withColumn("negfrac", -col("frac")) // TopKPerKey orders desc
     val kept = graft.plans.TopKPerKey(d, Seq("flag"), "negfrac", K)

@@ -90,23 +90,35 @@ object TextAnalysis {
     * doc_id of a degenerate universal gram).
     */
   private def coveredPositions(docs: DataFrame, n: Int): DataFrame = {
-    // gram key = TWO seeded xxhash64 longs (128 bits total), not an
-    // md5 hex string: the key never leaves the plan (output is
-    // position sets), and 16 bytes vs a 32-char string cut the occ
-    // stream's shuffle/sort volume ~2.5× — at sf10 this stream is
-    // ~tokens-count rows, and its width was the entry's spill driver
+    // gram key = TWO xxhash64 longs (128 bits total), not an md5 hex
+    // string: the key never leaves the plan (output is position
+    // sets), and 16 bytes vs a 32-char string cut the occ stream's
+    // shuffle/sort volume ~2.5× — at sf10 this stream is
+    // ~tokens-count rows, and its width was the entry's spill driver.
+    //
+    // Each word's BYTES are hashed exactly once (one interpreted HOF
+    // pass builds the per-word long array); the per-position key then
+    // mixes n precomputed longs inside whole-stage codegen. The prior
+    // form built a gram STRING per position (slice + concat_ws) and
+    // string-hashed it twice — every word's bytes copied and re-hashed
+    // 2n times, and the HOF that built the struct stream was
+    // interpreted, so none of it was codegen'd. Both lanes derive from
+    // the same word hashes: a cross-lane collision needs a word-level
+    // xxhash64 collision first (|vocab|²/2⁶⁵ — ~1e-8 at sf10's ~1M
+    // distinct words), then for the colliding grams to co-occur.
+    val mix1 = (0 until n).map(k => s"wh[pos + $k]")
+      .mkString("xxhash64(", ", ", ")")
+    val mix2 = (0 until n).map(k => s"wh[pos + $k]")
+      .mkString("xxhash64(1L, ", ", ", ")")
     val occ = docs
       .filter(col("n_tokens") >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> " +
-          s"named_struct('pos', i, 's', concat_ws(' ', slice(w, i + 1, $n))))"))
-        .as("g"))
-      // gram text built ONCE per occurrence, hashed twice with cheap
-      // seeded xxhash64, then dropped — only (doc, pos, 16 key
-      // bytes) reach the exchange
-      .select(col("doc_id"), col("g.pos").as("pos"),
-        xxhash64(lit(0L), col("g.s")).as("h1"),
-        xxhash64(lit(1L), col("g.s")).as("h2"))
+      .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("wh"))
+      .select(col("doc_id"), col("wh"),
+        explode(expr(s"sequence(0, size(wh) - $n)")).as("pos"))
+      // fuses with the Generate above in one codegen stage — wh is a
+      // per-input-row reference, not a per-position copy
+      .select(col("doc_id"), col("pos"),
+        expr(mix1).as("h1"), expr(mix2).as("h2"))
     val wFirst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h1"), col("h2"), col("doc_id")).orderBy(col("pos"))
     val wGram = org.apache.spark.sql.expressions.Window
@@ -637,9 +649,11 @@ object TextAnalysis {
   private def piiScrub(s: SparkSession, dir: String): DataFrame =
     plantedPii(s, dir)
       .select(col("doc_id"),
-        size(regexp_extract_all(col("planted"), lit(emailRe), lit(0)))
+        // regexp_count, not size(regexp_extract_all(..)): same match
+        // semantics, no per-row match-array materialization
+        regexp_count(col("planted"), lit(emailRe))
           .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("planted"), lit(phoneRe), lit(0)))
+        regexp_count(col("planted"), lit(phoneRe))
           .cast("long").as("n_phones"),
         md5(scrubPii(col("planted"))).as("scrub_md5"))
       .orderBy("doc_id")
@@ -1041,18 +1055,28 @@ object TextAnalysis {
     * scorers, batch or streaming). Entirely map-side.
     */
   def gopherRuleFlags(input: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     val flag = (c: Column) => c.cast("int")
     input
-      .withColumn("n_words", size(ws).cast("long"))
+      // split+filter ONCE into a real column: the interpreted HOF
+      // gets no codegen CSE, and inlining it left one copy inside
+      // size() plus one per array_contains plus the alpha filter —
+      // ~8 re-tokenizations per row (the dedup banding fix's exact
+      // pathology, Dedup.scala banding comment). CollapseProject
+      // won't re-inline it: the alias is non-cheap and multiply
+      // referenced.
+      .withColumn("__gr_ws",
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+      .withColumn("n_words", size(col("__gr_ws")).cast("long"))
       .withColumn("mwl_milli",
         floor(length(regexp_replace(col(textCol), "\\s+", "")).cast("double")
           * 1000 / col("n_words")).cast("long"))
       .withColumn("stop_hits",
-        GopherStopwords.map(w => flag(array_contains(ws, w))).reduce(_ + _).cast("long"))
+        GopherStopwords.map(w => flag(array_contains(col("__gr_ws"), w)))
+          .reduce(_ + _).cast("long"))
       .withColumn("alpha_milli",
-        floor(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+        floor(size(filter(col("__gr_ws"), w => w.rlike("[A-Za-z]"))).cast("double")
           * 1000 / col("n_words")).cast("long"))
+      .drop("__gr_ws")
       .withColumn("r_wordcount", flag(col("n_words").between(GopherMinWords, GopherMaxWords)))
       .withColumn("r_meanlen", flag(col("mwl_milli").between(GopherMinMwlMilli, GopherMaxMwlMilli)))
       .withColumn("r_stopwords", flag(col("stop_hits") >= GopherMinStop))
