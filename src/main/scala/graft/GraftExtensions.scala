@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CompressRatio, CosineSimilarity, DotProduct, SortedIntersectCount}
+import graft.functions.{BpeTokenCount, CompressRatio, CosineSimilarity, DotProduct, SortedIntersectCount, WsTokenCount}
 
 /** Session extension point: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -44,6 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         val a = graft.functions.arity("sorted_intersect_count", 2)(exprs)
         SortedIntersectCount(a.head, a(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = graft.functions.arity("ws_token_count", 1)(exprs)
+        WsTokenCount(a.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val a = graft.functions.arity("bpe_token_count", 1)(exprs)
+        BpeTokenCount(a.head)
       }))
   }
 }

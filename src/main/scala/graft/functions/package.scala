@@ -21,6 +21,12 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
 
+  def ws_token_count(text: Column): Column =
+    toColumn(WsTokenCount(toExpr(text)))
+
+  def bpe_token_count(text: Column): Column =
+    toColumn(BpeTokenCount(toExpr(text)))
+
   /** Arity gate for SQL builders: extra arguments must not be
     * silently discarded and a missing one must raise a NAMED error,
     * not a bare NoSuchElement from exprs.head. */
@@ -51,6 +57,14 @@ package object functions {
       "sorted_intersect_count",
       exprs => { val a = arity("sorted_intersect_count", 2)(exprs)
         SortedIntersectCount(a.head, a(1)) },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ws_token_count",
+      exprs => { val a = arity("ws_token_count", 1)(exprs); WsTokenCount(a.head) },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count",
+      exprs => { val a = arity("bpe_token_count", 1)(exprs); BpeTokenCount(a.head) },
       "scala_udf")
   }
 }

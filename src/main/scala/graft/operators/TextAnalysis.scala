@@ -458,7 +458,7 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column =
     round(lit(100.0) *
-      least(lit(1.0), size(split(text, "\\s+")).cast("double") / 20) *
+      least(lit(1.0), graft.functions.ws_token_count(text).cast("double") / 20) *
       (lit(1.0) - punctRatio(text)) *
       (lit(1.0) - digitRatio(text)), 4)
 
@@ -467,7 +467,7 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("n_chars", length(text).cast("long"))
-      .withColumn("n_tokens", size(split(text, "\\s+")).cast("long"))
+      .withColumn("n_tokens", graft.functions.ws_token_count(text))
       .withColumn("punct_ratio", punctRatio(text))
       .withColumn("stopword_ratio", stopwordRatio(text))
       .withColumn("digit_ratio", digitRatio(text))
@@ -497,13 +497,19 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** whitespace-delimited token count */
+  /** whitespace-delimited token count — native single-pass scan,
+    * exact-equal to size(split(text, "\\s+")) (FunctionsSpec pins it,
+    * incl. the limit=-1 trailing-empty-field semantics)
+    */
   def wsTokenCount(text: Column): Column =
-    size(split(text, "\\s+")).cast("long")
+    graft.functions.ws_token_count(text)
 
-  /** BPE-ish token count: letter runs, digit runs, single symbols */
+  /** BPE-ish token count: letter runs, digit runs, single symbols —
+    * native single-pass scan, exact-equal to regexp_count(text,
+    * bpeish) (FunctionsSpec pins it, incl. multi-byte codepoints)
+    */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit(bpeish)).cast("long")
+    graft.functions.bpe_token_count(text)
 
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

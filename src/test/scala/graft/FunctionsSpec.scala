@@ -143,6 +143,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rootMsg(err).contains("null array element"), rootMsg(err))
   }
 
+  test("token counts: native scan == regex forms on adversarial and random strings") {
+    import spark.implicits._
+    graft.functions.register(spark)
+    val adversarial = Seq(
+      "", " ", "  ", "\t\n\f\r", "a", " a", "a ", " a ",
+      "a b", "  a  b  ", "abc123def", "123", "a1b2", "!!", "a!b",
+      "hello, world! 42 times", "a-b_c.d", "...", "tab\there",
+      "ünïcödé wörds", "汉字テスト", "mixed汉ascii", "emoji 😀 x",
+      " nbsp", "a b", "trailing space ", " leading",
+      "1,234.56", "x" * 500, ("ab " * 200).trim)
+    // deterministic pseudo-random strings over a mixed alphabet
+    val alphabet = "ab1 .!\té汉\n"
+    val rnd = new scala.util.Random(42)
+    val random = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (adversarial ++ random).toDF("t")
+    val bad = df.select(
+        col("t"),
+        graft.functions.ws_token_count(col("t")).as("ws_native"),
+        size(split(col("t"), "\\s+")).cast("long").as("ws_regex"),
+        graft.functions.bpe_token_count(col("t")).as("bpe_native"),
+        regexp_count(col("t"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_regex"))
+      .filter(col("ws_native") =!= col("ws_regex") ||
+        col("bpe_native") =!= col("bpe_regex"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+    // null propagates; SQL registration works (codegen + interpreted agree
+    // implicitly: the batch above runs codegen'd, this one exercises eval)
+    val viaSql = spark.sql(
+      "SELECT ws_token_count(' a  b '), bpe_token_count('hi, 42!'), " +
+        "ws_token_count(CAST(NULL AS STRING))").collect().head
+    assert(viaSql.getLong(0) == 4L) // ["", "a", "b", ""] — limit -1 keeps both empties
+    assert(viaSql.getLong(1) == 4L) // [hi][,][42][!]
+    assert(viaSql.isNullAt(2))
+  }
+
   test("compress_ratio: codegen == interpreted, orders quality correctly") {
     import spark.implicits._
     graft.functions.register(spark)
