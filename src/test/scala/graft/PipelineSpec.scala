@@ -275,6 +275,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(avgOther < 0.5, s"unrelated docs should be mostly uncovered: $avgOther")
   }
 
+  test("text_dup_spans plan: one gram exchange, word-hash arrays never shuffle") {
+    val df = run("text_dup_spans")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the covered-positions contract: the tokenize+hash subtree is
+    // evaluated once and both distinct-doc windows ride a SINGLE
+    // (h1, h2) exchange
+    val gramExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(h1") && !l.contains("ReusedExchange"))
+    assert(gramExchanges == 1, s"expected 1 gram exchange, got $gramExchanges:\n$plan")
+    // and the per-word hash ARRAY stays inside the map-side codegen
+    // stage — only (doc_id, pos, 16 key bytes) may reach an exchange
+    plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("wh#"), s"word-hash array crosses an exchange:\n$l")
+    }
+  }
+
   test("dedup_minhash candidates include the planted near-dup pairs") {
     val pairs = run("dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
