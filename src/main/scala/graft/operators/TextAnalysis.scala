@@ -153,17 +153,23 @@ object TextAnalysis {
   def dedupRewriteSpans(
       input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val docs = spanDocs(input, idCol, textCol)
+    // unsorted: the rebuild's array_except hashes cov, and the output
+    // column order comes from the left (sequence) side
     val cov = coveredPositions(docs, n)
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("cp"))).as("cov"))
+      .agg(collect_set(col("cp")).as("cov"))
     docs.join(cov, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), expr("array()")))
       .select(col("doc_id").as(idCol),
         col("n_tokens").cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("n_removed"),
+        // array_except (hash-set build + one pass, left order kept),
+        // NOT filter+array_contains: the contains scan is O(|cov|)
+        // per position, which goes quadratic per doc exactly on the
+        // fully-covered mutant docs the corpus plants
         expr("concat_ws(' ', transform(" +
-          "filter(sequence(0, size(w) - 1), p -> NOT array_contains(cov, p))," +
-          " p -> w[p]))").as("kept_text"))
+          "array_except(sequence(0, size(w) - 1), cov), p -> w[p]))")
+          .as("kept_text"))
   }
 
   private def dedupRewrite(s: SparkSession, dir: String): DataFrame =
