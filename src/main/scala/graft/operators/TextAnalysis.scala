@@ -788,8 +788,14 @@ object TextAnalysis {
     Tables.parallelized(Tables.documents(s, dir))
       .withColumn("w", split(col("text"), "\\s+"))
       .filter(size(col("w")) >= 3)
+      // trigrams as chained xxhash64 longs, not concat_ws strings:
+      // the distinct count is identical (chaining hashes each word
+      // separately, so there is no concatenation ambiguity, and a
+      // 64-bit collision within one doc's ~10² trigrams is ~1e-15)
+      // while array_distinct compares 8-byte longs instead of
+      // allocating and hashing a string per position
       .select(col("doc_id"),
-        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))").as("g"))
+        expr("transform(sequence(1, size(w) - 2), i -> xxhash64(w[i-1], w[i], w[i+1]))").as("g"))
       .select(col("doc_id"),
         size(col("g")).cast("long").as("n_grams"),
         size(array_distinct(col("g"))).cast("long").as("n_distinct"))
