@@ -470,8 +470,8 @@ package object api {
         n: Int = 8): DataFrame =
       Curation.wordGramRows(df, Seq(col(idCol)), textCol, n)
         .join(Curation.wordGramRows(evalSet, Nil, textCol, n)
-          .select("gram").distinct(), "gram")
+          .select("gh1", "gh2").distinct(), Seq("gh1", "gh2"))
         .groupBy(idCol)
-        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+        .agg(countDistinct(col("gh1"), col("gh2")).as("n_shared_grams"))
   }
 }

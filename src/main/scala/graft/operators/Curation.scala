@@ -258,17 +258,36 @@ object Curation {
   /** planted "plagiarized" training docs get ids above this floor */
   private val PlantBase = 2000000L
 
-  /** (keep..., gram) rows — the word n-gram explode shared by the
+  /** (keep..., gh1, gh2) rows — the word n-gram explode shared by the
     * decontamination entry and api.contaminatedBy, so a tokenization
     * or off-by-one fix cannot diverge their contamination verdicts.
+    *
+    * Grams ship as TWO xxhash64 longs (128 bits), not text: both
+    * consumers only count/join gram identity, so the join and the
+    * distinct shuffle 16-byte keys instead of ~8-word strings, and
+    * each word's bytes are hashed once per doc instead of being
+    * re-copied into n gram strings (the coveredPositions shape —
+    * the mix of n precomputed longs runs inside codegen). A cross-
+    * engine count divergence needs a 128-bit collision among
+    * co-occurring grams (≈|grams|²/2¹²⁹ — negligible at any SF).
     */
   private[graft] def wordGramRows(
-      t: DataFrame, keep: Seq[Column], textCol: String, n: Int): DataFrame = t
-    .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
-    .filter(size(col("__toks")) >= n)
-    .select(keep :+ explode(transform(
-      sequence(lit(0), size(col("__toks")) - n),
-      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"): _*)
+      t: DataFrame, keep: Seq[Column], textCol: String, n: Int): DataFrame = {
+    val mix1 = (0 until n).map(k => s"__wh[__p + $k]")
+      .mkString("xxhash64(", ", ", ")")
+    val mix2 = (0 until n).map(k => s"__wh[__p + $k]")
+      .mkString("xxhash64(1L, ", ", ", ")")
+    val withWh = t
+      .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
+      .filter(size(col("__toks")) >= n)
+      .select(keep :+
+        expr("transform(__toks, x -> xxhash64(x))").as("__wh"): _*)
+    val keepNames = withWh.columns.filter(_ != "__wh").map(col).toSeq
+    withWh
+      .select(keepNames :+ col("__wh") :+
+        explode(expr(s"sequence(0, size(__wh) - $n)")).as("__p"): _*)
+      .select(keepNames :+ expr(mix1).as("gh1") :+ expr(mix2).as("gh2"): _*)
+  }
 
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"), col("text")))
@@ -280,11 +299,11 @@ object Curation {
     val corpus = d.unionAll(planted)
     val grams = wordGramRows(corpus, Seq(col("doc_id")), "text", GramN)
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < PlantBase
-    val evalGrams = grams.filter(isEval).select(col("gram")).distinct()
+    val evalGrams = grams.filter(isEval).select("gh1", "gh2").distinct()
     grams.filter(!isEval)
-      .join(evalGrams, "gram")
+      .join(evalGrams, Seq("gh1", "gh2"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .agg(countDistinct(col("gh1"), col("gh2")).as("n_shared_grams"))
       .orderBy("doc_id")
   }
 
