@@ -16,14 +16,16 @@ object Bench {
     // vmstat showed 57-96% sy). Clean-cache-only drop, no dirty
     // data at risk (sync first); silently a no-op without root.
     // SPARK_GRAFT_KEEP_CACHES=1 opts out.
-    if (!sys.env.get("SPARK_GRAFT_KEEP_CACHES").contains("1")) {
-      try {
-        import scala.sys.process._
-        Seq("sh", "-c",
-          "sync && echo 3 > /proc/sys/vm/drop_caches 2>/dev/null").!
-        ()
-      } catch { case _: Throwable => () }
-    }
+    def dropCaches(): Unit =
+      if (!sys.env.get("SPARK_GRAFT_KEEP_CACHES").contains("1")) {
+        try {
+          import scala.sys.process._
+          Seq("sh", "-c",
+            "sync && echo 3 > /proc/sys/vm/drop_caches 2>/dev/null").!
+          ()
+        } catch { case _: Throwable => () }
+      }
+    dropCaches()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
@@ -66,10 +68,18 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(10).collect()
     if (only.forall(_.contains("cdc_binlog_throughput")))
       operators.Cdc.ensureBinlogGenerated(spark, sfDir)
+    // a full pass's shuffle spill re-fills the cache the startup drop
+    // cleared (a 144-query pass writes GBs), and the degradation the
+    // drop exists for re-appears WITHIN the pass; per-query drops
+    // (between timed windows — the next query re-reads its parquet
+    // input at disk speed, a fair cold-ish read a real cluster pays
+    // too) keep long ladder runs honest at a few ms each
+    val dropEachQuery = sys.env.get("SPARK_GRAFT_DROP_EACH_QUERY").contains("1")
     def timeAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
+        if (dropEachQuery) dropCaches()
         val t0 = System.nanoTime()
         // noop sink evaluates every column (count() would let Catalyst
         // prune the projections being measured)
@@ -97,8 +107,10 @@ object Bench {
     // scheduling, not query cost; min-of-N converges on the latter.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3) max 2
     val all = (1 to passes).map { i =>
-      // settle the JVM between passes, outside any timed window
-      if (i > 1) { System.gc(); Thread.sleep(2000) }
+      // settle the JVM between passes, outside any timed window; the
+      // cache drop resets the accumulated-page-cache kernel-time
+      // degradation the previous pass built up
+      if (i > 1) { System.gc(); dropCaches(); Thread.sleep(2000) }
       timeAll()
     }
     val cold = all.head
