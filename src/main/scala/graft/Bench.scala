@@ -20,8 +20,11 @@ object Bench {
       if (!sys.env.get("SPARK_GRAFT_KEEP_CACHES").contains("1")) {
         try {
           import scala.sys.process._
+          // braces so a non-root redirection failure is silenced by
+          // the OUTER 2>/dev/null (redirections resolve left-to-right,
+          // so an inner one can't suppress its own open error)
           Seq("sh", "-c",
-            "sync && echo 3 > /proc/sys/vm/drop_caches 2>/dev/null").!
+            "{ sync && echo 3 > /proc/sys/vm/drop_caches; } 2>/dev/null").!
           ()
         } catch { case _: Throwable => () }
       }

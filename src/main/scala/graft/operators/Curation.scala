@@ -261,33 +261,16 @@ object Curation {
   /** (keep..., gh1, gh2) rows — the word n-gram explode shared by the
     * decontamination entry and api.contaminatedBy, so a tokenization
     * or off-by-one fix cannot diverge their contamination verdicts.
-    *
-    * Grams ship as TWO xxhash64 longs (128 bits), not text: both
-    * consumers only count/join gram identity, so the join and the
-    * distinct shuffle 16-byte keys instead of ~8-word strings, and
-    * each word's bytes are hashed once per doc instead of being
-    * re-copied into n gram strings (the coveredPositions shape —
-    * the mix of n precomputed longs runs inside codegen). A cross-
-    * engine count divergence needs a 128-bit collision among
-    * co-occurring grams (≈|grams|²/2¹²⁹ — negligible at any SF).
+    * Grams ship as two independent 64-bit hash lanes, never text —
+    * see [[TextAnalysis.hashedWordGramKeys]] for the construction
+    * and the collision analysis; both consumers only count/join gram
+    * identity, so the join and the distinct shuffle 16-byte keys
+    * instead of ~8-word strings.
     */
   private[graft] def wordGramRows(
-      t: DataFrame, keep: Seq[Column], textCol: String, n: Int): DataFrame = {
-    val mix1 = (0 until n).map(k => s"__wh[__p + $k]")
-      .mkString("xxhash64(", ", ", ")")
-    val mix2 = (0 until n).map(k => s"__wh[__p + $k]")
-      .mkString("xxhash64(1L, ", ", ", ")")
-    val withWh = t
-      .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
-      .filter(size(col("__toks")) >= n)
-      .select(keep :+
-        expr("transform(__toks, x -> xxhash64(x))").as("__wh"): _*)
-    val keepNames = withWh.columns.filter(_ != "__wh").map(col).toSeq
-    withWh
-      .select(keepNames :+ col("__wh") :+
-        explode(expr(s"sequence(0, size(__wh) - $n)")).as("__p"): _*)
-      .select(keepNames :+ expr(mix1).as("gh1") :+ expr(mix2).as("gh2"): _*)
-  }
+      t: DataFrame, keep: Seq[Column], textCol: String, n: Int): DataFrame =
+    TextAnalysis.hashedWordGramKeys(
+      t, keep, split(lower(col(textCol)), "\\s+"), n).drop("pos")
 
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.parallelized(Tables.documents(s, dir).select(col("doc_id"), col("text")))

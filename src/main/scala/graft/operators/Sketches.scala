@@ -33,12 +33,14 @@ object Sketches {
   )
 
   private def kmv(s: SparkSession, dir: String): DataFrame = {
-    // distinct BEFORE md5: the dedup key is (flag, partkey) either
-    // way (md5 is deterministic, and a cross-partkey md5 collision
-    // would break the oracle's own DISTINCT identically), so hashing
-    // after the distinct computes |distinct| md5s instead of |rows|
-    // (~10× fewer at sf10) and the dedup exchange carries 16-byte
-    // rows instead of 32-char hex strings
+    // distinct BEFORE md5: hashing after the distinct computes
+    // |distinct| md5s instead of |rows| (~10× fewer at sf10) and the
+    // dedup exchange carries 16-byte rows instead of 32-char hex
+    // strings. Cross-engine equivalence: the oracle dedups on the
+    // DIGEST, this side on the raw key — they diverge only if two
+    // distinct partkey decimal strings collide under md5, which is
+    // cryptographically negligible (no known md5 collision exists
+    // for inputs this short, let alone among ~2M decimal strings)
     val d = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_partkey"))
       .distinct()

@@ -89,41 +89,55 @@ object TextAnalysis {
     * stays O(1) per row (a collect_set window would hold every
     * doc_id of a degenerate universal gram).
     */
-  private def coveredPositions(docs: DataFrame, n: Int): DataFrame = {
-    // gram key = TWO xxhash64 longs (128 bits total), not an md5 hex
-    // string: the key never leaves the plan (output is position
-    // sets), and 16 bytes vs a 32-char string cut the occ stream's
-    // shuffle/sort volume ~2.5× — at sf10 this stream is
-    // ~tokens-count rows, and its width was the entry's spill driver.
-    //
-    // Each word's BYTES are hashed exactly once (one interpreted HOF
-    // pass builds the per-word long array); the per-position key then
-    // mixes n precomputed longs inside whole-stage codegen. The prior
-    // form built a gram STRING per position (slice + concat_ws) and
-    // string-hashed it twice — every word's bytes copied and re-hashed
-    // 2n times, and the HOF that built the struct stream was
-    // interpreted, so none of it was codegen'd. Both lanes derive from
-    // the same word hashes: a cross-lane collision needs a word-level
-    // xxhash64 collision first (|vocab|²/2⁶⁵ — ~1e-8 at sf10's ~1M
-    // distinct words), then for the colliding grams to co-occur.
-    val mix1 = (0 until n).map(k => s"wh[pos + $k]")
+  /** (keep..., pos, gh1, gh2) rows: one row per word `n`-gram
+    * position of `tokensCol`, keyed by two INDEPENDENT xxhash64
+    * lanes (128 bits total), never by gram text. Shared by
+    * coveredPositions (span dedup) and Curation.wordGramRows
+    * (decontamination) so the tokenize/off-by-one/seed scheme cannot
+    * diverge between them.
+    *
+    * Each word's BYTES are hashed exactly twice (one interpreted HOF
+    * pass builds a per-word struct of the two lane longs); each
+    * per-position key then mixes n precomputed longs inside
+    * whole-stage codegen. vs building a gram STRING per position
+    * (slice + concat_ws, every word's bytes copied and re-hashed 2n
+    * times in interpreted code): 16-byte keys also cut the exchange
+    * ~2.5× — at sf10 this stream is ~tokens-count rows and its width
+    * was the span entries' spill driver. The lanes are independent
+    * per WORD (seed 42 / seed-chained 1L), so a cross-engine count
+    * divergence needs the same word pair to collide in BOTH lanes
+    * (≈|vocab|²/2¹²⁹) or two co-occurring grams to collide in both
+    * mixes (≈|grams|²/2¹²⁹) — negligible at any SF, including the
+    * ~1e9-distinct-token 100 TB target.
+    */
+  private[graft] def hashedWordGramKeys(
+      t: DataFrame, keep: Seq[Column], tokensCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val mixA = (0 until n).map(k => s"__gwh[__gp + $k].a")
       .mkString("xxhash64(", ", ", ")")
-    val mix2 = (0 until n).map(k => s"wh[pos + $k]")
-      .mkString("xxhash64(1L, ", ", ", ")")
-    val occ = docs
-      .filter(col("n_tokens") >= n)
-      .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("wh"))
-      .select(col("doc_id"), col("wh"),
-        explode(expr(s"sequence(0, size(wh) - $n)")).as("pos"))
-      // fuses with the Generate above in one codegen stage — wh is a
-      // per-input-row reference, not a per-position copy
-      .select(col("doc_id"), col("pos"),
-        expr(mix1).as("h1"), expr(mix2).as("h2"))
+    val mixB = (0 until n).map(k => s"__gwh[__gp + $k].b")
+      .mkString("xxhash64(", ", ", ")")
+    val withWh = t
+      .filter(size(tokensCol) >= n)
+      .select(keep :+ transform(tokensCol, x =>
+        struct(xxhash64(x).as("a"), xxhash64(lit(1L), x).as("b"))).as("__gwh"): _*)
+    val keepNames = withWh.columns.filter(_ != "__gwh").map(col).toSeq
+    withWh
+      .select(keepNames :+ col("__gwh") :+
+        explode(expr(s"sequence(0, size(__gwh) - $n)")).as("__gp"): _*)
+      // fuses with the Generate above in one codegen stage — __gwh is
+      // a per-input-row reference, not a per-position copy
+      .select(keepNames :+ col("__gp").as("pos") :+
+        expr(mixA).as("gh1") :+ expr(mixB).as("gh2"): _*)
+  }
+
+  private def coveredPositions(docs: DataFrame, n: Int): DataFrame = {
+    val occ = hashedWordGramKeys(docs, Seq(col("doc_id")), col("w"), n)
     val wFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h1"), col("h2"), col("doc_id")).orderBy(col("pos"))
+      .partitionBy(col("gh1"), col("gh2"), col("doc_id")).orderBy(col("pos"))
     val wGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h1"), col("h2"))
-    occ.repartition(col("h1"), col("h2"))
+      .partitionBy(col("gh1"), col("gh2"))
+    occ.repartition(col("gh1"), col("gh2"))
       .withColumn("__first",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .withColumn("__nd", sum(col("__first")).over(wGram))
@@ -1082,19 +1096,19 @@ object TextAnalysis {
       // pathology, Dedup.scala banding comment). CollapseProject
       // won't re-inline it: the alias is non-cheap and multiply
       // referenced.
-      .withColumn("__gr_ws",
+      .withColumn("__graft_gopher_ws",
         filter(split(col(textCol), "\\s+"), w => length(w) > 0))
-      .withColumn("n_words", size(col("__gr_ws")).cast("long"))
+      .withColumn("n_words", size(col("__graft_gopher_ws")).cast("long"))
       .withColumn("mwl_milli",
         floor(length(regexp_replace(col(textCol), "\\s+", "")).cast("double")
           * 1000 / col("n_words")).cast("long"))
       .withColumn("stop_hits",
-        GopherStopwords.map(w => flag(array_contains(col("__gr_ws"), w)))
+        GopherStopwords.map(w => flag(array_contains(col("__graft_gopher_ws"), w)))
           .reduce(_ + _).cast("long"))
       .withColumn("alpha_milli",
-        floor(size(filter(col("__gr_ws"), w => w.rlike("[A-Za-z]"))).cast("double")
+        floor(size(filter(col("__graft_gopher_ws"), w => w.rlike("[A-Za-z]"))).cast("double")
           * 1000 / col("n_words")).cast("long"))
-      .drop("__gr_ws")
+      .drop("__graft_gopher_ws")
       .withColumn("r_wordcount", flag(col("n_words").between(GopherMinWords, GopherMaxWords)))
       .withColumn("r_meanlen", flag(col("mwl_milli").between(GopherMinMwlMilli, GopherMaxMwlMilli)))
       .withColumn("r_stopwords", flag(col("stop_hits") >= GopherMinStop))

@@ -284,12 +284,12 @@ class PipelineSpec extends AnyFunSuite {
     // evaluated once and both distinct-doc windows ride a SINGLE
     // (h1, h2) exchange
     val gramExchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(h1") && !l.contains("ReusedExchange"))
+      l.contains("Exchange hashpartitioning(gh1") && !l.contains("ReusedExchange"))
     assert(gramExchanges == 1, s"expected 1 gram exchange, got $gramExchanges:\n$plan")
     // and the per-word hash ARRAY stays inside the map-side codegen
     // stage — only (doc_id, pos, 16 key bytes) may reach an exchange
     plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
-      assert(!l.contains("wh#"), s"word-hash array crosses an exchange:\n$l")
+      assert(!l.contains("__gwh#"), s"word-hash array crosses an exchange:\n$l")
     }
   }
 
