@@ -492,8 +492,14 @@ object Curation {
   // bit-stable across engines (Java Math.log vs glibc log differ in
   // the last ulp) and this operator is oracle-hash-checked. The
   // ranking it induces is identical to 1/df-idf. Two shuffles:
-  // by token (df) and by doc (top-3 window) — both on small pairs,
-  // never the documents.
+  // by token (df) and by doc (top-3) — both on small pairs, never
+  // the documents. The top-3 runs through the TopKPerKey bounded
+  // heap (O(n log 3) per doc, no per-doc sort buffer): at 100 TB a
+  // long doc carries thousands of distinct tokens, and a row_number
+  // window sorts and materializes all of them to keep 3. The rank
+  // column is recovered by a row_number window AFTER the heap —
+  // over ≤3 rows per doc, riding the heap's preserved doc_id
+  // partitioning (no second exchange).
   private val IdfScale = 1000000L
   private val TfIdfTopK = 3
 
@@ -512,10 +518,12 @@ object Curation {
     val n = d.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfTab, "token").crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr(s"(n * $IdfScale) div df"))
+      .select("doc_id", "token", "score")
+    val top = graft.plans.TopKPerKey.ordered(
+      scored, Seq("doc_id"), Seq(("score", false), ("token", true)), TfIdfTopK)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TfIdfTopK)
+    top.withColumn("rk", row_number().over(w))
       .select(col("doc_id"), col("rk"), col("token"), col("score"))
       .orderBy("doc_id", "rk")
   }

@@ -19,11 +19,14 @@ import org.apache.spark.sql.execution.SparkStrategy
   * bounded K-element heap per key instead: O(n log K), constant
   * memory per key, no sort buffer spills.
   *
-  * The order is a LEXICOGRAPHIC sequence of double columns, all
-  * compared descending: a caller whose primary value can collide at
-  * scale supplies a unique second column (e.g. the row id) so the
-  * selection is totally ordered — without it, which of two order-
-  * equal boundary rows survives depends on partition iteration order.
+  * The order is a LEXICOGRAPHIC sequence of orderable columns, each
+  * with its own direction (compared through a codegen'd
+  * `GenerateOrdering`, so strings/decimals/longs order natively —
+  * no lossy cast to double): a caller whose primary value can
+  * collide at scale supplies a unique second column (e.g. the row
+  * id) so the selection is totally ordered — without it, which of
+  * two order-equal boundary rows survives depends on partition
+  * iteration order.
   *
   * Full custom-operator route (SURVEY §3 preference (c)): logical
   * node → planner strategy → physical node whose
@@ -39,14 +42,15 @@ object TopKPerKey {
       keys: Seq[Expression],
       orders: Seq[SortOrder],
       k: Int) extends UnaryNode {
-    // the exec reads order values with getDouble: any other type
-    // would reinterpret raw bits as IEEE doubles — garbage ordering
-    // with no error. Enforced HERE so a directly-built node (the
-    // strategy is publicly registered) is as safe as the Column API.
+    // the exec builds a GenerateOrdering over the order expressions:
+    // a non-orderable type (map, non-orderable UDT) would fail at
+    // codegen time on an executor. Enforced HERE so a directly-built
+    // node (the strategy is publicly registered) fails at plan time
+    // instead, as safe as the Column API.
     require(k >= 1, s"top-k requires k >= 1, got $k")
     orders.foreach(o => require(
-      o.child.dataType == org.apache.spark.sql.types.DoubleType,
-      s"top-k order expression must be double, got ${o.child.dataType}"))
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(o.child.dataType),
+      s"top-k order expression must be orderable, got ${o.child.dataType}"))
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
       copy(child = newChild)
@@ -63,17 +67,25 @@ object TopKPerKey {
   def register(e: SparkSessionExtensions): Unit =
     e.injectPlannerStrategy(_ => TopKStrategy)
 
-  /** Column-API entry: top `k` rows per `keyCols` by the double
-    * column `orderCol` (descending), with an optional second double
-    * column breaking order ties (also descending — negate for
-    * ascending). Tiebreak values must be exact in a double (long ids
-    * below 2^53 are). Rows with a NULL order or tiebreak value are
-    * EXCLUDED (no total order for them) — unlike a nulls-last
-    * row_number window, which would keep them when the group has
-    * fewer than k non-null rows.
+  /** Column-API entry: top `k` rows per `keyCols` by the column
+    * `orderCol` (descending), with an optional second column
+    * breaking order ties (also descending — negate a numeric, or use
+    * [[ordered]], for ascending). Rows with a NULL order or tiebreak
+    * value are EXCLUDED (no total order for them) — unlike a
+    * nulls-last row_number window, which would keep them when the
+    * group has fewer than k non-null rows.
     */
   def apply(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int,
-      tiebreakCol: Option[String] = None): DataFrame = {
+      tiebreakCol: Option[String] = None): DataFrame =
+    ordered(df, keyCols, (orderCol +: tiebreakCol.toSeq).map(c => (c, false)), k)
+
+  /** General form: `orderSpec` is (column, ascending?) lexicographic,
+    * each column any orderable type (string/decimal/long compare
+    * natively — no cast to double). Same null-exclusion contract as
+    * [[apply]].
+    */
+  def ordered(df: DataFrame, keyCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val lp = org.apache.spark.sql.graftbridge.analyzedPlan(df)
@@ -88,11 +100,10 @@ object TopKPerKey {
       hits.head
     }
     val keyExprs = keyCols.map(resolve)
-    val ordExprs = (orderCol +: tiebreakCol.toSeq).map { c =>
-      val e = resolve(c)
-      require(e.dataType == org.apache.spark.sql.types.DoubleType,
-        s"order column $c must be double, got ${e.dataType}")
-      SortOrder(e, org.apache.spark.sql.catalyst.expressions.Descending)
+    val ordExprs = orderSpec.map { case (c, asc) =>
+      SortOrder(resolve(c),
+        if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
+        else org.apache.spark.sql.catalyst.expressions.Descending)
     }
     val node = TopKPerKeyNode(lp, keyExprs, ordExprs, k)
     org.apache.spark.sql.graftbridge.ofRows(spark, node)
@@ -134,26 +145,30 @@ final case class TopKPerKeyExec(
     val keyExprs = keys
     val ordExprs = orders.map(_.child)
     val kLocal = k
-    val signs = orders.map(o =>
-      if (o.direction == org.apache.spark.sql.catalyst.expressions.Descending) 1 else -1).toArray
+    // the heap compares PROJECTED order rows (evaluated once per
+    // input row), not the input rows, so the generated ordering
+    // binds to positional refs over the projection's layout — each
+    // SortOrder keeps its own direction and native type comparison
+    val boundOrders = orders.zipWithIndex.map { case (o, i) =>
+      o.copy(child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, o.child.dataType, nullable = false))
+    }
     child.execute().mapPartitions({ it =>
-      // generated projections must be instantiated on the executor
+      // generated projections/orderings must be instantiated on the executor
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordProj = UnsafeProjection.create(ordExprs, childOutput)
+      val ordering: java.util.Comparator[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+          .generate(boundOrders)
       val k = kLocal
       val nOrd = ordExprs.length
       // bounded heap per key: O(n log K) time, O(#keys × K) memory
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Array[Double], InternalRow)]]()
-      val cmp = new java.util.Comparator[(Array[Double], InternalRow)] {
-        override def compare(a: (Array[Double], InternalRow), b: (Array[Double], InternalRow)): Int = {
-          var i = 0
-          while (i < nOrd) { // heap root = next eviction
-            val c = signs(i) * java.lang.Double.compare(a._1(i), b._1(i))
-            if (c != 0) return c
-            i += 1
-          }
-          0
-        }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
+      // heap root = next eviction = the kept row that sorts LAST, so
+      // the heap's "least" is the reverse of the sort order
+      val cmp = new java.util.Comparator[(UnsafeRow, InternalRow)] {
+        override def compare(a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)): Int =
+          ordering.compare(b._1, a._1)
       }
       it.foreach { row =>
         val ordRow = ordProj(row)
@@ -162,37 +177,27 @@ final case class TopKPerKeyExec(
         var j = 0
         while (j < nOrd) { if (ordRow.isNullAt(j)) anyNull = true; j += 1 }
         if (!anyNull) {
-          val ord = new Array[Double](nOrd)
-          j = 0
-          while (j < nOrd) { ord(j) = ordRow.getDouble(j); j += 1 }
           // probe with the projection's REUSED row (UnsafeRow
           // equality is content-based); copy the key only when a new
           // heap is created — the common case at scale is a row
-          // losing to a full heap, which now allocates nothing
-          // beyond the ord array
+          // losing to a full heap, which allocates nothing (the
+          // reused ordRow is compared against the root in place)
           val probe = keyProj(row)
           var heap = heaps.get(probe)
           if (heap == null) {
-            heap = new java.util.PriorityQueue[(Array[Double], InternalRow)](k + 1, cmp)
+            heap = new java.util.PriorityQueue[(UnsafeRow, InternalRow)](k + 1, cmp)
             heaps.put(probe.copy(), heap)
           }
-          if (heap.size < k) heap.add((ord, row.copy()))
-          else {
-            val root = heap.peek()
-            var c = 0
-            var i2 = 0
-            while (c == 0 && i2 < nOrd) {
-              c = signs(i2) * java.lang.Double.compare(ord(i2), root._1(i2))
-              i2 += 1
-            }
-            if (c > 0) { heap.poll(); heap.add((ord, row.copy())) }
+          if (heap.size < k) heap.add((ordRow.copy(), row.copy()))
+          else if (ordering.compare(ordRow, heap.peek()._1) < 0) {
+            heap.poll(); heap.add((ordRow.copy(), row.copy()))
           }
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
       heaps.forEach { (_, heap) =>
-        // emit in descending order per key
-        val arr = new Array[(Array[Double], InternalRow)](heap.size)
+        // emit per key in sort order (best first)
+        val arr = new Array[(UnsafeRow, InternalRow)](heap.size)
         var i = arr.length - 1
         while (heap.size > 0) { arr(i) = heap.poll(); i -= 1 }
         arr.foreach(t => out += t._2)
