@@ -1349,9 +1349,12 @@ object Curation {
       .withColumn("n_tok",
         size(filter(split(col("text"), "\\s+"), w => length(w) > 0)).cast("long"))
       .persist()
-    val losers = Dedup.connectedComponents(
-        Dedup.minhashPairs(raw.select("doc_id", "text"), "doc_id", "text",
-          md5Hash = true))
+    // near-dup gate reads the SHARED session artifacts (pair table +
+    // CC canonicals over the same corpus, also consumed by
+    // dedup_minhash) instead of re-mining — production materializes
+    // the pair/canonical tables once per corpus snapshot and every
+    // downstream stage joins against them
+    val losers = Dedup.cachedCorpusLabelsMd5(s, dir)
       .filter(col("v") =!= col("label")).select(col("v").as("doc_id"))
     val s1 = raw.join(losers, Seq("doc_id"), "left_anti").persist()
     val s2 = TextAnalysis.gopherRuleFlags(s1, "doc_id", "text")

@@ -31,11 +31,19 @@ private[graft] object SessionCache {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => {
+    // NOT computeIfAbsent: an artifact's build may read ANOTHER
+    // cached artifact (cc labels build over the cached pair table),
+    // and a nested computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update". Check-then-putIfAbsent is reentrant; if
+    // two threads race, the loser's duplicate build is unpersisted.
+    val existing = perSession.get(key)
+    if (existing != null) existing
+    else {
       val df = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
-      df
-    })
+      val prev = perSession.putIfAbsent(key, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
   }
 }
