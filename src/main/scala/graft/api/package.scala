@@ -464,14 +464,24 @@ package object api {
     /** Flag rows sharing any `n`-gram of `textCol` with `evalSet`'s
       * text — benchmark decontamination. Returns (idCol,
       * n_shared_grams) for contaminated rows only.
+      *
+      * A handful of column names are reserved by the gram plumbing
+      * (the key/position outputs and its internal lanes); an id or
+      * text column carrying one would be silently dropped or joined
+      * on, so they are rejected here instead.
       */
     def contaminatedBy(
         evalSet: DataFrame, idCol: String, textCol: String,
-        n: Int = 8): DataFrame =
+        n: Int = 8): DataFrame = {
+      val reserved = Set("pos", "gh1", "gh2", "__gl", "__gwa", "__gwb", "__gp")
+      Seq(idCol, textCol).foreach(c => require(!reserved(c),
+        s"column name '$c' is reserved by contaminatedBy's gram " +
+          s"plumbing (${reserved.toSeq.sorted.mkString(", ")}); rename it first"))
       Curation.wordGramRows(df, Seq(col(idCol)), textCol, n)
         .join(Curation.wordGramRows(evalSet, Nil, textCol, n)
           .select("gh1", "gh2").distinct(), Seq("gh1", "gh2"))
         .groupBy(idCol)
         .agg(countDistinct(col("gh1"), col("gh2")).as("n_shared_grams"))
+    }
   }
 }

@@ -27,6 +27,9 @@ package object functions {
   def bpe_token_count(text: Column): Column =
     toColumn(BpeTokenCount(toExpr(text)))
 
+  def word_lane_hashes(words: Column): Column =
+    toColumn(WordLaneHashes(toExpr(words)))
+
   /** Arity gate for SQL builders: extra arguments must not be
     * silently discarded and a missing one must raise a NAMED error,
     * not a bare NoSuchElement from exprs.head. */

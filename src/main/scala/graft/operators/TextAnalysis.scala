@@ -96,37 +96,46 @@ object TextAnalysis {
     * (decontamination) so the tokenize/off-by-one/seed scheme cannot
     * diverge between them.
     *
-    * Each word's BYTES are hashed exactly twice (one interpreted HOF
-    * pass builds a per-word struct of the two lane longs); each
-    * per-position key then mixes n precomputed longs inside
-    * whole-stage codegen. vs building a gram STRING per position
-    * (slice + concat_ws, every word's bytes copied and re-hashed 2n
-    * times in interpreted code): 16-byte keys also cut the exchange
-    * ~2.5× — at sf10 this stream is ~tokens-count rows and its width
-    * was the span entries' spill driver. The lanes are independent
-    * per WORD (seed 42 / seed-chained 1L), so a cross-engine count
-    * divergence needs the same word pair to collide in BOTH lanes
-    * (≈|vocab|²/2¹²⁹) or two co-occurring grams to collide in both
-    * mixes (≈|grams|²/2¹²⁹) — negligible at any SF, including the
-    * ~1e9-distinct-token 100 TB target.
+    * Each word's BYTES are hashed exactly twice, by ONE native
+    * codegen call per row ([[graft.functions.WordLaneHashes]] — two
+    * primitive long arrays, no per-word boxing; the interpreted HOF
+    * struct-array this replaced allocated a boxed struct per word);
+    * each per-position key then mixes n precomputed longs inside
+    * whole-stage codegen, allocation-free (returning ready-made
+    * per-position keys from the native call was tried and LOST —
+    * one row allocation per gram position ≈ per token). vs building
+    * a gram STRING per position (slice + concat_ws, every word's
+    * bytes copied and re-hashed 2n times in interpreted code):
+    * 16-byte keys also cut the exchange ~2.5× — at sf10 this stream
+    * is ~tokens-count rows and its width was the span entries' spill
+    * driver. The lanes are independent per WORD (seed 42 /
+    * seed-chained 1L), so a cross-engine count divergence needs the
+    * same word pair to collide in BOTH lanes (≈|vocab|²/2¹²⁹) or two
+    * co-occurring grams to collide in both mixes (≈|grams|²/2¹²⁹) —
+    * negligible at any SF, including the ~1e9-distinct-token 100 TB
+    * target.
     */
   private[graft] def hashedWordGramKeys(
       t: DataFrame, keep: Seq[Column], tokensCol: Column, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val mixA = (0 until n).map(k => s"__gwh[__gp + $k].a")
+    val mixA = (0 until n).map(k => s"__gwa[__gp + $k]")
       .mkString("xxhash64(", ", ", ")")
-    val mixB = (0 until n).map(k => s"__gwh[__gp + $k].b")
+    val mixB = (0 until n).map(k => s"__gwb[__gp + $k]")
       .mkString("xxhash64(", ", ", ")")
-    val withWh = t
+    // the lane struct gets its OWN projection; the field reads live
+    // in the next one. CollapseProject keeps them apart (non-cheap
+    // alias referenced twice), so the words are hashed once per row
+    // even though two fields are read.
+    val withLanes = t
       .filter(size(tokensCol) >= n)
-      .select(keep :+ transform(tokensCol, x =>
-        struct(xxhash64(x).as("a"), xxhash64(lit(1L), x).as("b"))).as("__gwh"): _*)
-    val keepNames = withWh.columns.filter(_ != "__gwh").map(col).toSeq
-    withWh
-      .select(keepNames :+ col("__gwh") :+
-        explode(expr(s"sequence(0, size(__gwh) - $n)")).as("__gp"): _*)
-      // fuses with the Generate above in one codegen stage — __gwh is
-      // a per-input-row reference, not a per-position copy
+      .select(keep :+ graft.functions.word_lane_hashes(tokensCol).as("__gl"): _*)
+    val keepNames = withLanes.columns.filter(_ != "__gl").map(col).toSeq
+    withLanes
+      .select(keepNames :+ col("__gl.a").as("__gwa") :+ col("__gl.b").as("__gwb"): _*)
+      .select(keepNames :+ col("__gwa") :+ col("__gwb") :+
+        explode(expr(s"sequence(0, size(__gwa) - $n)")).as("__gp"): _*)
+      // fuses with the Generate above in one codegen stage — the lane
+      // arrays are per-input-row references, not per-position copies
       .select(keepNames :+ col("__gp").as("pos") :+
         expr(mixA).as("gh1") :+ expr(mixB).as("gh2"): _*)
   }

@@ -263,6 +263,16 @@ class ApiSpec extends AnyFunSuite {
     val flagged = train.contaminatedBy(evalSet, "id", "text").collect()
     assert(flagged.map(_.getAs[Long]("id")).toSeq == Seq(100L))
     assert(flagged.head.getAs[Long]("n_shared_grams") >= 1L)
+    // reserved names are rejected loudly, not silently broken: an id
+    // column named like the gram plumbing's outputs/internals would
+    // be dropped or joined on
+    for (bad <- Seq("pos", "gh1", "gh2", "__gwa")) {
+      val df = train.withColumnRenamed("id", bad)
+      val e = intercept[IllegalArgumentException] {
+        df.contaminatedBy(evalSet, bad, "text")
+      }
+      assert(e.getMessage.contains("reserved"), e.getMessage)
+    }
   }
 
   test("ngramOverlapScores: containment catches wrapped copies Jaccard under-scores") {

@@ -181,6 +181,73 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.isNullAt(2))
   }
 
+  test("word_lane_hashes gram keys == the two-lane HOF form") {
+    import spark.implicits._
+    // adversarial token streams: empties (split keeps them), unicode,
+    // repeats (gram collisions must agree), single-token, exactly-n
+    val adversarial = Seq(
+      "", " leading", "trailing ", "  double  spaces  ",
+      "a", "a b", "a b c", "a b c d", "same same same same same",
+      "ünïcödé wörds mixed 汉字 stream ok",
+      ("tok " * 300).trim)
+    val rnd = new scala.util.Random(7)
+    val random = (1 to 100).map { _ =>
+      (1 to (3 + rnd.nextInt(40))).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+    }
+    for (n <- Seq(1, 2, 3, 8)) {
+      val df = (adversarial ++ random).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("w", split(col("text"), "\\s+"))
+        .filter(size(col("w")) >= n)
+      // the HOF form this expression replaced, kept as the spec twin
+      val mixA = (0 until n).map(k => s"__gwh[pos + $k].a")
+        .mkString("xxhash64(", ", ", ")")
+      val mixB = (0 until n).map(k => s"__gwh[pos + $k].b")
+        .mkString("xxhash64(", ", ", ")")
+      val viaHof = df
+        .select(col("doc_id"), transform(col("w"), x =>
+          struct(xxhash64(x).as("a"), xxhash64(lit(1L), x).as("b"))).as("__gwh"))
+        .select(col("doc_id"), col("__gwh"),
+          explode(expr(s"sequence(0, size(__gwh) - $n)")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr(mixA).as("gh1"), expr(mixB).as("gh2"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val nMixA = (0 until n).map(k => s"__gwa[pos + $k]")
+        .mkString("xxhash64(", ", ", ")")
+      val nMixB = (0 until n).map(k => s"__gwb[pos + $k]")
+        .mkString("xxhash64(", ", ", ")")
+      val viaNative = df
+        .select(col("doc_id"),
+          graft.functions.word_lane_hashes(col("w")).as("__gl"))
+        .select(col("doc_id"),
+          col("__gl.a").as("__gwa"), col("__gl.b").as("__gwb"))
+        .select(col("doc_id"), col("__gwa"), col("__gwb"),
+          explode(expr(s"sequence(0, size(__gwa) - $n)")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr(nMixA).as("gh1"), expr(nMixB).as("gh2"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(viaNative == viaHof, s"n=$n mismatch")
+    }
+    // null-word contract: the builtin's null-skip is reproduced
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))))
+    val nullDf = spark.createDataFrame(
+      java.util.List.of(Row(Seq("a", null, "b"))), schema)
+    val lanes = nullDf
+      .select(graft.functions.word_lane_hashes(col("w")).as("gl"))
+      .select(col("gl.a"), col("gl.b")).head
+    val twin = nullDf.select(
+      transform(col("w"), x => xxhash64(x)).as("a"),
+      transform(col("w"), x => xxhash64(lit(1L), x)).as("b")).head
+    assert(lanes.getSeq[Long](0) == twin.getSeq[Long](0))
+    assert(lanes.getSeq[Long](1) == twin.getSeq[Long](1))
+  }
+
   test("compress_ratio: codegen == interpreted, orders quality correctly") {
     import spark.implicits._
     graft.functions.register(spark)

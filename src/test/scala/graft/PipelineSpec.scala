@@ -81,29 +81,34 @@ class PipelineSpec extends AnyFunSuite {
       val cand = Dedup.incrementalCandidates(
         idx, increment, "doc_id", "text", 12, 3, false, 10000, Some(pop))
       cand.collect() // finalize the adaptive plan
-      val full = cand.queryExecution.executedPlan.toString
-      val plan = full.split("== Initial Plan ==").head
       // the 100 TB contract: every (band,sig) exchange in the probe
       // plan carries increment-sized frames — none may sit above the
       // cached index scan (re-shuffling the whole index table to
-      // admit a day's arrivals is the plan shape this replaced)
-      val lines = plan.linesIterator.toVector
-      def indent(l: String): Int = l.segmentLength(c => " :+-".contains(c))
-      lines.zipWithIndex.foreach { case (l, i) =>
-        if (l.contains("Exchange hashpartitioning(band") &&
-            !l.contains("ReusedExchange")) {
-          val self = indent(l)
-          val subtree = lines.drop(i + 1).takeWhile(x =>
-            x.trim.isEmpty || indent(x) > self)
-          assert(!subtree.exists(x => x.contains("InMemoryTableScan") ||
-              x.contains("TableCacheQueryStage")),
-            s"(band,sig) exchange above the cached index scan:\n$l\n" +
-              subtree.take(12).mkString("\n"))
-        }
+      // admit a day's arrivals is the plan shape this replaced).
+      // Traversal, not plan-string matching: find each shuffle
+      // exchange hash-partitioned on a `band` column and assert no
+      // in-memory-relation scan anywhere beneath it.
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val bandExchanges = PlanProbe.nodes(cand).collect {
+        case e: ShuffleExchangeExec
+            if (e.outputPartitioning match {
+              case HashPartitioning(exprs, _) =>
+                exprs.flatMap(_.references.map(_.name)).contains("band")
+              case _ => false
+            }) => e
       }
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"),
-        s"banded join degenerated to an all-pairs product:\n${plan.take(4000)}")
+      bandExchanges.foreach { e =>
+        val below = PlanProbe.subtree(e.child)
+        assert(!below.exists(_.isInstanceOf[InMemoryTableScanExec]),
+          s"(band,sig) exchange above the cached index scan:\n$e")
+      }
+      val all = PlanProbe.nodes(cand)
+      assert(!all.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+        s"banded join degenerated to an all-pairs product:\n${cand.queryExecution.executedPlan.toString.take(4000)}")
     } finally { pop.unpersist(); idx.unpersist() }
   }
 
@@ -275,21 +280,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(avgOther < 0.5, s"unrelated docs should be mostly uncovered: $avgOther")
   }
 
-  test("text_dup_spans plan: one gram exchange, word-hash arrays never shuffle") {
+  test("text_dup_spans plan: one gram exchange, word/gram arrays never shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = run("text_dup_spans")
     df.collect() // finalize the adaptive plan
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
     // the covered-positions contract: the tokenize+hash subtree is
     // evaluated once and both distinct-doc windows ride a SINGLE
-    // (h1, h2) exchange
-    val gramExchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(gh1") && !l.contains("ReusedExchange"))
-    assert(gramExchanges == 1, s"expected 1 gram exchange, got $gramExchanges:\n$plan")
-    // and the per-word hash ARRAY stays inside the map-side codegen
-    // stage — only (doc_id, pos, 16 key bytes) may reach an exchange
-    plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
-      assert(!l.contains("__gwh#"), s"word-hash array crosses an exchange:\n$l")
+    // (gh1, gh2) exchange (traversal, not plan-string matching)
+    val gramExchanges = PlanProbe.hashExchangesOn(df, "gh1", "gh2")
+    assert(gramExchanges.length == 1,
+      s"expected 1 gram exchange:\n${df.queryExecution.executedPlan}")
+    // and array payloads (token / gram-key arrays) stay inside the
+    // map-side codegen stage — only fixed-width rows reach exchanges
+    PlanProbe.nodes(df).collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      e.output.foreach(a => assert(
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"array column ${a.name} crosses an exchange:\n$e"))
     }
   }
 

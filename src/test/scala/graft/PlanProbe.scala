@@ -18,7 +18,11 @@ object PlanProbe {
     * inside AQE wrappers. Call AFTER an action if the AQE final plan
     * is wanted; before one, this walks the initial plan.
     */
-  def nodes(df: DataFrame): Seq[SparkPlan] = flatten(df.queryExecution.executedPlan)
+  def nodes(df: DataFrame): Seq[SparkPlan] = subtree(df.queryExecution.executedPlan)
+
+  /** Every node of the subtree rooted at `p`, unwrapping AQE
+    * wrappers the same way as [[nodes]]. */
+  def subtree(p: SparkPlan): Seq[SparkPlan] = flatten(p)
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
