@@ -30,6 +30,7 @@ object Curation {
     QueryDef("cur_sample_stratified", stratified, Some(stratifiedSql)),
     QueryDef("cur_sample_exact_k", exactK, Some(exactKSql)),
     QueryDef("cur_pack_sequences", pack, Some(packSql)),
+    QueryDef("cur_pack_tokens", packTokens, Some(packTokensSql)),
     QueryDef("cur_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("cur_domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("cur_vocab", vocab, Some(vocabSql)),
@@ -246,6 +247,86 @@ object Curation {
        |SELECT lang, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_chars) AS BIGINT) AS chars_packed
        |FROM q GROUP BY lang, shard, seq_id ORDER BY lang, shard, seq_id""".stripMargin
+
+  // --- cur_pack_tokens: token-TRUE packing (tiling) ---------------
+  // cur_pack_sequences budgets by characters; an actual pretraining
+  // loader packs by ENCODED TOKENS: the per-cell doc stream is
+  // concatenated into one token stream and cut every PackTokBudget
+  // tokens — every window is ≤ budget by construction and the tiling
+  // is lossless (Σ window tokens = Σ doc tokens; both spec-pinned).
+  // Token counts are the REAL tokenizer's (cur_bpe_encode's learned
+  // merges, not a whitespace proxy), so the window boundaries are
+  // the ones the loader would see.
+  //
+  // Scale shape: the token counts come from the |vocab|-cost encode
+  // join (corpus never re-shingles); each doc then expands to only
+  // the windows it TOUCHES (ceil(n_tok/budget) rows, ~1 for typical
+  // docs) — never a per-token explode; the window aggregate is one
+  // keyed shuffle of those interval rows. Cells are (lang, shard)
+  // like cur_pack_sequences, so no global window at any scale.
+  // ---------------------------------------------------------------
+  private val PackTokBudget = 512L
+
+  private def packTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = bpeEncodeStats(docs.select("doc_id", "text"), learnedMerges(s, dir))
+      .select(col("doc_id"), col("n_tokens"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select("doc_id", "lang").join(toks, "doc_id")
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("e", sum(col("n_tokens")).over(w))
+      .withColumn("s", col("e") - col("n_tokens"))
+      .select(col("lang"), col("shard"), col("s"), col("e"),
+        explode(expr(s"sequence(s div $PackTokBudget, (e - 1) div $PackTokBudget)"))
+          .as("win_id"))
+      .groupBy("lang", "shard", "win_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("e"), (col("win_id") + 1) * PackTokBudget) -
+          greatest(col("s"), col("win_id") * PackTokBudget)).as("n_tokens"))
+      .orderBy("lang", "shard", "win_id")
+  }
+
+  private lazy val packTokensSql = {
+    // per-doc true token counts via the bpe-encode CTE chain (same
+    // construction as cur_bpe_encode's oracle)
+    val ctes = (1 to BpeRounds)
+      .map(n => s"${bpePairCte(n)},\n${bpeVocabCte(n, carryWord = true)}")
+      .mkString(",\n")
+    s"""WITH ${bpeWordsCte(carryWord = true)},
+       |$ctes,
+       |d AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |enc AS (SELECT word, len(syms) AS n_tok FROM v$BpeRounds),
+       |doctok AS (
+       |  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM d JOIN enc USING (word) GROUP BY doc_id),
+       |spans AS (
+       |  SELECT dd.lang, dd.doc_id % $PackShards AS shard,
+       |         sum(t.n_tokens) OVER (PARTITION BY dd.lang, dd.doc_id % $PackShards
+       |                               ORDER BY dd.doc_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS e,
+       |         t.n_tokens
+       |  FROM documents dd JOIN doctok t ON dd.doc_id = t.doc_id
+       |  WHERE t.n_tokens > 0),
+       |iv AS (SELECT lang, shard, e - n_tokens AS s, e FROM spans),
+       |win AS (
+       |  SELECT lang, shard, s, e,
+       |         unnest(range(CAST(s // $PackTokBudget AS BIGINT),
+       |                      CAST(((e - 1) // $PackTokBudget) + 1 AS BIGINT)))
+       |           AS win_id
+       |  FROM iv)
+       |SELECT lang, shard, win_id, count(*) AS n_docs,
+       |       CAST(sum(least(e, (win_id + 1) * $PackTokBudget) -
+       |                greatest(s, win_id * $PackTokBudget)) AS BIGINT) AS n_tokens
+       |FROM win GROUP BY lang, shard, win_id
+       |ORDER BY lang, shard, win_id""".stripMargin
+  }
 
   // --- cur_decontaminate: eval-set n-gram overlap ----------------
   // Benchmark contamination check: flag training docs sharing any

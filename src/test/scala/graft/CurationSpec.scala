@@ -79,6 +79,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("cur_pack_tokens: every window <= budget in encoded tokens, tiling lossless") {
+    val budget = 512L
+    val rows = run("cur_pack_tokens").collect()
+    assert(rows.nonEmpty)
+    // hard cap: tiling cuts the concatenated token stream, so NO
+    // window exceeds the budget (unlike greedy doc-boundary packing)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= budget,
+        s"window over budget: $r")
+    }
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, wins) =>
+        val ids = wins.map(_.getAs[Long]("win_id")).sorted
+        assert(ids.head == 0L)
+        assert(ids.toSeq == (0L until ids.length).toSeq) // no gaps
+        // every window except the cell's last is EXACTLY full
+        wins.sortBy(_.getAs[Long]("win_id")).dropRight(1).foreach { r =>
+          assert(r.getAs[Long]("n_tokens") == budget, s"unfilled window: $r")
+        }
+      }
+    // lossless: window tokens sum to the corpus's true encoded total
+    val packed = rows.map(_.getAs[Long]("n_tokens")).sum
+    val total = run("cur_bpe_encode").agg(sum(col("n_tokens")))
+      .collect().head.getLong(0)
+    assert(packed == total, s"packed $packed != encoded total $total")
+  }
+
   test("cur_decontaminate flags every planted plagiarized doc") {
     val flagged = run("cur_decontaminate").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap

@@ -70,4 +70,28 @@ class IvfSamplingSpec extends AnyFunSuite {
     // and the curve is a real trade: nProbe=1 must lose something
     assert(rows.head._3 < 1000L, s"nProbe=1 already exact — degenerate corpus?")
   }
+
+  test("sim_index_maintain: index grows, recall floor holds, day-2 hits day-1") {
+    val sfd = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("sim_index_maintain")(spark, sfd).collect()
+      .map(r => r.getAs[String]("phase") -> r).toMap
+    assert(rows.keySet == Set("day1", "day2"))
+    val (d1, d2) = (rows("day1"), rows("day2"))
+    // the admission actually grew the standing index
+    assert(d2.getAs[Long]("n_indexed") > d1.getAs[Long]("n_indexed"),
+      s"index did not grow: $d1 -> $d2")
+    // recall floor on BOTH the fresh and the grown index: admitting
+    // an increment to stored centroids must not collapse quality
+    Seq(d1, d2).foreach { r =>
+      assert(r.getAs[Long]("recall_milli") >= 600L, s"recall floor: $r")
+    }
+    // day-2 queries are increment vectors; their approximate
+    // neighbors must include day-1 standing vectors (the point of
+    // maintaining one index instead of one per day)
+    assert(d2.getAs[Long]("n_day1_neighbors") > 0L, s"no cross-day hits: $d2")
+    // day-1 phase queries the standing set only — every neighbor is
+    // day-1 by construction (sanity that the phase split is real)
+    assert(d1.getAs[Long]("n_day1_neighbors") == d1.getAs[Long]("n_exact")
+      || d1.getAs[Long]("n_day1_neighbors") > 0L)
+  }
 }
