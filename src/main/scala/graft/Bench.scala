@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   * codegen startup cost doesn't land on an arbitrary first query.
   */
 object Bench {
+
+  /** True when a later pass is slower than an earlier one by >15%:
+    * the run sat on a loaded/degrading host and its numbers measure
+    * the host, not the code. Extracted for the spec. */
+  private[graft] def nonMonotone(passTotals: Seq[Double]): Boolean =
+    passTotals.sliding(2).exists {
+      case Seq(a, b) => b > a * 1.15
+      case _         => false
+    }
+
   def main(args: Array[String]): Unit = {
     // Best-effort: drop the guest page cache before timing. On this
     // sandbox VM, page cache accumulated across runs (datasets +
@@ -14,21 +24,31 @@ object Bench {
     // executor threads sink into KERNEL time (measured: identical
     // code/data read 37.6 s freshly dropped vs 152 s degraded;
     // vmstat showed 57-96% sy). Clean-cache-only drop, no dirty
-    // data at risk (sync first); silently a no-op without root.
+    // data at risk (sync first); a no-op without root.
     // SPARK_GRAFT_KEEP_CACHES=1 opts out.
-    def dropCaches(): Unit =
-      if (!sys.env.get("SPARK_GRAFT_KEEP_CACHES").contains("1")) {
+    val keepCaches = sys.env.get("SPARK_GRAFT_KEEP_CACHES").contains("1")
+    def dropCaches(): Boolean =
+      if (keepCaches) false
+      else {
         try {
           import scala.sys.process._
           // braces so a non-root redirection failure is silenced by
           // the OUTER 2>/dev/null (redirections resolve left-to-right,
           // so an inner one can't suppress its own open error)
           Seq("sh", "-c",
-            "{ sync && echo 3 > /proc/sys/vm/drop_caches; } 2>/dev/null").!
-          ()
-        } catch { case _: Throwable => () }
+            "{ sync && echo 3 > /proc/sys/vm/drop_caches; } 2>/dev/null").! == 0
+        } catch { case _: Throwable => false }
       }
-    dropCaches()
+    // the drop's outcome is a measurement condition, not a detail:
+    // record it once so every number in this run is self-describing
+    // about which cache regime it timed
+    val cacheDropMode =
+      if (keepCaches) "keep"
+      else if (dropCaches()) "dropped"
+      else "noop"
+    System.err.println(s"[bench] cache drop mode: $cacheDropMode" + (
+      if (cacheDropMode == "noop") " (no root — timings ride whatever page cache the host accumulated)"
+      else ""))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
@@ -76,8 +96,12 @@ object Bench {
     // drop exists for re-appears WITHIN the pass; per-query drops
     // (between timed windows — the next query re-reads its parquet
     // input at disk speed, a fair cold-ish read a real cluster pays
-    // too) keep long ladder runs honest at a few ms each
-    val dropEachQuery = sys.env.get("SPARK_GRAFT_DROP_EACH_QUERY").contains("1")
+    // too) keep long runs honest at a few ms each. DEFAULT since
+    // round 16 — the object-store posture, where every query pays
+    // its input read; SPARK_GRAFT_DROP_EACH_QUERY=0 opts back into
+    // warm in-suite reads (KEEP_CACHES implies it).
+    val dropEachQuery = !keepCaches &&
+      !sys.env.get("SPARK_GRAFT_DROP_EACH_QUERY").contains("0")
     def timeAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -165,11 +189,13 @@ object Bench {
     // A run whose pass totals are non-monotone by >15% (a later pass
     // slower than an earlier one beyond noise) ran on a loaded host;
     // its numbers measure the host, not the code — refuse to fold it
-    // over an existing map.
-    val suspect = passTotals.sliding(2).exists {
-      case Seq(a, b) => b > a * 1.15
-      case _         => false
-    }
+    // over an existing map, and say so even when there is no map (a
+    // future session must not silently time on a degraded host).
+    val suspect = nonMonotone(passTotals)
+    if (suspect) System.err.println(
+      s"[bench] WARNING: pass totals non-monotone >15% " +
+        s"(${passTotals.map(r3).mkString(",")}) — loaded/degrading host, " +
+        "treat this run's numbers as suspect")
     val existing: Option[(Map[String, Double], Map[String, Double], Seq[Double], String)] =
       if (fresh) None
       else try {
@@ -192,15 +218,21 @@ object Bench {
             (0 until n.size()).map(n.get(_).asDouble())
           }
           val sf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-          Some((objToMap("best"), objToMap("spread"), hist, sf))
+          // protocol tag rides the sf slot: a map min-merged across
+          // cache regimes would keep stale warm-read minima under
+          // cold-read numbers. Legacy maps (no field) read as warm.
+          val proto = Option(root.get("cold_reads")).exists(_.asBoolean())
+          Some((objToMap("best"), objToMap("spread"), hist,
+            s"$sf#cold=$proto"))
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] existing map unreadable, writing fresh: ${e.getMessage}")
         None
       }
+    val runTag = s"$sfDir#cold=$dropEachQuery"
     val (mergedBest, mergedSpread, mergedHist, merged) = existing match {
-      case Some((exBest, exSpread, exHist, exSf)) if exSf != sfDir =>
-        System.err.println(s"[bench] map at $mapPath is for sf '$exSf' != '$sfDir'; writing fresh")
+      case Some((exBest, exSpread, exHist, exSf)) if exSf != runTag =>
+        System.err.println(s"[bench] map at $mapPath is for '$exSf' != '$runTag' (sf or cache protocol); writing fresh")
         (best, spread, passTotals, false)
       case Some((exBest, exSpread, exHist, _)) if suspect && exBest.nonEmpty =>
         System.err.println(s"[bench] pass totals non-monotone >15% (${passTotals.map(r3).mkString(",")}): loaded host, NOT folding into $mapPath")
@@ -236,7 +268,7 @@ object Bench {
     // came from the prior map and this-run detail must not be read
     // against them (last_run_folded=false marks exactly that)
     val lastFolded = !(suspect && merged)
-    mapJson ++= s""""sf":"$sfDir","passes":$passes,"nq":${mergedBest.size},"merged":$merged,"last_run_folded":$lastFolded,"""
+    mapJson ++= s""""sf":"$sfDir","cold_reads":$dropEachQuery,"cache_drop":"$cacheDropMode","passes":$passes,"nq":${mergedBest.size},"merged":$merged,"last_run_folded":$lastFolded,"""
     mapJson ++= s""""best_total":${r3(mergedTotal)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"""
     mapJson ++= s""""pass_totals":[${mergedHist.map(r3).mkString(",")}],"""
     mapJson ++= "\n" + all.zipWithIndex.map { case (p, i) =>
@@ -250,7 +282,7 @@ object Bench {
     }
     // FINAL stdout line = totals only (~120 bytes) so it parses under
     // any tail window; "queries" points at the line above
-    println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"nq":${best.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(bestTotal)},"unit":"sec","cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"passes":$passes,"nq":${best.size},"cold_reads":$dropEachQuery,"cache_drop":"$cacheDropMode","sf":"$sfDir"}""")
     spark.stop()
   }
 }
