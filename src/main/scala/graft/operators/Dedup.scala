@@ -281,7 +281,8 @@ object Dedup {
       maxBucket: Int = MaxBucket,
       threshold: Double = 0.7,
       indexPop: Option[DataFrame] = None,
-      indexGrams: Option[DataFrame] = None): DataFrame = {
+      indexGrams: Option[DataFrame] = None,
+      dailyProbe: Boolean = false): DataFrame = {
     // the increment's band frame feeds four consumers inside the
     // candidate plan; verdicts OWNS its persist so it can be released
     // with the other intermediates (a localCheckpoint inside
@@ -294,7 +295,7 @@ object Dedup {
     // join) — persist so the band join runs once, not three times
     val cand = incrementalCandidates(
       index, increment, idCol, textCol, k, r, md5Hash, maxBucket,
-      indexPop, Some(nb)).persist()
+      indexPop, Some(nb), dailyProbe).persist()
     // the pruned gram table is |touched|-bounded and feeds BOTH sides
     // of the verify join — persist + materialize so the corpus scan +
     // semi-join + gram transform run once, not per branch (measured:
@@ -302,14 +303,21 @@ object Dedup {
     val g = touchedGramTable(
       cand, corpusTexts, idCol, textCol, indexGrams).persist()
     try {
-      val touched = g.count()
-      // the materializing count doubles as the broadcast gate: a
-      // |touched| below the cap (~180 MB of hashed-gram rows) turns
-      // BOTH verify joins map-side — the |pairs|-sized cand frame
-      // never shuffles at all (measured: the two pair-granularity
-      // shuffle joins dragged 51-element gram arrays through an
-      // exchange each)
-      val gJoin = if (touched <= BroadcastTouchedMax) broadcast(g) else g
+      // broadcast gate for the verify joins: a |touched| below the
+      // cap (~180 MB of hashed-gram rows) turns BOTH verify joins
+      // map-side — the |pairs|-sized cand frame never shuffles at
+      // all (measured: the two pair-granularity shuffle joins
+      // dragged 51-element gram arrays through an exchange each).
+      // A declared daily probe SKIPS the gating count: the touched
+      // set is |pairs|-bounded and a daily increment's collisions
+      // sit far below the cap, so the checkpoint below is then the
+      // probe's ONLY materializing action — the cap-check, admission
+      // and verify passes all ride its one job, reusing the persists
+      // as its stages complete (the counted form paid a fixed
+      // multi-stage job per gate just to decide what the manifest
+      // already knew).
+      val gJoin =
+        if (dailyProbe || g.count() <= BroadcastTouchedMax) broadcast(g) else g
       // materialize before unpersist: severing lineage here keeps the
       // persisted frames out of the returned plan
       verifyJoin(cand, gJoin, threshold).localCheckpoint()
@@ -347,7 +355,8 @@ object Dedup {
       md5Hash: Boolean,
       maxBucket: Int,
       indexPop: Option[DataFrame] = None,
-      newBands: Option[DataFrame] = None): DataFrame = {
+      newBands: Option[DataFrame] = None,
+      dailyProbe: Boolean = false): DataFrame = {
     // direct (audit/spec) callers get a localCheckpoint — simple, GC
     // reclaims it; the production entries pass a persisted frame via
     // `newBands` so incrementalDedupVerdicts can release it with the
@@ -367,9 +376,13 @@ object Dedup {
     // zero exchange and zero sort, whatever its cached layout. The
     // count is a cheap pass over the checkpointed blocks; above the
     // cap (a bulk backfill, not a daily increment) the join falls
-    // back to a shuffle on (band, sig).
+    // back to a shuffle on (band, sig). A declared daily probe skips
+    // the gating count outright — its increment is manifest-bounded
+    // far below the cap, and the saved job matters at the fixed-cost
+    // floor (callers with unbounded increments must NOT set it: the
+    // forced broadcast of a backfill would flood executors).
     val probeSide =
-      if (nb.count() <= BroadcastBandsMax) broadcast(nbC) else nbC
+      if (dailyProbe || nb.count() <= BroadcastBandsMax) broadcast(nbC) else nbC
     val idxPairs = probeSide.as("a").join(index.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -686,7 +699,8 @@ object Dedup {
       standingIndex(s, dir),
       increment, corpusTexts, "doc_id", "text",
       md5Hash = true,
-      indexPop = Some(cachedIndexPop(s, dir, standingIndex(s, dir))))
+      indexPop = Some(cachedIndexPop(s, dir, standingIndex(s, dir))),
+      dailyProbe = true)
   }
 
   /** DuckDB twin of an increment probe: batch-mine `corpus`, keep
@@ -768,7 +782,8 @@ object Dedup {
       Tables.documents(s, dir).select("doc_id", "text")
         .unionAll(day1).unionAll(day2), "doc_id", "text",
       md5Hash = true,
-      indexPop = Some(cachedIndexPop(s, s"$dir|grown", grown)))
+      indexPop = Some(cachedIndexPop(s, s"$dir|grown", grown)),
+      dailyProbe = true)
   }
 
   private val maintainCorpusSql =
