@@ -543,8 +543,15 @@ object Wire {
     def next(): Array[Byte] = {
       val (payload, used, _) = readPacket(data, p); p += used; payload
     }
+    (decodeResultSetFrom(next _), p - off)
+  }
+
+  /** Streaming form of [[decodeResultSet]]: packets come from a
+    * supplier (a live transport reads them off the wire one at a
+    * time) instead of a contiguous buffer. */
+  def decodeResultSetFrom(next: () => Array[Byte]): Either[Ok, ResultSet] = {
     val first = next()
-    if (isOk(first)) (Left(decodeOk(first)), p - off)
+    if (isOk(first)) Left(decodeOk(first))
     else if (isErr(first)) {
       val e = decodeErr(first)
       throw new IllegalStateException(s"wire: server error ${e.code}: ${e.message}")
@@ -572,7 +579,7 @@ object Wire {
           decodeTextRow(pk, nCols)
         }
         .toSeq
-      (Right(ResultSet(columns, rows)), p - off)
+      Right(ResultSet(columns, rows))
     }
   }
 
