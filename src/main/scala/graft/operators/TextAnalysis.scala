@@ -811,14 +811,24 @@ object TextAnalysis {
     Tables.parallelized(Tables.documents(s, dir))
       .withColumn("w", split(col("text"), "\\s+"))
       .filter(size(col("w")) >= 3)
-      // trigrams as chained xxhash64 longs, not concat_ws strings:
-      // the distinct count is identical (chaining hashes each word
-      // separately, so there is no concatenation ambiguity, and a
-      // 64-bit collision within one doc's ~10² trigrams is ~1e-15)
-      // while array_distinct compares 8-byte longs instead of
-      // allocating and hashing a string per position
+      // trigrams as TWO-lane hashed keys, not concat_ws strings: the
+      // distinct count is identical (per-word hashing leaves no
+      // concatenation ambiguity), array_distinct compares 16-byte
+      // structs instead of allocating a string per position, and —
+      // because the oracle compares exact n_distinct — the same
+      // double-lane scheme as hashedWordGramKeys makes a cross-engine
+      // count divergence need a simultaneous collision in BOTH lanes
+      // (≈1e-29 per doc), not one 64-bit lane (which at the 100 TB
+      // target's doc count stops being negligible for an exact gate).
+      // Words hash once per lane via the native codegen expression.
       .select(col("doc_id"),
-        expr("transform(sequence(1, size(w) - 2), i -> xxhash64(w[i-1], w[i], w[i+1]))").as("g"))
+        graft.functions.word_lane_hashes(col("w")).as("__gl"))
+      .select(col("doc_id"),
+        col("__gl.a").as("__ga"), col("__gl.b").as("__gb"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(__ga) - 2), i -> struct(
+          |  xxhash64(__ga[i-1], __ga[i], __ga[i+1]) AS h1,
+          |  xxhash64(__gb[i-1], __gb[i], __gb[i+1]) AS h2))""".stripMargin).as("g"))
       .select(col("doc_id"),
         size(col("g")).cast("long").as("n_grams"),
         size(array_distinct(col("g"))).cast("long").as("n_distinct"))
