@@ -13,10 +13,21 @@ Run QUIET (no concurrent JVMs) — same contamination rules as
 graft.Bench. DuckDB uses all cores by default; thread count is
 recorded in the artifact.
 """
-import sys, os, json, time
+import sys, os, json, time, subprocess
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def drop_caches():
+    """Mirror graft.Bench's default cold-read posture: each timed
+    window re-reads its parquet at disk speed. No-op without root.
+    Opt out with GRAFT_BASELINE_KEEP_CACHES=1 (warm protocol)."""
+    if os.environ.get("GRAFT_BASELINE_KEEP_CACHES") == "1":
+        return False
+    r = subprocess.run(
+        ["sh", "-c", "{ sync && echo 3 > /proc/sys/vm/drop_caches; } 2>/dev/null"])
+    return r.returncode == 0
 
 
 def main(sfdir, oracle_path, out_path, passes=3):
@@ -29,12 +40,15 @@ def main(sfdir, oracle_path, out_path, passes=3):
     names = sorted(oracle)
     threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
 
+    cold = drop_caches()
     per_pass = []          # list of {name: sec} per pass
     pass_totals = []
     for p in range(passes):
         times = {}
         t_pass = time.monotonic()
         for name in names:
+            if cold:
+                drop_caches()   # outside the timed window, like graft.Bench
             t0 = time.monotonic()
             con.execute(oracle[name]).fetchall()   # full materialization
             times[name] = round(time.monotonic() - t0, 4)
@@ -48,6 +62,7 @@ def main(sfdir, oracle_path, out_path, passes=3):
         "version": duckdb.__version__,
         "threads": int(threads),
         "sf_dir": sfdir,
+        "cold_reads": cold,
         "passes": passes,
         "queries": len(names),
         "pass_totals": pass_totals,
