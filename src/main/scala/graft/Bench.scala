@@ -17,6 +17,31 @@ object Bench {
       case _         => false
     }
 
+  /** Per-key min-merge decision, artifact-state aware. A number
+    * measured over a session-cached artifact ("hit" — a
+    * MEMORY_AND_DISK scan) and one that built the artifact in-window
+    * ("build") time DIFFERENT work; min-merging them would silently
+    * keep whichever regime was faster under the other's label — the
+    * same ambiguity the cross-protocol (cold/warm) refusal exists
+    * for. When both sides carry a known state and they differ, the
+    * fold is REFUSED: the existing entry stays, `refused` flags it.
+    * "?" (legacy map, state unrecorded) folds like before and the
+    * surviving state is whatever the min-supplier knew.
+    * Returns (value, spreadFromNew, artifactState, refused). */
+  private[graft] def foldKey(
+      exVal: Option[Double], exArt: String,
+      newVal: Option[Double], newArt: String): (Double, Boolean, String, Boolean) =
+    (exVal, newVal) match {
+      case (Some(e), None) => (e, false, exArt, false)
+      case (None, Some(n)) => (n, true, newArt, false)
+      case (Some(e), Some(n)) =>
+        if (exArt != "?" && newArt != "?" && exArt != newArt)
+          (e, false, exArt, true) // states conflict: keep existing, flag
+        else if (n <= e) (n, true, if (newArt != "?") newArt else exArt, false)
+        else (e, false, if (exArt != "?") exArt else newArt, false)
+      case (None, None) => (Double.NaN, false, "?", false)
+    }
+
   def main(args: Array[String]): Unit = {
     // Best-effort: drop the guest page cache before timing. On this
     // sandbox VM, page cache accumulated across runs (datasets +
@@ -99,14 +124,31 @@ object Bench {
     // too) keep long runs honest at a few ms each. DEFAULT since
     // round 16 — the object-store posture, where every query pays
     // its input read; SPARK_GRAFT_DROP_EACH_QUERY=0 opts back into
-    // warm in-suite reads (KEEP_CACHES implies it).
-    val dropEachQuery = !keepCaches &&
+    // warm in-suite reads (KEEP_CACHES implies it). When the drop is
+    // a NOOP (no root), the protocol silently degrades to warm reads
+    // — so the run must not claim cold_reads=true: tag follows the
+    // drop that actually happened, or the min-merge would fold warm
+    // timings into a cold-protocol map.
+    val dropEachQuery = cacheDropMode == "dropped" &&
       !sys.env.get("SPARK_GRAFT_DROP_EACH_QUERY").contains("0")
-    def timeAll(): Seq[(String, Double)] =
+    if (cacheDropMode == "noop" &&
+        !sys.env.get("SPARK_GRAFT_DROP_EACH_QUERY").contains("0"))
+      System.err.println(
+        "[bench] drop_caches is a noop on this host — run downgraded to " +
+          "cold_reads=false (it cannot honestly claim the cold protocol)")
+    // Each timed window is labeled with the SessionCache artifact
+    // state it measured: "build" (≥1 artifact built inside the
+    // window — first-touch cost), "hit" (artifacts found built — the
+    // window times consumers over a MEMORY_AND_DISK scan), "none"
+    // (no session artifacts involved). A per-query OS cache drop
+    // cannot clear Spark's block manager, so a "hit" number is NOT a
+    // cold-read number even under the cold protocol — the map says so.
+    def timeAll(): Seq[(String, Double, String)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
         if (dropEachQuery) dropCaches()
+        val (b0, h0) = operators.SessionCache.stats
         val t0 = System.nanoTime()
         // noop sink evaluates every column (count() would let Catalyst
         // prune the projections being measured)
@@ -115,7 +157,10 @@ object Bench {
           // a failed query would otherwise masquerade as a fast one
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (b1, h1) = operators.SessionCache.stats
+        val art = if (b1 > b0) "build" else if (h1 > h0) "hit" else "none"
+        (name, secs, art)
       }
     // 3-decimal rounding keeps the whole JSON line well inside the
     // harness's output tail window (full-precision doubles overflowed
@@ -144,13 +189,19 @@ object Bench {
     val steady = all.last
     val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
-    val best = all.transpose.map { samples =>
-      samples.head._1 -> samples.map(_._2).min
+    // best per query takes its value AND its artifact state from the
+    // pass that supplied the min — dedup_minhash's 0.07 s best reads
+    // "hit" (a cached pair-table scan), its 14 s pass0 reads "build"
+    val best3 = all.transpose.map { samples =>
+      val m = samples.minBy(_._2)
+      (m._1, m._2, m._3)
     }.toSeq
+    val best = best3.map(t => t._1 -> t._2)
+    val bestArt = best3.map(t => t._1 -> t._3).toMap
     val bestTotal = best.map(_._2).sum
     // per-pass detail on its own (non-headline) line for humans
     all.zipWithIndex.foreach { case (p, i) =>
-      println(s"""pass${i}_queries ${toJson(p)}""")
+      println(s"""pass${i}_queries ${toJson(p.map(t => t._1 -> t._2))}""")
     }
     // one-glance pass health: a pass total far above its neighbors
     // (observed once: a host-level stall turned pass 3 into 272s vs
@@ -172,6 +223,11 @@ object Bench {
     // line — the round-6 artifact's tail window clipped everything
     // above pass3, so the richest map must sit adjacent to the tail.
     println(s"""best_queries ${toJson(best)}""")
+    // entries whose best window involved session artifacts, with the
+    // state the min was measured under (file carries the full map)
+    val artLine = best3.filter(_._3 != "none")
+      .map(t => "\"" + t._1 + "\":\"" + t._3 + "\"").mkString("{", ",", "}")
+    println(s"""artifact_queries $artLine""")
     // The COMPLETE per-query detail also lands in a file: by round 8
     // the suite outgrew even the per-line protocol (the artifact's
     // tail window clipped the ~24 alphabetically-first entries of the
@@ -196,7 +252,7 @@ object Bench {
       s"[bench] WARNING: pass totals non-monotone >15% " +
         s"(${passTotals.map(r3).mkString(",")}) — loaded/degrading host, " +
         "treat this run's numbers as suspect")
-    val existing: Option[(Map[String, Double], Map[String, Double], Seq[Double], String)] =
+    val existing: Option[(Map[String, Double], Map[String, Double], Map[String, String], Seq[Double], String)] =
       if (fresh) None
       else try {
         val p = java.nio.file.Paths.get(mapPath)
@@ -214,6 +270,18 @@ object Bench {
               b.result()
             }
           }
+          // per-key artifact states; maps written before the field
+          // existed read as "?" (unknown) for every key
+          val art: Map[String, String] = {
+            val n = root.get("artifact")
+            if (n == null) Map.empty
+            else {
+              val it = n.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+              b.result()
+            }
+          }
           val hist = Option(root.get("pass_totals")).toSeq.flatMap { n =>
             (0 until n.size()).map(n.get(_).asDouble())
           }
@@ -222,7 +290,7 @@ object Bench {
           // cache regimes would keep stale warm-read minima under
           // cold-read numbers. Legacy maps (no field) read as warm.
           val proto = Option(root.get("cold_reads")).exists(_.asBoolean())
-          Some((objToMap("best"), objToMap("spread"), hist,
+          Some((objToMap("best"), objToMap("spread"), art, hist,
             s"$sf#cold=$proto"))
         }
       } catch { case e: Throwable =>
@@ -230,11 +298,11 @@ object Bench {
         None
       }
     val runTag = s"$sfDir#cold=$dropEachQuery"
-    val (mergedBest, mergedSpread, mergedHist, merged) = existing match {
-      case Some((exBest, exSpread, exHist, exSf)) if exSf != runTag =>
+    val (mergedBest, mergedSpread, mergedArt, mergedHist, merged) = existing match {
+      case Some((exBest, exSpread, exArt, exHist, exSf)) if exSf != runTag =>
         System.err.println(s"[bench] map at $mapPath is for '$exSf' != '$runTag' (sf or cache protocol); writing fresh")
-        (best, spread, passTotals, false)
-      case Some((exBest, exSpread, exHist, _)) if suspect && exBest.nonEmpty =>
+        (best, spread, bestArt, passTotals, false)
+      case Some((exBest, exSpread, exArt, exHist, _)) if suspect && exBest.nonEmpty =>
         System.err.println(s"[bench] pass totals non-monotone >15% (${passTotals.map(r3).mkString(",")}): loaded host, NOT folding into $mapPath")
         // keys the map has never seen still enter (a suspect number
         // beats a missing one); existing keys stay untouched
@@ -244,22 +312,30 @@ object Bench {
         (kept,
          kept.map { case (k, _) =>
            k -> exSpread.getOrElse(k, ns.getOrElse(k, 1.0)) },
+         kept.map { case (k, _) =>
+           k -> exArt.getOrElse(k, bestArt.getOrElse(k, "?")) }.toMap,
          exHist, true)
-      case Some((exBest, exSpread, exHist, _)) if exBest.nonEmpty =>
+      case Some((exBest, exSpread, exArt, exHist, _)) if exBest.nonEmpty =>
         val keys = (exBest.keySet ++ best.map(_._1)).toSeq.sorted
         val newBest = best.toMap
         val newSpread = spread.toMap
-        val mb = keys.map { k =>
-          k -> math.min(exBest.getOrElse(k, Double.MaxValue),
-                        newBest.getOrElse(k, Double.MaxValue))
+        val folded = keys.map { k =>
+          k -> foldKey(exBest.get(k), exArt.getOrElse(k, "?"),
+                       newBest.get(k), bestArt.getOrElse(k, "?"))
         }
+        val refusedKeys = folded.collect { case (k, (_, _, _, true)) => k }
+        if (refusedKeys.nonEmpty) System.err.println(
+          s"[bench] artifact-state conflict — NOT min-folding " +
+            s"${refusedKeys.mkString(", ")} (existing map state differs " +
+            "from this run's; the two time different work)")
+        val mb = folded.map { case (k, (v, _, _, _)) => k -> v }
         // per-key spread travels with whichever run supplied the min
-        val ms = keys.map { k =>
-          val fromNew = newBest.get(k).exists(v => v <= exBest.getOrElse(k, Double.MaxValue))
+        val ms = folded.map { case (k, (_, fromNew, _, _)) =>
           k -> (if (fromNew) newSpread.getOrElse(k, 1.0) else exSpread.getOrElse(k, 1.0))
         }
-        (mb, ms, exHist ++ passTotals, true)
-      case _ => (best, spread, passTotals, false)
+        val ma = folded.map { case (k, (_, _, a, _)) => k -> a }.toMap
+        (mb, ms, ma, exHist ++ passTotals, true)
+      case _ => (best, spread, bestArt, passTotals, false)
     }
     val mergedTotal = mergedBest.map(_._2).sum
     val mapJson = new StringBuilder("{\n")
@@ -272,8 +348,15 @@ object Bench {
     mapJson ++= s""""best_total":${r3(mergedTotal)},"cold_total":${r3(total)},"steady_total":${r3(steadyTotal)},"""
     mapJson ++= s""""pass_totals":[${mergedHist.map(r3).mkString(",")}],"""
     mapJson ++= "\n" + all.zipWithIndex.map { case (p, i) =>
-      s""""pass$i":${toJson(p)}""" }.mkString(",\n")
+      s""""pass$i":${toJson(p.map(t => t._1 -> t._2))}""" }.mkString(",\n")
     mapJson ++= s""",\n"spread":${toJson(mergedSpread)}"""
+    // per-key artifact state for every best entry: "build" (window
+    // built its session artifacts — first-touch cost), "hit" (window
+    // timed consumers over the already-persisted artifact), "none"
+    // (no session artifacts), "?" (inherited from a pre-field map)
+    mapJson ++= ",\n\"artifact\":" + mergedBest.map { case (k, _) =>
+      "\"" + k + "\":\"" + mergedArt.getOrElse(k, "?") + "\""
+    }.mkString("{", ",", "}")
     mapJson ++= s""",\n"best":${toJson(mergedBest)}\n}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(mapPath), mapJson.toString)

@@ -317,7 +317,10 @@ object Dedup {
       // multi-stage job per gate just to decide what the manifest
       // already knew).
       val gJoin =
-        if (dailyProbe || g.count() <= BroadcastTouchedMax) broadcast(g) else g
+        if (dailyProbe)
+          broadcast(cappedBroadcastSide(g, BroadcastTouchedMax, "touched-gram table"))
+        else if (g.count() <= BroadcastTouchedMax) broadcast(g)
+        else g
       // materialize before unpersist: severing lineage here keeps the
       // persisted frames out of the returned plan
       verifyJoin(cand, gJoin, threshold).localCheckpoint()
@@ -382,7 +385,10 @@ object Dedup {
     // floor (callers with unbounded increments must NOT set it: the
     // forced broadcast of a backfill would flood executors).
     val probeSide =
-      if (dailyProbe || nb.count() <= BroadcastBandsMax) broadcast(nbC) else nbC
+      if (dailyProbe)
+        broadcast(cappedBroadcastSide(nbC, BroadcastBandsMax, "band frame"))
+      else if (nb.count() <= BroadcastBandsMax) broadcast(nbC)
+      else nbC
     val idxPairs = probeSide.as("a").join(index.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -401,6 +407,35 @@ object Dedup {
     * path instead of flooding executors.
     */
   private val BroadcastBandsMax = 4000000L
+
+  /** Streaming row-cap guard for a dailyProbe-forced broadcast: a
+    * declared daily probe skips the broadcast-gating count jobs on
+    * the caller's word that the increment is manifest-bounded, so a
+    * MISLABELED bulk load (backfill routed down the probe path, bad
+    * manifest) would force-broadcast an unbounded frame and die as an
+    * anonymous executor/driver OOM. This guard rides the existing
+    * single action: rows stream through a per-partition counter and
+    * the job fails with a NAMED error the moment any partition
+    * exceeds the full broadcast cap — during the broadcast's driver
+    * collection, before the hashed relation floods executors. A
+    * legitimate daily increment (orders of magnitude below the cap)
+    * pays one long increment per row on a few thousand rows — no
+    * extra job, no exchange.
+    */
+  private[graft] def cappedBroadcastSide(df: DataFrame, cap: Long, what: String): DataFrame = {
+    val schema = df.schema
+    df.mapPartitions { it =>
+      var n = 0L
+      it.map { r =>
+        n += 1
+        if (n > cap) throw new IllegalStateException(
+          s"graft: dailyProbe $what exceeded $cap rows in one partition — " +
+            "this is a bulk load mislabeled as a daily probe (bad manifest?); " +
+            "rerun with dailyProbe=false to take the gated shuffle path")
+        r
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 
   /** Word-3-gram sets of exactly the docs some candidate pair
     * touches, as DISTINCT xxhash64 values (array<bigint>) rather than

@@ -20,6 +20,17 @@ private[graft] object SessionCache {
   private val caches = new java.util.WeakHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
+  // Build/hit counters so a bench can label each timed window with
+  // the artifact state it measured: a query whose artifacts were all
+  // cache HITS times a MEMORY_AND_DISK scan, not the mining that
+  // built it, and its number must say so (BENCH_map "artifact").
+  private val buildsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+  private val hitsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Monotone (builds, hits) totals since JVM start — snapshot before
+    * and after a timed window to classify it. */
+  def stats: (Long, Long) = (buildsSeen.get(), hitsSeen.get())
+
   def get(s: SparkSession, key: String, build: => DataFrame): DataFrame = {
     val perSession = caches.synchronized {
       val it = caches.keySet.iterator()
@@ -37,8 +48,9 @@ private[graft] object SessionCache {
     // "Recursive update". Check-then-putIfAbsent is reentrant; if
     // two threads race, the loser's duplicate build is unpersisted.
     val existing = perSession.get(key)
-    if (existing != null) existing
+    if (existing != null) { hitsSeen.incrementAndGet(); existing }
     else {
+      buildsSeen.incrementAndGet()
       val df = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()

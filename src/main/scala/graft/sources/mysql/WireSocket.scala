@@ -20,6 +20,14 @@ import java.io.{InputStream, OutputStream}
   */
 final class WireChannel(in: InputStream, out: OutputStream) {
 
+  private var lastSeq: Int = -1
+
+  /** Sequence number of the last framed packet read (-1 before any
+    * read). Auth replies must continue from here (lastReadSeq + 1) —
+    * a fixed constant breaks when a caching_sha2 fast-auth exchange
+    * precedes an AuthSwitchRequest and shifts the numbering. */
+  def lastReadSeq: Int = lastSeq
+
   /** Read one framed payload; reassembles the 16 MB continuation
     * convention (a length-0xffffff packet continues in the next). */
   def readPayload(): Array[Byte] = {
@@ -28,6 +36,7 @@ final class WireChannel(in: InputStream, out: OutputStream) {
     while (more) {
       val h = readN(4)
       val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+      lastSeq = h(3) & 0xff
       buf.write(readN(len))
       more = len == 0xffffff
     }
@@ -147,8 +156,11 @@ object WireSocket {
             s"wire: unsupported auth plugin $p")
         }
         // an auth-switch reply continues the sequence after the
-        // switch request (greeting 0, response 1, switch 2 → 3)
-        ch.writePayload(scramble, 3)
+        // switch request: usually greeting 0, response 1, switch 2
+        // → reply 3, but a caching_sha2 fast-auth packet may precede
+        // the switch and shift the numbering — continue from the
+        // sequence the server actually used
+        ch.writePayload(scramble, ch.lastReadSeq + 1)
       } else Wire.fastAuthOk(pk) match {
         // caching_sha2 fast-auth verdict: success → an OK follows;
         // full-auth-needed requires TLS or an RSA key exchange,

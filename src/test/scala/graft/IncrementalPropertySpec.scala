@@ -84,4 +84,35 @@ class IncrementalPropertySpec extends AnyFunSuite {
       assert(got.nonEmpty, s"seed=$seed: no candidates at all")
     }
   }
+
+  test("dailyProbe=true equals the gated path (same corpus, same verdicts)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val (standing, increment) = corpusFor(42L)
+    val sDf = standing.toDF("doc_id", "text")
+    val iDf = increment.toDF("doc_id", "text")
+    val union = sDf.unionAll(iDf)
+    val index = Dedup.bandSignatures(sDf, "doc_id", "text")
+    def runIt(daily: Boolean) = Dedup.incrementalDedupVerdicts(
+      index, iDf, union, "doc_id", "text", dailyProbe = daily)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(runIt(daily = true).toSeq == runIt(daily = false).toSeq)
+  }
+
+  test("a mislabeled bulk load on the dailyProbe path dies with a NAMED error") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // the guard streams through the forced broadcast's collection and
+    // fails the partition the moment it exceeds the cap — a named
+    // error instead of an executor/driver OOM
+    val under = Dedup.cappedBroadcastSide(
+      spark.range(0, 10, 1, 1).toDF("id"), cap = 100L, what = "test frame")
+    assert(under.count() == 10) // under the cap: pure passthrough
+    val over = Dedup.cappedBroadcastSide(
+      spark.range(0, 500, 1, 1).toDF("id"), cap = 100L, what = "test frame")
+    val e = intercept[org.apache.spark.SparkException] { over.count() }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("mislabeled as a daily probe"),
+      s"want the named dailyProbe guard error, got: $msg")
+  }
 }

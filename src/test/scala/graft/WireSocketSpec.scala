@@ -81,6 +81,32 @@ class WireSocketSpec extends AnyFunSuite {
     assert(reply.toSeq == Wire.scrambleNative("secret", switchNonce).toSeq)
   }
 
+  test("auth switch after a fast-auth exchange replies at the shifted sequence") {
+    // greeting 0, response 1, fast-auth verdict 2, switch 3 → the
+    // reply must continue at 4, not a hardcoded 3 — a
+    // sequence-strict server drops the connection otherwise
+    val switchNonce = Array.tabulate(20)(i => (i + 33).toByte)
+    val switchPayload = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0xfe)
+      b.write("mysql_native_password".getBytes("UTF-8")); b.write(0)
+      b.write(switchNonce); b.write(0)
+      b.toByteArray
+    }
+    val fastOk = Wire.framePackets(Array[Byte](0x01, 0x03), 2)
+    val (ch, sent) = channel(
+      greeting("caching_sha2_password"),
+      fastOk,
+      Wire.framePackets(switchPayload, 3),
+      ok(5))
+    WireSocket.authenticate(ch, "repl", "secret", None)
+    val raw = sent.toByteArray
+    val (_, used, _) = Wire.readPacket(raw, 0)
+    val (reply, _, seq) = Wire.readPacket(raw, used)
+    assert(seq == 4, s"switch reply must continue the server's sequence, got $seq")
+    assert(reply.toSeq == Wire.scrambleNative("secret", switchNonce).toSeq)
+  }
+
   test("caching_sha2 fast-auth success reads through to the OK") {
     val fastOk = Wire.framePackets(Array[Byte](0x01, 0x03), 2)
     val (ch, _) = channel(greeting("caching_sha2_password"), fastOk, ok(3))
