@@ -236,25 +236,29 @@ object Cdc {
 
   // --- cdc_type_decode: the column-type decode surface, ORACLED ---
   // The reference's core type mapping (rust-cdc src/mysql/event/
-  // mod.rs:370-640) exercised through the REAL parse path: two
+  // mod.rs:370-640) exercised through the REAL parse path: three
   // generated binlogs — the typed table (INT, BIT(9), ENUM, SET,
-  // DATE) and the temporal table (DATETIME2(3), TIMESTAMP2(2),
-  // TIME2, JSON, GEOMETRY, legacy TIME/DATETIME, YEAR) — stream
-  // through the DSv2 source, decode into typed Spark columns, and
-  // compare against a DuckDB table re-derived from the generator's
-  // OWN arithmetic (the fixture values are formula-of-row-id by
-  // construction, so the oracle enumerates the same formulas as SQL
-  // literals: a one-bit decode slip in any of the 15 columns is a
-  // hash mismatch, not a pin drift).
+  // DATE), the temporal table (DATETIME2(3), TIMESTAMP2(2), TIME2,
+  // JSON, GEOMETRY, legacy TIME/DATETIME, YEAR), and the numeric
+  // table (NEWDECIMAL(12,4), FLOAT, DOUBLE, NEWDECIMAL(8,2) crossing
+  // zero, BLOB) — stream through the DSv2 source, decode into typed
+  // Spark columns, and compare against a DuckDB table re-derived
+  // from the generator's OWN arithmetic (the fixture values are
+  // formula-of-row-id by construction, so the oracle enumerates the
+  // same formulas as SQL literals: a one-bit decode slip in any of
+  // the 19 columns — packed BCD sign inversion included — is a hash
+  // mismatch, not a pin drift).
   private val TypeDecodeRows = 300
 
   private def typeDecode(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType, StringType}
-    val genDir = ensureGenerated("graft_binlog_typedecode_v1") { tmp =>
+    val genDir = ensureGenerated("graft_binlog_typedecode_v2") { tmp =>
       graft.sources.binlog.BinlogGen.writeTypedFile(
         tmp.resolve("mysql-bin.000001").toString, n = TypeDecodeRows)
       graft.sources.binlog.BinlogGen.writeTemporalFile(
         tmp.resolve("mysql-bin.000002").toString, n = TypeDecodeRows)
+      graft.sources.binlog.BinlogGen.writeNumericFile(
+        tmp.resolve("mysql-bin.000003").toString, n = TypeDecodeRows)
     }
     val ev = graft.sources.binlog.BinlogSource.events(s, genDir)
       .filter(col("event_type") === "WRITE_ROWS_V2")
@@ -281,7 +285,19 @@ object Cdc {
         col("a.col_7").cast("timestamp").as("dt_legacy"),
         col("a.col_8").as("time_neg"),
         col("a.col_9").cast("int").as("yr"))
-    t.join(x, Seq("id")).orderBy("id")
+    // numeric families exit as engine-neutral doubles (the QueryDef
+    // convention): decimal casts pin the exact scale first, so both
+    // engines convert the SAME decimal to its nearest double
+    val nm = ev.filter(col("table_name") === "numeric")
+      .select(from_json(col("after"), js(6)).as("a"))
+      .select(
+        col("a.col_0").cast("int").as("id"),
+        col("a.col_1").cast("decimal(12,4)").cast("double").as("dec1"),
+        col("a.col_2").cast("float").as("f"),
+        col("a.col_3").cast("double").as("dbl"),
+        col("a.col_4").cast("decimal(8,2)").cast("double").as("dec2"),
+        col("a.col_5").as("blob_txt"))
+    t.join(x, Seq("id")).join(nm, Seq("id")).orderBy("id")
   }
 
   private val typeDecodeSql =
@@ -300,7 +316,12 @@ object Cdc {
        |  '09:34:56' AS time_legacy,
        |  TIMESTAMP '2024-01-02 03:04:05' AS dt_legacy,
        |  '-01:00:00' AS time_neg,
-       |  CAST(0 AS INT) AS yr
+       |  CAST(0 AS INT) AS yr,
+       |  CAST(CAST((id * 98765 + 4321) / 10000.0 AS DECIMAL(12,4)) AS DOUBLE) AS dec1,
+       |  CAST(id + 0.5 AS REAL) AS f,
+       |  CAST(id * 1024.0 + 0.125 AS DOUBLE) AS dbl,
+       |  CAST(CAST((14975 - id * 100) / 100.0 AS DECIMAL(8,2)) AS DOUBLE) AS dec2,
+       |  'blob-' || id AS blob_txt
        |FROM t ORDER BY id""".stripMargin
 
   // --- cdc_bloom_dedup: bloom-gated new-key detection --------------

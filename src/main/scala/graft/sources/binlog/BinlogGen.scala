@@ -586,6 +586,60 @@ object BinlogGen {
     b.array()
   }
 
+  /** A fourth table exercising the NUMERIC/BLOB decode families the
+    * typed/temporal fixtures skip: NEWDECIMAL(12,4) (packed BCD,
+    * positive), FLOAT, DOUBLE, NEWDECIMAL(8,2) (crosses zero at
+    * id=150, pinning the sign/inversion path), BLOB (2 length
+    * bytes). Values are formula-of-row-id so the DuckDB oracle
+    * re-derives every cell — a one-bit slip in the BCD group packing
+    * or IEEE read is a hash mismatch, not a pin drift.
+    */
+  val NumericTableId = 80L
+
+  def writeNumericFile(path: String, n: Int): Unit = {
+    val rows = (1 to n).map { i =>
+      val blob = s"blob-$i".getBytes("UTF-8")
+      val r = ByteBuffer.allocate(4 + 6 + 4 + 8 + 4 + 2 + blob.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      r.putInt(i)
+      r.put(decimalBytes(12, 4, i.toLong * 98765L + 4321L))
+      r.putFloat(i + 0.5f)
+      r.putDouble(i * 1024.0 + 0.125)
+      r.put(decimalBytes(8, 2, 14975L - i.toLong * 100L))
+      r.putShort(blob.length.toShort) // BLOB: 2 LE length bytes
+      r.put(blob)
+      r.array()
+    }
+    writeGenericFile(path, NumericTableId, "numeric",
+      Array(0x03, 0xf6, 0x04, 0x05, 0xf6, 0xfc),
+      Array[Byte](12, 4, /*float pack*/ 4, /*double pack*/ 8, 8, 2, 2),
+      rows)
+  }
+
+  /** MySQL NEWDECIMAL wire encoding (single-group form, intg ≤ 9 and
+    * scale ≤ 9 digits): big-endian int group then frac group, sign
+    * as top-bit XOR on the first byte, negative values stored as the
+    * bitwise complement of the magnitude — the exact inverse of the
+    * parser's decodeDecimal (public packed-BCD layout).
+    */
+  private def decimalBytes(precision: Int, scale: Int, unscaled: Long): Array[Byte] = {
+    val bytesForDigits = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+    val intg = precision - scale
+    require(intg <= 9 && scale <= 9, "generator supports single-group decimals")
+    val neg = unscaled < 0
+    val mag = math.abs(unscaled)
+    val scale10 = (0 until scale).foldLeft(1L)((a, _) => a * 10)
+    val ib = bytesForDigits(intg); val fb = bytesForDigits(scale)
+    val out = new Array[Byte](ib + fb)
+    var v = mag / scale10
+    ((ib - 1) to 0 by -1).foreach { i => out(i) = (v & 0xff).toByte; v >>= 8 }
+    var f = mag % scale10
+    ((ib + fb - 1) to ib by -1).foreach { i => out(i) = (f & 0xff).toByte; f >>= 8 }
+    if (neg) out.indices.foreach(i => out(i) = (~out(i)).toByte)
+    out(0) = (out(0) ^ 0x80).toByte
+    out
+  }
+
   /** Fully parametric single-table file — the property-based
     * round-trip surface: arbitrary column types/metadata and
     * pre-encoded row values (concatenated wire bytes per row, no
