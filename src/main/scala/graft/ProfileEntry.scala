@@ -75,6 +75,10 @@ object ProfileEntry {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      println(s"=== explain ($entry) ===")
+      fn(spark, sfDir).explain("formatted")
+    }
     (1 to passes).foreach { p =>
       println(s"=== pass $p ($entry @ $sfDir) ===")
       val t0 = System.nanoTime()

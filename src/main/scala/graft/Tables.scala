@@ -29,17 +29,37 @@ object Tables {
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Spread a FEW-FILE scan across the cluster before per-row
+  /** Spread a NARROW scan across the cluster before per-row
     * compute-heavy work (gram hashing, media decode, shingling).
-    * Parquet parallelism is bounded by row groups, so a small table
-    * written as one file pins the whole downstream pipeline to one
-    * task. The guard keeps this adaptive: with many input files
-    * (the 100 TB layout) the scan is already parallel and no
-    * exchange is added — this only pays one small shuffle when the
-    * input couldn't saturate the cluster anyway.
+    * Parquet parallelism is bounded by splits (and ultimately row
+    * groups), so a small table written as one file pins the whole
+    * downstream pipeline to one task. The guard keeps this adaptive:
+    * the scan's task count is ESTIMATED from the files' byte sizes
+    * against spark.sql.files.maxPartitionBytes — when the scan is
+    * already wide enough to saturate the cluster (the 100 TB layout,
+    * or a big single file under a small split size) NO exchange is
+    * added. The r16 form counted FILES, which round-robin-exchanged
+    * a 2 GB single-file fact table at sf10: a full extra shuffle
+    * write+read of every surviving column, paid per query under the
+    * cold-read protocol, on a scan that splits 16+ ways by itself.
     */
   def parallelized(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < cores) df.repartition(cores) else df
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    val split = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // one FileSystem stat per input file; testdata/bench layouts
+    // carry 1-32 files per table, and the 100 TB layout (thousands
+    // of files) short-circuits on file count alone
+    lazy val scanTasks: Long =
+      if (files.length >= cores) cores.toLong
+      else files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val len = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+        math.max(1L, (len + split - 1) / split)
+      }.sum
+    if (files.nonEmpty && scanTasks >= cores) df else df.repartition(cores)
   }
 }

@@ -60,9 +60,23 @@ object TextAnalysis {
   def dupSpanCoverage(
       input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val docs = spanDocs(input, idCol, textCol)
-    val covered = coveredPositions(docs, n)
+    // covered-token count = Σ merged-interval lengths over the doc's
+    // covered STARTS ([s, s+n-1] each): one sorted map-side fold per
+    // doc after the start-set aggregation — the r16 form exploded
+    // every start to n positions and countDistinct'ed them, an n×
+    // bigger doc_id exchange plus a distinct for the same number
+    val mergedLen = expr(
+      s"""aggregate(array_sort(starts),
+         |  named_struct('e', CAST(-1 AS BIGINT), 't', CAST(0 AS BIGINT)),
+         |  (acc, s) -> named_struct(
+         |    'e', greatest(acc.e, s + ${n - 1}),
+         |    't', acc.t + CASE WHEN s > acc.e THEN CAST($n AS BIGINT)
+         |                      ELSE s + ${n - 1} - acc.e END),
+         |  acc -> acc.t)""".stripMargin)
+    val covered = coveredStarts(docs, n)
       .groupBy("doc_id")
-      .agg(countDistinct(col("cp")).as("n_dup_tokens"))
+      .agg(collect_set(col("pos")).as("starts"))
+      .select(col("doc_id"), mergedLen.as("n_dup_tokens"))
     docs.select(col("doc_id"), col("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol), col("n_tokens"),
@@ -92,7 +106,7 @@ object TextAnalysis {
   /** (keep..., pos, gh1, gh2) rows: one row per word `n`-gram
     * position of `tokensCol`, keyed by two INDEPENDENT xxhash64
     * lanes (128 bits total), never by gram text. Shared by
-    * coveredPositions (span dedup) and Curation.wordGramRows
+    * coveredStarts (span dedup) and Curation.wordGramRows
     * (decontamination) so the tokenize/off-by-one/seed scheme cannot
     * diverge between them.
     *
@@ -140,7 +154,14 @@ object TextAnalysis {
         expr(mixA).as("gh1") :+ expr(mixB).as("gh2"): _*)
   }
 
-  private def coveredPositions(docs: DataFrame, n: Int): DataFrame = {
+  /** (doc_id, pos) of every word-`n`-gram START covered by a
+    * cross-document duplicate — the pre-explode stream both span
+    * entries derive from. Expanding a start to its n covered
+    * positions is LEFT to each consumer: the coverage count explodes
+    * (it dedups via countDistinct anyway), the rewrite expands
+    * map-side AFTER its per-doc aggregation, so the doc_id exchange
+    * carries n× fewer rows. */
+  private def coveredStarts(docs: DataFrame, n: Int): DataFrame = {
     val occ = hashedWordGramKeys(docs, Seq(col("doc_id")), col("w"), n)
     val wFirst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("gh1"), col("gh2"), col("doc_id")).orderBy(col("pos"))
@@ -151,9 +172,9 @@ object TextAnalysis {
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .withColumn("__nd", sum(col("__first")).over(wGram))
       .filter(col("__nd") >= 2)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
+      .select(col("doc_id"), col("pos"))
   }
+
 
   // ---------------------------------------------------------------
   // text_dedup_rewrite: span-level dedup REMOVAL — the active
@@ -164,7 +185,7 @@ object TextAnalysis {
   // (single-space canonical form — the corpus's own form, so
   // untouched docs round-trip byte-identical). Same single
   // repartition(h) exchange as the coverage entry via
-  // [[coveredPositions]]; the per-doc covered-position set is
+  // [[coveredStarts]]; the per-doc covered-start set is
   // bounded by the doc's own length (it rides the SAME row the text
   // does, so no new scale term), and the rebuild is one map-side
   // array filter+transform. Output keeps the removal accounting a
@@ -176,11 +197,19 @@ object TextAnalysis {
   def dedupRewriteSpans(
       input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val docs = spanDocs(input, idCol, textCol)
-    // unsorted: the rebuild's array_except hashes cov, and the output
-    // column order comes from the left (sequence) side
-    val cov = coveredPositions(docs, n)
+    // per-doc covered-START sets cross the doc_id exchange (n× fewer
+    // rows than exploded positions); the start→positions expansion
+    // is ONE map-side array pass after the aggregation (r16 shipped
+    // every exploded position through the exchange and deduped them
+    // in collect_set). Unsorted: the rebuild's array_except hashes
+    // cov, and the output column order comes from the left
+    // (sequence) side.
+    val cov = coveredStarts(docs, n)
       .groupBy("doc_id")
-      .agg(collect_set(col("cp")).as("cov"))
+      .agg(collect_set(col("pos")).as("starts"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(flatten(transform(starts, s -> sequence(s, s + ${n - 1}))))")
+        .as("cov"))
     docs.join(cov, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), expr("array()")))
       .select(col("doc_id").as(idCol),
