@@ -423,18 +423,19 @@ object Dedup {
     * extra job, no exchange.
     */
   private[graft] def cappedBroadcastSide(df: DataFrame, cap: Long, what: String): DataFrame = {
-    val schema = df.schema
-    df.mapPartitions { it =>
-      var n = 0L
-      it.map { r =>
-        n += 1
-        if (n > cap) throw new IllegalStateException(
-          s"graft: dailyProbe $what exceeded $cap rows in one partition — " +
-            "this is a bulk load mislabeled as a daily probe (bad manifest?); " +
-            "rerun with dailyProbe=false to take the gated shuffle path")
-        r
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
+    // per-partition row index = the low 33 bits of
+    // monotonically_increasing_id (its documented layout: partition
+    // id above, per-partition counter below) — a pure codegen'd
+    // check with NO serde boundary (a mapPartitions form measured
+    // +9.5 s on dedup_incremental at sf10: the gram-array rows paid
+    // an InternalRow↔Row round-trip just to be counted). assert_true
+    // returns null while under the cap, so the filter keeps every
+    // row; the first row past the cap throws the named error.
+    val rc = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    df.filter(assert_true(rc < lit(cap), lit(
+      s"graft: dailyProbe $what exceeded $cap rows in one partition — " +
+        "this is a bulk load mislabeled as a daily probe (bad manifest?); " +
+        "rerun with dailyProbe=false to take the gated shuffle path")).isNull)
   }
 
   /** Word-3-gram sets of exactly the docs some candidate pair

@@ -622,7 +622,7 @@ object BinlogGen {
     * bitwise complement of the magnitude — the exact inverse of the
     * parser's decodeDecimal (public packed-BCD layout).
     */
-  private def decimalBytes(precision: Int, scale: Int, unscaled: Long): Array[Byte] = {
+  private[graft] def decimalBytes(precision: Int, scale: Int, unscaled: Long): Array[Byte] = {
     val bytesForDigits = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
     val intg = precision - scale
     require(intg <= 9 && scale <= 9, "generator supports single-group decimals")

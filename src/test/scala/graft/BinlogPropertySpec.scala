@@ -85,6 +85,54 @@ class BinlogPropertySpec extends AnyFunSuite {
 
   // ---- the property ------------------------------------------------
 
+  test("property: NEWDECIMAL encode→parse round-trips over sign/precision/scale") {
+    // BinlogGen.decimalBytes is the exact inverse of the parser's
+    // packed-BCD decode; walk the (precision, scale, unscaled) space
+    // including negatives, -0.xx magnitudes, zero, and scale 0
+    import org.scalacheck.{Gen, Prop}
+    val dir = java.nio.file.Files.createTempDirectory("binlogdecprop").toString
+    var fileNo = 0
+    val gen = for {
+      intg <- Gen.choose(0, 9)
+      scale <- Gen.choose(if (intg == 0) 1 else 0, 9)
+      bound = BigInt(10).pow(intg + scale) - 1
+      mag <- Gen.choose(0L, bound.min(BigInt(Long.MaxValue)).toLong)
+      neg <- Gen.oneOf(true, false)
+    } yield (intg + scale, scale, if (neg) -mag else mag)
+    def expected(precision: Int, scale: Int, unscaled: Long): String = {
+      val negSign = if (unscaled < 0) "-" else ""
+      val mag = math.abs(unscaled)
+      val s10 = (0 until scale).foldLeft(1L)((a, _) => a * 10)
+      val ip = mag / s10
+      val base = if (precision - scale == 0) "0" else ip.toString
+      if (scale > 0) s"$negSign$base." + ("%0" + scale + "d").format(mag % s10)
+      else s"$negSign$base"
+    }
+    val prop = Prop.forAll(Gen.listOfN(20, gen).suchThat(_.nonEmpty)) { rows =>
+      // one table per sample: every row shares the list head's shape
+      val (precision, scale, _) = rows.head
+      val shaped = rows.map { case (_, _, u) =>
+        // re-bound each unscaled to THIS table's precision
+        val bound = BigInt(10).pow(precision) - 1
+        val m = math.abs(u) % (bound.min(BigInt(Long.MaxValue)).toLong + 1)
+        if (u < 0) -m else m
+      }
+      fileNo += 1
+      val path = s"$dir/dec-$fileNo.bin"
+      BinlogGen.writeGenericFile(path, 91L, "decprop",
+        Array(0xf6), Array(precision.toByte, scale.toByte),
+        shaped.map(u => BinlogGen.decimalBytes(precision, scale, u)))
+      val got = BinlogParser.parseFile(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        .filter(_.op == "c").map(_.after)
+      val want = shaped.map(u => s"""{"col_0":"${expected(precision, scale, u)}"}""")
+      got == want
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: TIME2/DATETIME2/TIMESTAMP2/BIT/JSON/VARCHAR decode round-trips") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll

@@ -110,9 +110,11 @@ class IncrementalPropertySpec extends AnyFunSuite {
     assert(under.count() == 10) // under the cap: pure passthrough
     val over = Dedup.cappedBroadcastSide(
       spark.range(0, 500, 1, 1).toDF("id"), cap = 100L, what = "test frame")
-    val e = intercept[org.apache.spark.SparkException] { over.count() }
-    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
-    assert(msg != null && msg.contains("mislabeled as a daily probe"),
-      s"want the named dailyProbe guard error, got: $msg")
+    val e = intercept[Throwable] { over.count() }
+    // the named message may sit at any depth of the task-failure chain
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("mislabeled as a daily probe"),
+      s"want the named dailyProbe guard error, got: $msgs")
   }
 }
